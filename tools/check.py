@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+Mimics the driver: for each query, read the Spark parquet output and run
+the oracle SQL in DuckDB against views over the fixture tables; sort
+columns by name; compare row-by-row.  Driver-side python (duckdb/pandas)
+is allowed for this kind of harness tooling; the engine itself is Scala.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_glob:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        got = got[sorted(got.columns)]
+        want = want[sorted(want.columns)]
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        # normalize dtypes for compare
+        mismatch = None
+        for c in got.columns:
+            a, b = got[c], want[c]
+            try:
+                if a.dtype != object and b.dtype != object:
+                    a = pd.to_numeric(a, errors="ignore")
+                    b = pd.to_numeric(b, errors="ignore")
+            except Exception:
+                pass
+            eq = (a.astype(str).values == b.astype(str).values)
+            if not eq.all():
+                i = int((~eq).argmax())
+                mismatch = (c, i, a.iloc[i], b.iloc[i])
+                break
+        if mismatch:
+            c, i, av, bv = mismatch
+            print(f"FAIL {name}: col {c} row {i}: spark={av!r} oracle={bv!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    missing_oracle = []  # queries without oracle: listed for awareness
+    for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+        qn = os.path.basename(qdir)
+        if qn not in oracle:
+            missing_oracle.append(qn)
+    if missing_oracle:
+        print(f"NOTE rows-only (no oracle): {missing_oracle}")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
