@@ -8,7 +8,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
-    WindowQueries
+    WindowQueries,
+    LlmQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

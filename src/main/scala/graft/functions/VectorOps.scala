@@ -1,0 +1,71 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives as Catalyst higher-order functions.
+  *
+  * All arithmetic is double-precision left folds in array order, which
+  * both Spark's `aggregate` HOF and DuckDB's `list_sum` evaluate
+  * sequentially — results are bit-identical across engines, and query
+  * outputs additionally round to 4 decimals so a ulp of drift can never
+  * flip a hash compare.
+  */
+object VectorOps {
+
+  /** Cast a float embedding to double once, up front. */
+  def toD(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine rounded to 4 decimals — the cross-engine comparison form. */
+  def cosine4(a: Column, b: Column): Column = round(cosine(a, b), 4)
+
+  // ---- Random-hyperplane LSH --------------------------------------------
+
+  val LshBits = 8
+  val Dim = 64
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1]^64, derived from
+    * md5("h_d") — computed once on the driver and embedded as literals in
+    * BOTH the Spark plan and the oracle SQL, so the two engines share the
+    * exact same doubles (and at scale no per-row hashing is paid). */
+  val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until LshBits).map { h =>
+      (0 until Dim).map { d =>
+        ((java.lang.Long.parseLong(md5hex(s"${h}_${d}").substring(0, 6), 16) % 2001) - 1000) / 1000.0
+      }
+    }
+
+  private def litArr(p: Seq[Double]): Column = array(p.map(lit): _*)
+
+  /** 8-bit LSH bucket id: bit h set iff dot(v, plane_h) >= 0. */
+  def lshBucket(v: Column): Column =
+    planes.zipWithIndex.map { case (p, h) =>
+      when(dot(v, litArr(p)) >= 0, lit(1 << h)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL for the same bucket id over a FLOAT[] column name. */
+  def lshBucketSql(col: String): String =
+    planes.zipWithIndex.map { case (p, h) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum([CAST($col[i] AS DOUBLE) * ($lits)[i] for i in generate_series(1, $Dim)]) >= 0 THEN ${1 << h} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB SQL for round(cosine(a, b), 4) over FLOAT[] columns. */
+  def cosineSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4)"
+  }
+}

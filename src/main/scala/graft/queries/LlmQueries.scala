@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+
+/** Tier-L LLM-pipeline operators (SURVEY.md §2.11): deduplication,
+  * near-dup detection, similarity search / ANN, kNN — over `documents`
+  * and `embeddings`.
+  *
+  * 100 TB design notes:
+  *  - exact dedup groups on md5(text) (16-byte shuffle key), never the
+  *    full text (q31); q30 keeps the naive full-text variant for parity.
+  *  - near-dup is MinHash + LSH banding: candidates come from an
+  *    equi-join on band hashes (shuffle on a short key), and only
+  *    candidate pairs pay the exact-Jaccard verification — no O(n^2)
+  *    cross join anywhere.
+  *  - ANN is random-hyperplane LSH: bucket = 8 sign bits, candidates
+  *    share a bucket. Brute-force cosine (q35) is kept as the accuracy
+  *    baseline and only ever broadcast-joins a small query set against
+  *    the corpus — the corpus side never shuffles.
+  *  - all similarity math is codegen'd higher-order functions
+  *    (functions/VectorOps, TextOps); no UDFs.
+  */
+object LlmQueries extends QueryPack {
+
+  import TextOps._
+  import VectorOps._
+
+  // Shared fragments ------------------------------------------------------
+
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+
+  /** doc_id + 4 minhash components over 3-gram shingles. */
+  private def sigs(s: SparkSession, d: String): DataFrame =
+    docWords(s, d).select(
+      col("doc_id"),
+      shingles3(col("ws")).as("shs"))
+      .select(col("doc_id") +: (0 until 4).map(k => minhash(col("shs"), k).as(s"sig$k")): _*)
+
+  private val oracleSigs = """
+    docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    shs AS (SELECT doc_id,
+              [array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 0))] AS sh
+            FROM docs),
+    sigs AS (SELECT doc_id,
+              list_min([md5('0|' || x) for x in sh]) AS sig0,
+              list_min([md5('1|' || x) for x in sh]) AS sig1,
+              list_min([md5('2|' || x) for x in sh]) AS sig2,
+              list_min([md5('3|' || x) for x in sh]) AS sig3
+             FROM shs)"""
+
+  // q30: exact dedup, canonical = min doc_id per identical text ----------
+
+  def q30(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  // q31: hash-keyed dedup — the scale path (16-byte shuffle key) ---------
+
+  def q31(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  // q32: per-doc MinHash signature ---------------------------------------
+
+  def q32(s: SparkSession, d: String): DataFrame =
+    sigs(s, d).orderBy(col("doc_id"))
+
+  // q33: LSH near-dup pairs: band join -> exact Jaccard >= 0.5 -----------
+
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val sg = sigs(s, d)
+    val bands = sg.select(col("doc_id"),
+      explode(array(
+        md5(concat(col("sig0"), col("sig1"))),
+        md5(concat(col("sig2"), col("sig3"))))).as("band"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sh = docWords(s, d)
+      .select(col("doc_id"), explode(shingles3(col("ws"))).as("sh")).distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val common = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sz.as("za"), col("a") === col("za.doc_id"))
+      .join(sz.as("zb"), col("b") === col("zb.doc_id"))
+      .withColumn("jac", col("common").cast("double") /
+        (col("za.c") + col("zb.c") - col("common")))
+      .filter(col("jac") >= 0.5)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // q34: 16-bit SimHash per doc ------------------------------------------
+
+  def q34(s: SparkSession, d: String): DataFrame =
+    docWords(s, d)
+      .select(col("doc_id"), simhash16(col("ws")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // q35: brute-force cosine top-5 for a small query set ------------------
+
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine4(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // q36: LSH bucket histogram --------------------------------------------
+
+  def q36(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(lshBucket(toD(col("embedding"))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  // q37: ANN — top-3 by cosine among same-bucket candidates --------------
+
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine4(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // q38: kNN label vote (k=10) -------------------------------------------
+
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"), col("v").as("qv"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val neigh = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        cosine4(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+    val wVote = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
+    neigh.groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id").as("vec_id"), col("true_label"), col("label").as("pred_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact"      -> q30 _,
+    "q31_dedup_hash"       -> q31 _,
+    "q32_minhash_sig"      -> q32 _,
+    "q33_lsh_neardup"      -> q33 _,
+    "q34_simhash"          -> q34 _,
+    "q35_cosine_topk"      -> q35 _,
+    "q36_ann_buckets"      -> q36 _,
+    "q37_ann_bucket_topk"  -> q37 _,
+    "q38_knn_label"        -> q38 _
+  )
+
+  private val simhashSql: String =
+    (0 until 16).map { b =>
+      val m = 1 << b
+      s"""(CASE WHEN list_sum([CASE WHEN (CAST(('0x' || substr(md5(w), 1, 4)) AS INT) & $m) > 0
+                 THEN 1 ELSE -1 END for w in words]) > 0 THEN $m ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
+  override val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" -> """
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY doc_id""",
+    "q31_dedup_hash" -> """
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "q32_minhash_sig" -> s"""
+      WITH $oracleSigs
+      SELECT doc_id, sig0, sig1, sig2, sig3 FROM sigs ORDER BY doc_id""",
+    "q33_lsh_neardup" -> s"""
+      WITH $oracleSigs,
+      bands AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sigs),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+      sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
+      sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      com AS (SELECT a, b, COUNT(*) AS common
+              FROM cand JOIN sh sa ON sa.doc_id = a
+                        JOIN sh sb ON sb.doc_id = b AND sa.s = sb.s
+              GROUP BY a, b)
+      SELECT a, b, round(CAST(common AS DOUBLE) / (za.c + zb.c - common), 4) AS jac
+      FROM com JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+      WHERE CAST(common AS DOUBLE) / (za.c + zb.c - common) >= 0.5
+      ORDER BY a, b""",
+    "q34_simhash" -> s"""
+      SELECT doc_id, $simhashSql AS simhash
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      ORDER BY doc_id""",
+    "q35_cosine_topk" -> s"""
+      WITH p AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+      SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q36_ann_buckets" -> s"""
+      SELECT ${VectorOps.lshBucketSql("embedding")} AS bucket, COUNT(*) AS n
+      FROM embeddings GROUP BY 1 ORDER BY bucket""",
+    "q37_ann_bucket_topk" -> s"""
+      WITH b AS (SELECT vec_id, embedding, ${VectorOps.lshBucketSql("embedding")} AS bucket FROM embeddings),
+      p AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim
+        FROM b q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+      SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q38_knn_label" -> s"""
+      WITH p AS (
+        SELECT q.vec_id AS q_id, q.label AS true_label, e.vec_id AS vec_id, e.label AS label,
+               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 20),
+      top AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+              FROM p) WHERE rn <= 10),
+      votes AS (SELECT q_id, true_label, label, COUNT(*) AS votes FROM top GROUP BY q_id, true_label, label),
+      win AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr FROM votes)
+      SELECT q_id AS vec_id, true_label, label AS pred_label FROM win WHERE vr = 1 ORDER BY vec_id"""
+  )
+}
