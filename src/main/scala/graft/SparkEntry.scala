@@ -9,7 +9,10 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     WindowQueries,
-    LlmQueries
+    LlmQueries,
+    TextQueries,
+    AggQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom Aggregators — the Spark form of Beam's CombineFn lifecycle
+  * (create_accumulator / add_input / merge_accumulators / extract_output
+  * = zero / reduce / merge / finish). Spark runs these with map-side
+  * partial aggregation automatically, i.e. Beam's combiner lifting is
+  * free; the buffer types are Encoder-backed so they travel through
+  * Tungsten rows, not Java serialization.
+  */
+object Aggs {
+
+  /** arg-max: keeps the (value, id) pair with the largest value, ties
+    * broken by larger id — a total order, so the result is deterministic
+    * under any merge order. Beam equivalent: combiners.Top.Of(1). */
+  class ArgMaxByValue extends Aggregator[(Double, Long), (Double, Long), Long] {
+    def zero: (Double, Long) = (Double.NegativeInfinity, Long.MinValue)
+    private def pick(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
+    def reduce(buf: (Double, Long), in: (Double, Long)): (Double, Long) = pick(buf, in)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) = pick(a, b)
+    def finish(buf: (Double, Long)): Long = buf._2
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.product[(Double, Long)]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  case class Moments(n: Long, mean: Double, variance: Double)
+
+  /** (count, sum, sum-of-squares) moments with exact decimal accumulation:
+    * inputs carry exactly 2 decimals, so scale-2/scale-4 BigDecimal sums
+    * are exact and merge-order-independent; only the final mean/variance
+    * divide in double (rounded to 4 by the caller's oracle contract).
+    * Beam equivalent: a custom CombineFn with a (sum, count) accumulator. */
+  class MomentsAgg extends Aggregator[Double, (Long, BigDecimal, BigDecimal), Moments] {
+    private def d2(x: Double): BigDecimal =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def zero: (Long, BigDecimal, BigDecimal) = (0L, BigDecimal(0), BigDecimal(0))
+    def reduce(b: (Long, BigDecimal, BigDecimal), x: Double): (Long, BigDecimal, BigDecimal) = {
+      val v = d2(x); (b._1 + 1, b._2 + v, b._3 + v * v)
+    }
+    def merge(a: (Long, BigDecimal, BigDecimal), b: (Long, BigDecimal, BigDecimal)): (Long, BigDecimal, BigDecimal) =
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+    def finish(b: (Long, BigDecimal, BigDecimal)): Moments = {
+      val n = b._1
+      if (n == 0) Moments(0, 0.0, 0.0)
+      else {
+        // round-half-up to 4, matching Spark's round() and DuckDB's round()
+        def r4(x: Double): Double =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val sum = b._2.toDouble; val sumsq = b._3.toDouble
+        Moments(n, r4(sum / n), r4((sumsq - sum * sum / n) / n))
+      }
+    }
+    def bufferEncoder: Encoder[(Long, BigDecimal, BigDecimal)] =
+      Encoders.product[(Long, BigDecimal, BigDecimal)]
+    def outputEncoder: Encoder[Moments] = Encoders.product[Moments]
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Aggs
+import graft.util.Det._
+
+/** Combine-family periphery (SURVEY.md §2.4–2.5, §7 step 5):
+  * custom Aggregators (Beam CombineFn), approximate aggregates, a
+  * deterministic sample, set ops, rollup, and in-memory Create/VALUES.
+  *
+  * q47/q48 (HLL distinct, approx quantiles) have no exact SQL twin —
+  * they are rows-only for the driver and tolerance-bounded in the
+  * scalatest suite instead.
+  */
+object AggQueries extends QueryPack {
+
+  /** q45: custom arg-max Aggregator registered as a UDAF — event with the
+    * max value per type. */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val argmax = udaf(new Aggs.ArgMaxByValue)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        argmax(col("value"), col("event_id")).as("top_event_id"),
+        max(col("value")).as("top_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q46: hand-built moments CombineFn — exact decimal accumulation,
+    * rounded mean/variance. */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val moments = udaf(new Aggs.MomentsAgg)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(moments(col("value")).as("m"))
+      .select(col("event_type"), col("m.n").as("n"),
+        col("m.mean").as("mean_value"), col("m.variance").as("var_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q47 (rows-only): HLL++ approximate distinct vs exact. */
+  def q47(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("approx_users"), col("exact_users"))
+
+  /** q48 (rows-only): approximate quantiles of event value. */
+  def q48(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("q"))
+      .select(
+        col("q").getItem(0).as("p25"),
+        col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p75"))
+
+  /** q49: deterministic pseudo-random sample — Beam Sample.FixedSizeGlobally
+    * made oracle-checkable by ordering on md5 of the key. */
+  def q49(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))))
+      .filter(col("rn") <= 100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** q50: INTERSECT — nations having both customers and suppliers. */
+  def q50(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** q51: EXCEPT — nations with customers but no suppliers. */
+  def q51(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** q52: ROLLUP over (lang, source) — subtotal grouping sets. */
+  def q52(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** q53: Beam Create — in-memory collection joined against a table. */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq((0, 10), (1, 20), (2, 30), (3, 40), (4, 50))
+      .toDF("rk", "weight")
+    Tables.region(s, d)
+      .join(broadcast(weights), col("r_regionkey") === col("rk"))
+      .select(col("r_regionkey"), col("r_name"), col("weight"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_custom_argmax"   -> q45 _,
+    "q46_custom_moments"  -> q46 _,
+    "q47_approx_distinct" -> q47 _,
+    "q48_approx_quantiles"-> q48 _,
+    "q49_sample_det"      -> q49 _,
+    "q50_intersect"       -> q50 _,
+    "q51_except"          -> q51 _,
+    "q52_rollup"          -> q52 _,
+    "q53_create_values"   -> q53 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q45_custom_argmax" -> """
+      SELECT event_type, event_id AS top_event_id, value AS top_value
+      FROM (SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY event_type""",
+    "q46_custom_moments" -> """
+      SELECT event_type, COUNT(*) AS n,
+             round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_value,
+             round((CAST(SUM(v * v) AS DOUBLE)
+                    - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) / COUNT(*), 4)
+               AS var_value
+      FROM (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      GROUP BY event_type ORDER BY event_type""",
+    "q49_sample_det" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM (SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 100 ORDER BY o_orderkey""",
+    "q50_intersect" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey""",
+    "q51_except" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey""",
+    "q52_rollup" -> """
+      SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY ROLLUP(lang, source)
+      ORDER BY lang NULLS FIRST, source NULLS FIRST""",
+    "q53_create_values" -> """
+      SELECT r_regionkey, r_name, weight
+      FROM region JOIN (VALUES (0, 10), (1, 20), (2, 30), (3, 40), (4, 50)) t(rk, weight)
+        ON r_regionkey = rk
+      ORDER BY r_regionkey"""
+  )
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Typed-row shapes for the q56 mapPartitions pipeline (top-level:
+  * Catalyst codegen cannot access private nested classes). */
+case class DocIn(doc_id: Long, text: String)
+case class DocFeat(doc_id: Long, byte_len: Int, checksum: String, n_frames: Long)
+
+/** Multimodal-column plumbing (SURVEY.md §2.11): opaque binary payloads
+  * with typed metadata, schema'd record assembly, and a stubbed
+  * decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so the "decode" is a
+  * deterministic stand-in (md5 checksum, byte stats, frame count) — but
+  * the Spark-side plumbing is real: binary columns, struct assembly via
+  * a key join, and in q56 a typed Dataset.mapPartitions pipeline (the
+  * Beam DoFn shape: per-partition setup, batch iteration) with
+  * case-class schemas. Swap `MultimodalQueries.decodeStub` for a real
+  * codec and nothing else changes.
+  *
+  * Scale: payloads stay opaque bytes end-to-end (never parsed on the
+  * driver); the documents⋈embeddings join keys on ids; mapPartitions
+  * preserves partitioning and streams batches.
+  */
+object MultimodalQueries extends QueryPack {
+
+  /** q54: assemble (metadata, payload, vector) records — the multimodal
+    * row shape — and project scalar stats. */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("text").cast("binary").as("payload"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+    doc.join(emb, col("doc_id") === col("vec_id"))
+      .select(struct(
+        col("doc_id"),
+        struct(col("lang"), col("source")).as("meta"),
+        col("payload"),
+        col("embedding"),
+        col("label")).as("rec"))
+      .select(
+        col("rec.doc_id").as("doc_id"),
+        col("rec.meta.lang").as("lang"),
+        octet_length(col("rec.payload")).as("payload_bytes"),
+        size(col("rec.embedding")).as("dim"),
+        col("rec.label").as("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q55: columnar feature extraction over the binary payload. */
+  def q55(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("text"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        lower(hex(substring(col("payload"), 1, 8))).as("head_hex"),
+        substring(md5(col("text")), 1, 8).as("checksum"),
+        ((octet_length(col("payload")) + 15) / 16).cast("long").as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  /** The stubbed per-batch decoder. A real implementation would open a
+    * codec in setup (once per partition) and decode each payload; the
+    * stand-in derives deterministic features from the bytes. */
+  private def decodeStub(bytes: Array[Byte]): (Int, String, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val checksum = md.digest(bytes).map("%02x".format(_)).mkString.substring(0, 8)
+    (bytes.length, checksum, (bytes.length + 15L) / 16L)
+  }
+
+  /** q56: the same features through a typed mapPartitions pipeline — the
+    * Beam ParDo/DoFn execution shape with real Encoders. */
+  def q56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[DocIn]
+      .mapPartitions { it =>
+        // per-partition setup would go here (codec/model open)
+        it.map { doc =>
+          val (len, sum, frames) = decodeStub(doc.text.getBytes("UTF-8"))
+          DocFeat(doc.doc_id, len, sum, frames)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_multimodal_assemble" -> q54 _,
+    "q55_binary_features"     -> q55 _,
+    "q56_mappartitions_decode"-> q56 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q54_multimodal_assemble" -> """
+      SELECT doc_id, lang, octet_length(encode(text)) AS payload_bytes,
+             len(embedding) AS dim, label
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      ORDER BY doc_id""",
+    "q55_binary_features" -> """
+      SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+             substr(md5(text), 1, 8) AS checksum,
+             (octet_length(encode(text)) + 15) // 16 AS n_frames
+      FROM documents ORDER BY doc_id""",
+    "q56_mappartitions_decode" -> """
+      SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             substr(md5(text), 1, 8) AS checksum,
+             (octet_length(encode(text)) + 15) // 16 AS n_frames
+      FROM documents ORDER BY doc_id"""
+  )
+}

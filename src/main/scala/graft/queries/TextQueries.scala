@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextOps._
+
+/** Text-analysis operators for a training-data pipeline (driver mandate,
+  * SURVEY.md §2.11): language ID, quality scoring, token counting,
+  * document fingerprinting, per-language wordcount.
+  *
+  * Determinism: every score is integer or an int/int double division
+  * with an explicit round(4); argmax picks break ties on the key, so the
+  * oracle hash-compare is exact.
+  *
+  * Scale: all per-document work is array expressions inside codegen (no
+  * explode except where the aggregation itself is over words), and the
+  * only shuffles are the final groupBys on low-cardinality keys. The
+  * langid profile join broadcasts (5 langs x 10 words).
+  */
+object TextQueries extends QueryPack {
+
+  private val stopWords = Seq("the", "a", "of")
+
+  /** q40: frequency-profile language ID, self-trained: per-lang top-10
+    * words by corpus frequency; a doc votes with word multiplicity;
+    * prediction = argmax overlap (ties -> lang asc). Output: confusion
+    * matrix. */
+  def q40(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("word"))
+    val wProf = Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("word"))
+    val prof = tok.groupBy(col("lang").as("p_lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wProf))
+      .filter(col("rk") <= 10)
+      .select(col("p_lang"), col("word"))
+    val wPred = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+    tok.join(broadcast(prof), Seq("word"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("pr", row_number().over(wPred))
+      .filter(col("pr") === 1)
+      .groupBy(col("lang"), col("p_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** q41: quality scoring — lexical-diversity x stopword-penalty. */
+  def q41(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        size(filter(col("ws"), w => w.isInCollection(stopWords))).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("n_distinct").cast("double") / col("n_words"), 4).as("distinct_ratio"),
+        round(col("n_stop").cast("double") / col("n_words"), 4).as("stop_ratio"),
+        round((col("n_distinct").cast("double") / col("n_words")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_words")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** q42: token counting — whitespace tokens vs a BPE-ish regex count,
+    * plus n_chars metadata validation. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|\\S")).as("n_re_tokens"),
+        (length(col("text")) === col("n_chars")).cast("int").as("len_ok"))
+      .orderBy(col("doc_id"))
+
+  /** q43: order-sensitive rolling fingerprint mod 1e9+7 (TextOps). */
+  def q43(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(words(col("text"))).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** q44: the canonical Beam wordcount, per language. */
+  def q44(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("word"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_langid"          -> q40 _,
+    "q41_quality_score"   -> q41 _,
+    "q42_token_count"     -> q42 _,
+    "q43_fingerprint"     -> q43 _,
+    "q44_wordcount_lang"  -> q44 _
+  )
+
+  private val stopSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  override val oracle: Map[String, String] = Map(
+    "q40_langid" -> """
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      prof AS (SELECT p_lang, word FROM (
+                 SELECT lang AS p_lang, word, COUNT(*) AS cnt,
+                        row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rk
+                 FROM tok GROUP BY lang, word)
+               WHERE rk <= 10),
+      score AS (SELECT t.doc_id, t.lang, p.p_lang, COUNT(*) AS score
+                FROM tok t JOIN prof p ON t.word = p.word
+                GROUP BY t.doc_id, t.lang, p.p_lang),
+      pred AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS pr
+               FROM score)
+      SELECT lang, p_lang AS pred_lang, COUNT(*) AS n_docs
+      FROM pred WHERE pr = 1 GROUP BY lang, p_lang ORDER BY lang, pred_lang""",
+    "q41_quality_score" -> s"""
+      SELECT doc_id, n_words,
+             round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_ratio,
+             round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+             round((CAST(n_distinct AS DOUBLE) / n_words) *
+                   (1.0 - CAST(n_stop AS DOUBLE) / n_words), 4) AS quality
+      FROM (SELECT doc_id, len(words) AS n_words,
+                   len(list_distinct(words)) AS n_distinct,
+                   len(list_filter(words, w -> w IN $stopSql)) AS n_stop
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+      ORDER BY doc_id""",
+    "q42_token_count" -> """
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_re_tokens,
+             CAST(length(text) = n_chars AS INT) AS len_ok
+      FROM documents ORDER BY doc_id""",
+    "q43_fingerprint" -> """
+      SELECT doc_id,
+             CAST(list_sum([(i * (CAST(('0x' || substr(md5(words[i]), 1, 7)) AS BIGINT) % 1000000007))
+                       % 1000000007 for i in generate_series(1, len(words))]) % 1000000007 AS BIGINT) AS fp
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      ORDER BY doc_id""",
+    "q44_wordcount_lang" -> """
+      SELECT lang, word, COUNT(*) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY lang, word ORDER BY lang, word"""
+  )
+}
