@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.util.Det._
+
+/** Structured Streaming mirror of the batch event-time queries
+  * (SURVEY.md §2.9, build step 6).
+  *
+  * Beam's batch/stream unification claim, realized the Spark way: the
+  * SAME declarative transform runs over a bounded DataFrame and over a
+  * stream — these builders take whichever DataFrame they're given.
+  * The scalatest suite feeds them MemoryStream input (Beam TestStream
+  * parity) and asserts equality with the batch result.
+  *
+  * Semantics notes (documented gaps, not emulated):
+  *  - `withWatermark` + append mode ≈ Beam's AfterWatermark single final
+  *    pane with allowed_lateness=0; data later than the watermark is
+  *    dropped. Beam's early/late re-firing panes and accumulating mode
+  *    have no Structured Streaming equivalent (update mode approximates
+  *    accumulating).
+  *  - Watermarks advance per micro-batch, not per element.
+  */
+object Streaming {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  /** Tumbling 1-day counts per event_type — q21's shape. Pass
+    * `watermark=Some("1 day")` on a streaming input. */
+  def tumblingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Session windows per user (12h gap) — q23's shape. */
+  def sessionCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(session_window(col("ts"), "12 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"), col("n"))
+  }
+
+  case class UserCount(user_id: Long, n: Long)
+
+  /** Stateful ParDo exemplar (Beam ValueState): per-user running event
+    * count via flatMapGroupsWithState. Emits the updated total for each
+    * key touched in a micro-batch; state is a single Long per key, so at
+    * 100 TB the store scales with |users|, not |events|. */
+  def runningCounts(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserCount](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          Iterator(UserCount(uid, n))
+      }
+  }
+}

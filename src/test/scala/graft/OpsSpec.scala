@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorOps}
+
+/** Non-oracle correctness: algebraic laws, approximate-aggregate error
+  * bounds, and typed cogroup (SURVEY.md §5.2 items 2–3). */
+class OpsSpec extends SparkSpec {
+
+  test("dedup is idempotent") {
+    import spark.implicits._
+    val df = Seq("a", "b", "a", "c", "b").toDF("x")
+    val once = df.distinct()
+    assert(once.count() == 3 && once.distinct().count() == 3)
+  }
+
+  test("union-all cardinality adds") {
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("x"); val b = Seq(3, 4).toDF("x")
+    assert(a.unionByName(b).count() == a.count() + b.count())
+  }
+
+  test("sliding window totality: every event in exactly size/slide windows") {
+    val n = Tables.events(spark, sf("sf0.001")).count()
+    val windowed = Tables.events(spark, sf("sf0.001"))
+      .select(window(col("ts"), "2 days", "1 day"))
+      .count()
+    assert(windowed == 2 * n)
+  }
+
+  test("session count never exceeds event count and >= user count") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val sessions = ev.groupBy(session_window(col("ts"), "12 hours"), col("user_id")).count()
+    val nSess = sessions.count()
+    assert(nSess <= ev.count())
+    assert(nSess >= ev.select("user_id").distinct().count())
+  }
+
+  test("cosine(x, x) == 1 for every embedding") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(VectorOps.toD(col("embedding")).as("v"))
+    val bad = e.select(VectorOps.cosine4(col("v"), col("v")).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val r = Tables.events(spark, sf("sf0.001"))
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
+  test("percentile_approx brackets the exact median") {
+    val vals = Tables.events(spark, sf("sf0.001"))
+      .select("value").as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().sorted
+    val exact = vals(vals.length / 2)
+    val approx = Tables.events(spark, sf("sf0.001"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p"))
+      .head().getDouble(0)
+    assert(math.abs(approx - exact) <= (vals.max - vals.min) * 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("typed Dataset.cogroup matches the relational cogroup (q15 semantics)") {
+    import spark.implicits._
+    val c = Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_nationkey").cast("long"), col("c_name")).as[(Long, String)]
+    val s = Tables.supplier(spark, sf("sf0.001"))
+      .select(col("s_nationkey").cast("long"), col("s_name")).as[(Long, String)]
+    val typed = c.groupByKey(_._1).cogroup(s.groupByKey(_._1)) { (k, cs, ss) =>
+      Iterator((k, cs.map(_._2).toSeq.sorted.mkString(","),
+        ss.map(_._2).toSeq.sorted.mkString(",")))
+    }.toDF("nationkey", "customers", "suppliers")
+    val relational = graft.queries.RelationalQueries.q15(spark, sf("sf0.001"))
+    assert(typed.orderBy("nationkey").collect().toSeq ==
+      relational.collect().toSeq)
+  }
+
+  test("minhash signature only shrinks when docs lose shingles (containment)") {
+    import spark.implicits._
+    val df = Seq("a b c d e f", "a b c d").toDF("text")
+      .select(TextOps.shingles3(TextOps.words(col("text"))).as("shs"))
+      .select(TextOps.minhash(col("shs"), 0).as("m"))
+      .collect().map(_.getString(0))
+    // the shorter doc's shingles are a subset: its min can only be >= the superset's
+    assert(df(1) >= df(0))
+  }
+
+  test("fingerprint is order-sensitive") {
+    import spark.implicits._
+    val fps = Seq("a b c", "c b a").toDF("text")
+      .select(TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+}

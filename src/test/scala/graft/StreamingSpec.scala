@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Ev
+
+/** Batch/stream unification: the same transform over a MemoryStream
+  * (Beam TestStream parity) must equal the batch result; watermarks drop
+  * late data; stateful running counts accumulate across micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  private val rows = Seq(
+    Ev(1, ts(1, 1), 10, "click", 1.0),
+    Ev(2, ts(1, 5), 11, "view", 2.0),
+    Ev(3, ts(2, 3), 10, "click", 3.0),
+    Ev(4, ts(1, 9), 10, "view", 4.0),   // out of order within window
+    Ev(5, ts(3, 2), 11, "click", 5.0))
+
+  test("tumbling window: stream equals batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(mem.toDF(), watermark = Some("1 day"))
+      .writeStream.format("memory").queryName("t_tumbling")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // append mode only emits closed windows; advance the watermark far out
+    mem.addData(Ev(99, ts(30), 99, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_tumbling")
+      .filter(col("event_type") =!= "x")
+      .orderBy("w_start_us", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streaming.tumblingCounts(
+        (rows :+ Ev(99, ts(30), 99, "click", 0.0)).toDF())
+      .orderBy("w_start_us", "event_type")
+      .collect().map(_.toSeq).toSeq
+    // every batch window except the open last one must be in the stream output
+    val openWindow = batch.map(_.head.asInstanceOf[Long]).max
+    val closedBatch = batch.filterNot(_.head == openWindow)
+    assert(closedBatch.forall(streamed.contains), s"stream=$streamed batch=$closedBatch")
+  }
+
+  test("watermark drops data later than the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(mem.toDF(), watermark = Some("1 day"))
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 1.0))
+    q.processAllAvailable() // watermark advances to day10 - 1d
+    mem.addData(Ev(3, ts(1, 1), 1, "click", 100.0)) // far behind watermark: dropped
+    q.processAllAvailable()
+    mem.addData(Ev(4, ts(30), 1, "click", 1.0)) // close everything still open
+    q.processAllAvailable()
+    q.stop()
+    val day1 = spark.table("t_late")
+      .filter(col("w_start_us") === 1704067200000000L) // 2024-01-01 UTC
+      .select("n").collect().map(_.getLong(0)).toSeq
+    assert(day1 == Seq(1), s"late event must be dropped, got n=$day1")
+  }
+
+  test("session windows: stream equals batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sess = Seq(
+      Ev(1, ts(1, 1), 1, "click", 1.0),
+      Ev(2, ts(1, 2), 1, "click", 1.0),  // same session (gap 12h)
+      Ev(3, ts(2, 1), 1, "click", 1.0),  // new session
+      Ev(4, ts(1, 4), 2, "view", 1.0))
+    val mem = MemoryStream[Ev]
+    val q = Streaming.sessionCounts(mem.toDF(), watermark = Some("1 day"))
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("append").start()
+    mem.addData(sess: _*)
+    q.processAllAvailable()
+    mem.addData(Ev(99, ts(30), 99, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_sess").filter(col("user_id") < 99)
+      .orderBy("user_id", "s_start_us").collect().map(_.toSeq).toSeq
+    val batch = Streaming.sessionCounts(sess.toDF())
+      .orderBy("user_id", "s_start_us").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("flatMapGroupsWithState running counts accumulate across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.runningCounts(mem.toDS())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("update").start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    // last update per user = total count
+    val finalCounts = spark.table("t_state")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == Map(10L -> 3L, 11L -> 2L))
+  }
+}
