@@ -1,23 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: one JSON line with per-query wall seconds.
+  *
+  * - Results are fully materialized through the noop sink (count() would
+  *   let Catalyst prune projections and under-report).
+  * - A warmup pass at sf0.001 first touches every query so JIT/codegen
+  *   compilation is excluded from the timed numbers (BASELINE.md excludes
+  *   fixed JVM overhead on the oracle side too).
+  * - Caches are cleared between queries so persist() inside a query
+  *   benefits only that query's own reuse, and nothing leaks across.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def exec(name: String, dir: String): Unit = {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      try exec(n, "/root/testdata/sf0.001")
+      catch { case _: Throwable => () }
+    }
+    // settle before timing: the warmup pass leaves young-gen garbage that
+    // would otherwise hit the first timed query
+    System.gc()
+    Thread.sleep(500)
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(name, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

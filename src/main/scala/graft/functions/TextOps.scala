@@ -28,20 +28,24 @@ object TextOps {
   def minhash(shs: Column, k: Int): Column =
     array_min(transform(shs, sh => md5(concat(lit(s"$k|"), sh))))
 
-  /** First 4 md5 hex chars as an int in [0, 65535] — the per-word hash
-    * feeding simhash bits. */
-  private def h16(w: Column): Column =
-    conv(substring(md5(w), 1, 4), 16, 10).cast("int")
+  /** Per-word 16-bit hashes (first 4 md5 hex chars as int). Project this
+    * into its own column BEFORE simhash16FromHashes — the md5 work then
+    * runs once per word instead of once per (word, bit). */
+  def wordHashes16(ws: Column): Column =
+    transform(ws, w => conv(substring(md5(w), 1, 4), 16, 10).cast("int"))
 
-  /** 16-bit SimHash over word multiset: bit b is set iff the sum of
-    * (+1/-1 per word by hash-bit b) is positive. Computed as 16 array
+  /** 16-bit SimHash over the precomputed hash array: bit b is set iff
+    * the sum of (+1/-1 per word by hash-bit b) is positive. 16 cheap int
     * folds — zero explodes, zero shuffles until the caller aggregates. */
-  def simhash16(ws: Column): Column =
+  def simhash16FromHashes(hs: Column): Column =
     (0 until 16).map { b =>
-      val bitSum = aggregate(ws, lit(0),
-        (acc, w) => acc + when(h16(w).bitwiseAND(lit(1 << b)) > 0, 1).otherwise(-1))
+      val bitSum = aggregate(hs, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1 << b)) > 0, 1).otherwise(-1))
       when(bitSum > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Convenience composition (single-expression form). */
+  def simhash16(ws: Column): Column = simhash16FromHashes(wordHashes16(ws))
 
   val FpMod = 1000000007L
 

@@ -79,36 +79,44 @@ object LlmQueries extends QueryPack {
   // q33: LSH near-dup pairs: band join -> exact Jaccard >= 0.5 -----------
 
   def q33(s: SparkSession, d: String): DataFrame = {
-    val sg = sigs(s, d)
-    val bands = sg.select(col("doc_id"),
-      explode(array(
-        md5(concat(col("sig0"), col("sig1"))),
-        md5(concat(col("sig2"), col("sig3"))))).as("band"))
+    // Signature table: distinct shingle set + 4 minhashes + 2 band keys,
+    // computed ONCE and persisted — the md5-heavy stage would otherwise
+    // re-run for every downstream use (both band sides + both Jaccard
+    // sides). At 100 TB this is the "materialize the signature table"
+    // step of any LSH pipeline (a few hundred bytes/doc, not the corpus).
+    val base = docWords(s, d)
+      .select(col("doc_id"), array_distinct(shingles3(col("ws"))).as("shs"))
+      .select(Seq(col("doc_id"), col("shs")) ++
+        (0 until 4).map(k => minhash(col("shs"), k).as(s"sig$k")): _*)
+      .select(col("doc_id"), col("shs"),
+        md5(concat(col("sig0"), col("sig1"))).as("b0"),
+        md5(concat(col("sig2"), col("sig3"))).as("b1"))
+      .persist()
+    val bands = base.select(col("doc_id"),
+      explode(array(col("b0"), col("b1"))).as("band"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val sh = docWords(s, d)
-      .select(col("doc_id"), explode(shingles3(col("ws"))).as("sh")).distinct()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val common = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-    common
-      .join(sz.as("za"), col("a") === col("za.doc_id"))
-      .join(sz.as("zb"), col("b") === col("zb.doc_id"))
+    // Exact Jaccard on the (few) candidates via array_intersect — no
+    // shingle explode, no join-per-shingle, no re-aggregation.
+    val out = cand
+      .join(base.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(base.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("common").cast("double") /
-        (col("za.c") + col("zb.c") - col("common")))
+        (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jac") >= 0.5)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("a"), col("b"))
+    out
   }
 
   // q34: 16-bit SimHash per doc ------------------------------------------
 
   def q34(s: SparkSession, d: String): DataFrame =
     docWords(s, d)
-      .select(col("doc_id"), simhash16(col("ws")).as("simhash"))
+      .select(col("doc_id"), wordHashes16(col("ws")).as("hs"))
+      .select(col("doc_id"), simhash16FromHashes(col("hs")).as("simhash"))
       .orderBy(col("doc_id"))
 
   // q35: brute-force cosine top-5 for a small query set ------------------
