@@ -9,6 +9,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     WindowQueries,
+    ExtQueries,
     LlmQueries,
     TextQueries,
     AggQueries,

@@ -27,6 +27,13 @@ object VectorOps {
   /** Cosine rounded to 4 decimals — the cross-engine comparison form. */
   def cosine4(a: Column, b: Column): Column = round(cosine(a, b), 4)
 
+  /** The native codegen expression (graft.expressions.CosineSimilarity),
+    * bit-identical to [[cosine4]] but ~an order of magnitude faster —
+    * the HOF form is CodegenFallback. Needs GraftFunctions.ensure(spark)
+    * or GraftExtensions on the session. */
+  def cosine4Native(a: Column, b: Column): Column =
+    round(call_function("cosine_sim", a, b), 4)
+
   // ---- Random-hyperplane LSH --------------------------------------------
 
   val LshBits = 8

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.util.Det._
+
+/** Join-family extensions beyond Beam's vocabulary (SURVEY.md §2.3 tier
+  * C): as-of join, equi+range join, and the KV-manipulation /
+  * Reshuffle / ToString utility transforms.
+  *
+  * Scale notes:
+  *  - q25 as-of is the union + running-last formulation: sort-merge
+  *    within user partitions, one shuffle on user_id, O(n log n) — never
+  *    the O(n^2) "latest row under inequality" self-join.
+  *  - q26 keys the join on o_orderkey (hash join) with the range as a
+  *    residual predicate — NOT a BroadcastNestedLoop over the range.
+  */
+object ExtQueries extends QueryPack {
+
+  /** q25: AS-OF join — for each purchase, the most recent click by the
+    * same user at-or-before the purchase time. Clicks sort before
+    * purchases at equal timestamps (tag 0 < 1), matching ASOF's >=.
+    */
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("tus").as("click_tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("click_tus"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("tag"), col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_tus", last(col("click_tus"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("tus"),
+        col("last_click_tus").as("click_tus"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q26: equi + range join — lineitems shipped within 90 days of their
+    * order date. */
+  def q26(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q27: WithKeys -> Reshuffle -> KvSwap -> ToString, then a count to
+    * make the output deterministic. The repartition is a semantic no-op
+    * (Beam Reshuffle); Catalyst keeps it as an exchange barrier. */
+  def q27(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id").as("k"), col("event_id").as("v"))   // WithKeys
+      .repartition(col("k"))                                     // Reshuffle
+      .select(col("v").as("k"), col("k").as("v"))                // KvSwap
+      .select(concat_ws(":", col("k"), col("v")).as("kv"))       // ToString
+      .groupBy(substring(col("kv"), 1, 1).as("prefix"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prefix"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_asof_join"  -> q25 _,
+    "q26_range_join" -> q26 _,
+    "q27_kv_ops"     -> q27 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q25_asof_join" -> """
+      WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+                 FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.tus, c.tus AS click_tus
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.tus
+      ORDER BY p.event_id""",
+    "q26_range_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q27_kv_ops" -> """
+      SELECT substr(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR), 1, 1) AS prefix,
+             COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY prefix"""
+  )
+}

@@ -122,11 +122,12 @@ object LlmQueries extends QueryPack {
   // q35: brute-force cosine top-5 for a small query set ------------------
 
   def q35(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine4(col("qv"), col("v")).as("sim"))
+      .select(col("q_id"), col("vec_id"), cosine4Native(col("qv"), col("v")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
@@ -144,6 +145,7 @@ object LlmQueries extends QueryPack {
   // q37: ANN — top-3 by cosine among same-bucket candidates --------------
 
   def q37(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toD(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v")))
@@ -151,7 +153,7 @@ object LlmQueries extends QueryPack {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine4(col("qv"), col("v")).as("sim"))
+      .select(col("q_id"), col("vec_id"), cosine4Native(col("qv"), col("v")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
@@ -161,6 +163,7 @@ object LlmQueries extends QueryPack {
   // q38: kNN label vote (k=10) -------------------------------------------
 
   def q38(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 20)
@@ -168,7 +171,7 @@ object LlmQueries extends QueryPack {
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     val neigh = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
-        cosine4(col("qv"), col("v")).as("sim"))
+        cosine4Native(col("qv"), col("v")).as("sim"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 10)
     val wVote = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))

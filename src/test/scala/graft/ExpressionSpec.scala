@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Native Catalyst expressions: bit-equality with the HOF formulation
+  * and registration through both routes. */
+class ExpressionSpec extends SparkSpec {
+
+  test("cosine_sim is bit-identical to the HOF cosine on real embeddings") {
+    GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val diff = pairs.select(
+        VectorOps.cosine(col("qv"), col("v")).as("hof"),
+        call_function("cosine_sim", col("qv"), col("v")).as("native"))
+      .filter(col("hof") =!= col("native")) // exact, not approximate
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine_sim resolves in SQL text after runtime registration") {
+    GraftFunctions.ensure(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-15)
+    val orth = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 2.0d)) AS c").head().getDouble(0)
+    assert(orth == 0.0)
+  }
+
+  test("GraftExtensions injects cosine_sim at session build") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // newSession shares the extension-injected registry
+      val r = s2.sql("SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+        .head().getDouble(0)
+      assert(math.abs(r - 1.0) < 1e-15)
+    } finally { /* shared master; do not stop the default session */ }
+  }
+
+  test("cosine_sim rejects non-double-array inputs with a clear error") {
+    GraftFunctions.ensure(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("cosine_sim"))
+  }
+}
