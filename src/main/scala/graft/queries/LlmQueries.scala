@@ -183,6 +183,26 @@ object LlmQueries extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  // q39: embedding-cosine near-dup pairs within LSH buckets ------------
+
+  /** Near-duplicate embeddings: same-bucket candidate pairs with cosine
+    * >= 0.9. The bucket equi-join keeps this O(sum bucket^2), never the
+    * O(n^2) all-pairs cross join. (Random fixtures typically yield an
+    * empty result — the oracle agrees on emptiness; the operator's value
+    * is the plan shape.) */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine4Native(col("x.v"), col("y.v")).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .orderBy(col("a"), col("b"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"      -> q30 _,
     "q31_dedup_hash"       -> q31 _,
@@ -192,7 +212,8 @@ object LlmQueries extends QueryPack {
     "q35_cosine_topk"      -> q35 _,
     "q36_ann_buckets"      -> q36 _,
     "q37_ann_bucket_topk"  -> q37 _,
-    "q38_knn_label"        -> q38 _
+    "q38_knn_label"        -> q38 _,
+    "q39_embed_neardup"    -> q39 _
   )
 
   private val simhashSql: String =
@@ -261,6 +282,13 @@ object LlmQueries extends QueryPack {
               FROM p) WHERE rn <= 10),
       votes AS (SELECT q_id, true_label, label, COUNT(*) AS votes FROM top GROUP BY q_id, true_label, label),
       win AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr FROM votes)
-      SELECT q_id AS vec_id, true_label, label AS pred_label FROM win WHERE vr = 1 ORDER BY vec_id"""
+      SELECT q_id AS vec_id, true_label, label AS pred_label FROM win WHERE vr = 1 ORDER BY vec_id""",
+    "q39_embed_neardup" -> s"""
+      WITH b AS (SELECT vec_id, embedding, ${VectorOps.lshBucketSql("embedding")} AS bucket FROM embeddings)
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE ${VectorOps.cosineSql("x.embedding", "y.embedding")} >= 0.9
+      ORDER BY a, b"""
   )
 }
