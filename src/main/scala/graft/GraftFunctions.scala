@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, MinHashSigs, WordFingerprint}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -16,22 +16,28 @@ import graft.expressions.CosineSimilarity
   */
 object GraftFunctions {
 
-  private val cosine = (
-    new FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression
+  private val all = Seq(
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression),
+    (new FunctionIdentifier("word_fingerprint"),
+      new ExpressionInfo(classOf[WordFingerprint].getName, "word_fingerprint"),
+      (children: Seq[Expression]) => WordFingerprint(children.head): Expression),
+    (new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSigs(children.head): Expression)
   )
 
   /** Idempotent per-session registration. */
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(cosine._1)) {
-      reg.registerFunction(cosine._1, cosine._2, cosine._3)
+    all.foreach { f =>
+      if (!reg.functionExists(f._1)) reg.registerFunction(f._1, f._2, f._3)
     }
   }
 
   private[graft] def inject(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(cosine)
+    all.foreach(ext.injectFunction)
 }
 
 /** `spark.sql.extensions`-compatible entry point. */

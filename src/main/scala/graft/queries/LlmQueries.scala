@@ -34,12 +34,16 @@ object LlmQueries extends QueryPack {
   private def docWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
 
-  /** doc_id + 4 minhash components over 3-gram shingles. */
-  private def sigs(s: SparkSession, d: String): DataFrame =
+  /** doc_id + 4 minhash components over 3-gram shingles, via the native
+    * one-pass MinHashSigs expression (TextOps.minhash is the HOF
+    * reference form, equality-tested in ExpressionSpec). */
+  private def sigs(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
     docWords(s, d).select(
       col("doc_id"),
-      shingles3(col("ws")).as("shs"))
-      .select(col("doc_id") +: (0 until 4).map(k => minhash(col("shs"), k).as(s"sig$k")): _*)
+      call_function("minhash_sigs", shingles3(col("ws"))).as("sg"))
+      .select(col("doc_id") +: (0 until 4).map(k => element_at(col("sg"), k + 1).as(s"sig$k")): _*)
+  }
 
   private val oracleSigs = """
     docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -84,13 +88,14 @@ object LlmQueries extends QueryPack {
     // re-run for every downstream use (both band sides + both Jaccard
     // sides). At 100 TB this is the "materialize the signature table"
     // step of any LSH pipeline (a few hundred bytes/doc, not the corpus).
+    graft.GraftFunctions.ensure(s)
     val base = docWords(s, d)
       .select(col("doc_id"), array_distinct(shingles3(col("ws"))).as("shs"))
-      .select(Seq(col("doc_id"), col("shs")) ++
-        (0 until 4).map(k => minhash(col("shs"), k).as(s"sig$k")): _*)
       .select(col("doc_id"), col("shs"),
-        md5(concat(col("sig0"), col("sig1"))).as("b0"),
-        md5(concat(col("sig2"), col("sig3"))).as("b1"))
+        call_function("minhash_sigs", col("shs")).as("sg"))
+      .select(col("doc_id"), col("shs"),
+        md5(concat(element_at(col("sg"), 1), element_at(col("sg"), 2))).as("b0"),
+        md5(concat(element_at(col("sg"), 3), element_at(col("sg"), 4))).as("b1"))
       .persist()
     val bands = base.select(col("doc_id"),
       explode(array(col("b0"), col("b1"))).as("band"))

@@ -75,11 +75,16 @@ object TextQueries extends QueryPack {
         (length(col("text")) === col("n_chars")).cast("int").as("len_ok"))
       .orderBy(col("doc_id"))
 
-  /** q43: order-sensitive rolling fingerprint mod 1e9+7 (TextOps). */
-  def q43(s: SparkSession, d: String): DataFrame =
+  /** q43: order-sensitive rolling fingerprint mod 1e9+7 — the native
+    * expression (graft.expressions.WordFingerprint); TextOps.fingerprint
+    * is the HOF reference form, equality-tested in ExpressionSpec. */
+  def q43(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), fingerprint(words(col("text"))).as("fp"))
+      .select(col("doc_id"),
+        call_function("word_fingerprint", words(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
+  }
 
   /** q44: the canonical Beam wordcount, per language. */
   def q44(s: SparkSession, d: String): DataFrame =

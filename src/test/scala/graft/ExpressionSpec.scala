@@ -49,6 +49,30 @@ class ExpressionSpec extends SparkSpec {
     } finally { /* shared master; do not stop the default session */ }
   }
 
+  test("word_fingerprint equals the HOF fingerprint on real documents") {
+    GraftFunctions.ensure(spark)
+    import graft.functions.TextOps
+    val diff = Tables.documents(spark, sf("sf0.001"))
+      .select(
+        TextOps.fingerprint(TextOps.words(col("text"))).as("hof"),
+        call_function("word_fingerprint", TextOps.words(col("text"))).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
+  test("minhash_sigs equals the per-seed HOF minhash on real documents") {
+    GraftFunctions.ensure(spark)
+    import graft.functions.TextOps
+    val shs = TextOps.shingles3(TextOps.words(col("text")))
+    val df = Tables.documents(spark, sf("sf0.001"))
+      .select(Seq(call_function("minhash_sigs", shs).as("sg")) ++
+        (0 until 4).map(k => TextOps.minhash(shs, k).as(s"h$k")): _*)
+    val diff = df.filter(
+      (0 until 4).map(k => element_at(col("sg"), k + 1) =!= col(s"h$k")).reduce(_ || _)
+    ).count()
+    assert(diff == 0)
+  }
+
   test("cosine_sim rejects non-double-array inputs with a clear error") {
     GraftFunctions.ensure(spark)
     val err = intercept[Exception] {
