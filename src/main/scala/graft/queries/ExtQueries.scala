@@ -69,10 +69,33 @@ object ExtQueries extends QueryPack {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("prefix"))
 
+  /** q28: RIGHT OUTER join (left/full live in q12/q15) — lineitems to a
+    * filtered order set, keeping all orders. */
+  def q28(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") < 50000),
+        col("l_orderkey") === col("o_orderkey"), "right")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_heavy"),
+        dsum(coalesce(col("l_quantity"), lit(0.0))).as("sum_heavy_qty"))
+      .orderBy(col("o_orderkey"))
+
+  /** q29: anti join with a NON-empty result (q14's is empty at every
+    * fixture sf since all customers have orders): orders having no
+    * high-quantity lineitem. */
+  def q29(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_asof_join"  -> q25 _,
     "q26_range_join" -> q26 _,
-    "q27_kv_ops"     -> q27 _
+    "q27_kv_ops"     -> q27 _,
+    "q28_join_right" -> q28 _,
+    "q29_anti_nonempty" -> q29 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -94,6 +117,18 @@ object ExtQueries extends QueryPack {
     "q27_kv_ops" -> """
       SELECT substr(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR), 1, 1) AS prefix,
              COUNT(*) AS n
-      FROM events GROUP BY 1 ORDER BY prefix"""
+      FROM events GROUP BY 1 ORDER BY prefix""",
+    "q28_join_right" -> """
+      SELECT o_orderkey, COUNT(l_orderkey) AS n_heavy,
+             CAST(SUM(CAST(COALESCE(l_quantity, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_heavy_qty
+      FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) li
+      RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice < 50000) o
+        ON li.l_orderkey = o.o_orderkey
+      GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "q29_anti_nonempty" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      ORDER BY o_orderkey"""
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-technique demonstrations (the 100 TB design points, exercised
+  * at fixture scale): bucketed co-located joins, skew salting, and
+  * broadcast-vs-shuffle plan control. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a temp dir set statically in SparkSpec
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_scale")
+    spark.sql("USE graft_scale")
+    try {
+      Tables.orders(spark, sf("sf0.001"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_b")
+      Tables.lineitem(spark, sf("sf0.001"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_b")
+      // co-located: both sides pre-partitioned on the join key
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it is still correct
+      val expected = Tables.orders(spark, sf("sf0.001"))
+        .join(Tables.lineitem(spark, sf("sf0.001")),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("USE default")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation on a skewed key") {
+    import spark.implicits._
+    // one hot key (90%), many cold keys — the classic skew shape
+    val skewed = (1 to 9000).map(i => ("hot", i.toDouble)) ++
+      (1 to 1000).map(i => (s"cold${i % 50}", i.toDouble))
+    val df = skewed.toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    // two-phase: salt the key, partial-agg, strip the salt, final-agg
+    val salted = df
+      .withColumn("salt", pmod(hash(monotonically_increasing_id()), lit(16)))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum("v").as("ps"), count(lit(1)).as("pn"))
+      .groupBy(col("k"))
+      .agg(sum("ps").as("s"), sum("pn").as("n"))
+    val d = direct.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val sl = salted.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(sl.view.mapValues(v => (math.round(v._1), v._2)).toMap ==
+      d.view.mapValues(v => (math.round(v._1), v._2)).toMap)
+  }
+
+  test("broadcast hint flips a shuffle join to broadcast") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val c = Tables.customer(spark, sf("sf0.001"))
+      val o = Tables.orders(spark, sf("sf0.001"))
+      val noHint = o.join(c, col("o_custkey") === col("c_custkey"))
+      assert(noHint.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+      val hinted = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(noHint.count() == hinted.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("AQE coalesces shuffle partitions on small data") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val parts = Tables.orders(spark, sf("sf0.001"))
+      .groupBy("o_orderstatus").count()
+    parts.collect() // force execution so AQE finalizes
+    val finalPlan = parts.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("coalesced"),
+      s"expected AQE coalesced read in:\n$finalPlan")
+  }
+}
