@@ -46,11 +46,11 @@ object Aggs {
       val n = b._1
       if (n == 0) Moments(0, 0.0, 0.0)
       else {
-        // round-half-up to 4, matching Spark's round() and DuckDB's round()
-        def r4(x: Double): Double =
-          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // emit RAW doubles: the inputs are exact decimals, so the same
+        // formula evaluated in the same order is bit-identical in DuckDB;
+        // rounding would reintroduce cross-engine round-half divergence
         val sum = b._2.toDouble; val sumsq = b._3.toDouble
-        Moments(n, r4(sum / n), r4((sumsq - sum * sum / n) / n))
+        Moments(n, sum / n, (sumsq - sum * sum / n) / n)
       }
     }
     def bufferEncoder: Encoder[(Long, BigDecimal, BigDecimal)] =

@@ -24,15 +24,21 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Cosine rounded to 4 decimals — the cross-engine comparison form. */
-  def cosine4(a: Column, b: Column): Column = round(cosine(a, b), 4)
+  /** Cosine quantized to basis points: floor(cos * 1e4) as a long.
+    *
+    * floor-quantization, NOT round(x, 4): Spark's round works on the
+    * exact binary expansion while DuckDB's rounds the shortest decimal
+    * repr, so values whose shortest repr ends in ...5 at the 5th decimal
+    * round DIFFERENTLY across engines (observed: 0.4987 vs 0.4988 at
+    * sf0.1). floor of a bit-identical double is always identical. */
+  def cosineQ(a: Column, b: Column): Column = floor(cosine(a, b) * 10000)
 
-  /** The native codegen expression (graft.expressions.CosineSimilarity),
-    * bit-identical to [[cosine4]] but ~an order of magnitude faster —
-    * the HOF form is CodegenFallback. Needs GraftFunctions.ensure(spark)
-    * or GraftExtensions on the session. */
-  def cosine4Native(a: Column, b: Column): Column =
-    round(call_function("cosine_sim", a, b), 4)
+  /** [[cosineQ]] through the native codegen expression
+    * (graft.expressions.CosineSimilarity), bit-identical but much
+    * faster — the HOF form is CodegenFallback. Needs
+    * GraftFunctions.ensure(spark) or GraftExtensions on the session. */
+  def cosineQNative(a: Column, b: Column): Column =
+    floor(call_function("cosine_sim", a, b) * 10000)
 
   // ---- Random-hyperplane LSH --------------------------------------------
 
@@ -69,10 +75,10 @@ object VectorOps {
       s"(CASE WHEN list_sum([CAST($col[i] AS DOUBLE) * ($lits)[i] for i in generate_series(1, $Dim)]) >= 0 THEN ${1 << h} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** DuckDB SQL for round(cosine(a, b), 4) over FLOAT[] columns. */
+  /** DuckDB SQL for [[cosineQ]] over FLOAT[] columns. */
   def cosineSql(a: String, b: String): String = {
     def dotSql(x: String, y: String) =
       s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4)"
+    s"CAST(floor(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) * 10000) AS BIGINT)"
   }
 }

@@ -121,9 +121,9 @@ object AggQueries extends QueryPack {
       WHERE rn = 1 ORDER BY event_type""",
     "q46_custom_moments" -> """
       SELECT event_type, COUNT(*) AS n,
-             round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_value,
-             round((CAST(SUM(v * v) AS DOUBLE)
-                    - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) / COUNT(*), 4)
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value,
+             (CAST(SUM(v * v) AS DOUBLE)
+                    - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) / COUNT(*)
                AS var_value
       FROM (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events)
       GROUP BY event_type ORDER BY event_type""",

@@ -108,10 +108,12 @@ object LlmQueries extends QueryPack {
       .join(base.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
       .join(base.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac", col("common").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("common")))
-      .filter(col("jac") >= 0.5)
-      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .withColumn("union_sz", size(col("sa")) + size(col("sb")) - col("common"))
+      // jac >= 0.5 <=> 2*common >= union; emit basis points via integer
+      // division — pure int arithmetic, immune to cross-engine rounding
+      .filter(col("common") * 2 >= col("union_sz"))
+      .select(col("a"), col("b"),
+        expr("CAST((common * 10000L) DIV union_sz AS BIGINT)").as("jac_bp"))
       .orderBy(col("a"), col("b"))
     out
   }
@@ -130,12 +132,12 @@ object LlmQueries extends QueryPack {
     graft.GraftFunctions.ensure(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine4Native(col("qv"), col("v")).as("sim"))
+      .select(col("q_id"), col("vec_id"), cosineQNative(col("qv"), col("v")).as("sim_q"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim_q"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -156,12 +158,12 @@ object LlmQueries extends QueryPack {
       .withColumn("bucket", lshBucket(col("v")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine4Native(col("qv"), col("v")).as("sim"))
+      .select(col("q_id"), col("vec_id"), cosineQNative(col("qv"), col("v")).as("sim_q"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim_q"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -173,10 +175,10 @@ object LlmQueries extends QueryPack {
       .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("label").as("true_label"), col("v").as("qv"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))
     val neigh = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
-        cosine4Native(col("qv"), col("v")).as("sim"))
+        cosineQNative(col("qv"), col("v")).as("sim_q"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 10)
     val wVote = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
@@ -203,8 +205,8 @@ object LlmQueries extends QueryPack {
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine4Native(col("x.v"), col("y.v")).as("sim"))
-      .filter(col("sim") >= 0.9)
+        cosineQNative(col("x.v"), col("y.v")).as("sim_q"))
+      .filter(col("sim_q") >= 9000)
       .orderBy(col("a"), col("b"))
   }
 
@@ -249,9 +251,9 @@ object LlmQueries extends QueryPack {
               FROM cand JOIN sh sa ON sa.doc_id = a
                         JOIN sh sb ON sb.doc_id = b AND sa.s = sb.s
               GROUP BY a, b)
-      SELECT a, b, round(CAST(common AS DOUBLE) / (za.c + zb.c - common), 4) AS jac
+      SELECT a, b, (common * 10000) // (za.c + zb.c - common) AS jac_bp
       FROM com JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
-      WHERE CAST(common AS DOUBLE) / (za.c + zb.c - common) >= 0.5
+      WHERE common * 2 >= (za.c + zb.c - common)
       ORDER BY a, b""",
     "q34_simhash" -> s"""
       SELECT doc_id, $simhashSql AS simhash
@@ -260,11 +262,11 @@ object LlmQueries extends QueryPack {
     "q35_cosine_topk" -> s"""
       WITH p AS (
         SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim
+               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim_q
         FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         WHERE q.vec_id < 10),
-      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
-      SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM p)
+      SELECT q_id, rn, vec_id, sim_q FROM r WHERE rn <= 5 ORDER BY q_id, rn""",
     "q36_ann_buckets" -> s"""
       SELECT ${VectorOps.lshBucketSql("embedding")} AS bucket, COUNT(*) AS n
       FROM embeddings GROUP BY 1 ORDER BY bucket""",
@@ -272,18 +274,18 @@ object LlmQueries extends QueryPack {
       WITH b AS (SELECT vec_id, embedding, ${VectorOps.lshBucketSql("embedding")} AS bucket FROM embeddings),
       p AS (
         SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim
+               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim_q
         FROM b q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
         WHERE q.vec_id < 5),
-      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
-      SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM p)
+      SELECT q_id, rn, vec_id, sim_q FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
     "q38_knn_label" -> s"""
       WITH p AS (
         SELECT q.vec_id AS q_id, q.label AS true_label, e.vec_id AS vec_id, e.label AS label,
-               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim
+               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim_q
         FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         WHERE q.vec_id < 20),
-      top AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      top AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn
               FROM p) WHERE rn <= 10),
       votes AS (SELECT q_id, true_label, label, COUNT(*) AS votes FROM top GROUP BY q_id, true_label, label),
       win AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr FROM votes)
@@ -291,9 +293,9 @@ object LlmQueries extends QueryPack {
     "q39_embed_neardup" -> s"""
       WITH b AS (SELECT vec_id, embedding, ${VectorOps.lshBucketSql("embedding")} AS bucket FROM embeddings)
       SELECT x.vec_id AS a, y.vec_id AS b,
-             ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
+             ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim_q
       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-      WHERE ${VectorOps.cosineSql("x.embedding", "y.embedding")} >= 0.9
+      WHERE ${VectorOps.cosineSql("x.embedding", "y.embedding")} >= 9000
       ORDER BY a, b"""
   )
 }

@@ -11,7 +11,7 @@ import graft.functions.TextOps._
   * document fingerprinting, per-language wordcount.
   *
   * Determinism: every score is integer or an int/int double division
-  * with an explicit round(4); argmax picks break ties on the key, so the
+  * or integer basis points; argmax picks break ties on the key, so the
   * oracle hash-compare is exact.
   *
   * Scale: all per-document work is array expressions inside codegen (no
@@ -47,7 +47,12 @@ object TextQueries extends QueryPack {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
-  /** q41: quality scoring — lexical-diversity x stopword-penalty. */
+  /** q41: quality scoring — lexical-diversity x stopword-penalty.
+    *
+    * All metrics are basis points via INTEGER floor division: round(x,4)
+    * on a computed double diverges across engines when the shortest
+    * decimal repr ends in ...5 (Spark rounds the binary expansion, DuckDB
+    * the decimal repr — observed at sf0.1). Integer arithmetic cannot. */
   def q41(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
@@ -58,10 +63,12 @@ object TextQueries extends QueryPack {
         size(filter(col("ws"), w => w.isInCollection(stopWords))).as("n_stop"))
       .select(
         col("doc_id"), col("n_words"),
-        round(col("n_distinct").cast("double") / col("n_words"), 4).as("distinct_ratio"),
-        round(col("n_stop").cast("double") / col("n_words"), 4).as("stop_ratio"),
-        round((col("n_distinct").cast("double") / col("n_words")) *
-          (lit(1.0) - col("n_stop").cast("double") / col("n_words")), 4).as("quality"))
+        expr("CAST((n_distinct * 10000L) DIV n_words AS BIGINT)").as("distinct_bp"),
+        expr("CAST((n_stop * 10000L) DIV n_words AS BIGINT)").as("stop_bp"),
+        // quality = distinct_ratio * (1 - stop_ratio), exactly:
+        // nd*(nw-ns)*10000 / nw^2, floored
+        expr("CAST((n_distinct * (n_words - n_stop) * 10000L) DIV (n_words * n_words) AS BIGINT)")
+          .as("quality_bp"))
       .orderBy(col("doc_id"))
 
   /** q42: token counting — whitespace tokens vs a BPE-ish regex count,
@@ -121,10 +128,9 @@ object TextQueries extends QueryPack {
       FROM pred WHERE pr = 1 GROUP BY lang, p_lang ORDER BY lang, pred_lang""",
     "q41_quality_score" -> s"""
       SELECT doc_id, n_words,
-             round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_ratio,
-             round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
-             round((CAST(n_distinct AS DOUBLE) / n_words) *
-                   (1.0 - CAST(n_stop AS DOUBLE) / n_words), 4) AS quality
+             (n_distinct * 10000) // n_words AS distinct_bp,
+             (n_stop * 10000) // n_words AS stop_bp,
+             (n_distinct * (n_words - n_stop) * 10000) // (n_words * n_words) AS quality_bp
       FROM (SELECT doc_id, len(words) AS n_words,
                    len(list_distinct(words)) AS n_distinct,
                    len(list_filter(words, w -> w IN $stopSql)) AS n_stop

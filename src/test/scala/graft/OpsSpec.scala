@@ -39,7 +39,7 @@ class OpsSpec extends SparkSpec {
   test("cosine(x, x) == 1 for every embedding") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
       .select(VectorOps.toD(col("embedding")).as("v"))
-    val bad = e.select(VectorOps.cosine4(col("v"), col("v")).as("c"))
+    val bad = e.select(VectorOps.cosine(col("v"), col("v")).as("c"))
       .filter(abs(col("c") - 1.0) > 1e-9).count()
     assert(bad == 0)
   }
