@@ -47,6 +47,41 @@ object Streaming {
   }
 
   case class UserCount(user_id: Long, n: Long)
+  case class SessBuf(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n: Long)
+
+  /** Beam event-time TIMER exemplar: hand-rolled session assembly with
+    * GroupStateTimeout.EventTimeTimeout. Events accumulate per user; the
+    * timeout timestamp is re-armed to (last event + gap); when the
+    * watermark passes it, the timer fires (hasTimedOut) and the closed
+    * session is emitted and its state removed — Beam's
+    * state + event-time-timer DoFn, in Spark form. State per key is one
+    * (start, end, n) triple, O(|users|) at any scale. */
+  def sessionsWithTimer(events: Dataset[Ev], gapMs: Long,
+                        watermark: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessBuf, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessBuf]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.end, s.n))
+          } else {
+            val ts = it.map(_.ts.getTime).toSeq
+            val prev = state.getOption
+            val buf = SessBuf(
+              math.min(prev.map(_.start).getOrElse(Long.MaxValue), ts.min),
+              math.max(prev.map(_.end).getOrElse(Long.MinValue), ts.max),
+              prev.map(_.n).getOrElse(0L) + ts.size)
+            state.update(buf)
+            state.setTimeoutTimestamp(buf.end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Stateful ParDo exemplar (Beam ValueState): per-user running event
     * count via flatMapGroupsWithState. Emits the updated total for each

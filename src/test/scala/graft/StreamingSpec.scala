@@ -92,6 +92,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("event-time timer fires when the watermark passes last-event + gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // 12h gap sessionizer, 0-lateness watermark
+    val q = Streaming.sessionsWithTimer(mem.toDS(), 12L * 3600 * 1000, "0 seconds")
+      .writeStream.format("memory").queryName("t_timer")
+      .outputMode("append").start()
+    // batch 1: two events 1h apart -> one open session
+    mem.addData(Ev(1, ts(1, 1), 7, "click", 1.0), Ev(2, ts(1, 2), 7, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("t_timer").count() == 0) // timer not yet fired
+    // batch 2: far-future event advances the watermark past end+gap
+    mem.addData(Ev(3, ts(20), 8, "click", 1.0))
+    q.processAllAvailable()
+    // one more batch so the fired timer's output is committed
+    mem.addData(Ev(4, ts(25), 8, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("t_timer").filter(col("user_id") === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(sessions == Seq((7L, 2L)), s"got $sessions")
+  }
+
   test("flatMapGroupsWithState running counts accumulate across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
