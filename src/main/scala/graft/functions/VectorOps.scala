@@ -75,10 +75,19 @@ object VectorOps {
       s"(CASE WHEN list_sum([CAST($col[i] AS DOUBLE) * ($lits)[i] for i in generate_series(1, $Dim)]) >= 0 THEN ${1 << h} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB SQL for a double dot product over FLOAT[] columns. */
+  def dotSql(x: String, y: String): String =
+    s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
+
   /** DuckDB SQL for [[cosineQ]] over FLOAT[] columns. */
-  def cosineSql(a: String, b: String): String = {
-    def dotSql(x: String, y: String) =
-      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
+  def cosineSql(a: String, b: String): String =
     s"CAST(floor(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) * 10000) AS BIGINT)"
-  }
+
+  /** Squared L2 distance, same term order both engines: |a|^2 - 2ab + |b|^2. */
+  def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** DuckDB SQL twin of [[l2sq]]. */
+  def l2sqSql(a: String, b: String): String =
+    s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
 }

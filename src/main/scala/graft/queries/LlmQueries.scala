@@ -210,6 +210,36 @@ object LlmQueries extends QueryPack {
       .orderBy(col("a"), col("b"))
   }
 
+  // q57: IVF-style ANN — coarse quantizer cells + nprobe=2 search ------
+
+  /** IVF (inverted-file) ANN variant: a 16-cell coarse quantizer assigns
+    * each vector to its nearest centroid by L2; queries probe their 2
+    * nearest cells and rank candidates by cosine. Centroids here are the
+    * first 16 vectors (a deterministic stand-in for k-means training —
+    * the oracle must reproduce them exactly); the search path (assign →
+    * invert → probe → rank) is the real IVF shape: candidate count is
+    * O(n * nprobe / cells), never O(n) per query. */
+  def q57(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wDist = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val ranked = e.join(broadcast(cents))
+      .withColumn("dist", l2sq(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(wDist))
+    val asg = ranked.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("v"))
+    val qc = ranked.filter(col("vec_id") < 5 && col("rnk") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid").as("qcell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))
+    asg.join(broadcast(qc), col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineQNative(col("qv"), col("v")).as("sim_q"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"      -> q30 _,
     "q31_dedup_hash"       -> q31 _,
@@ -220,7 +250,8 @@ object LlmQueries extends QueryPack {
     "q36_ann_buckets"      -> q36 _,
     "q37_ann_bucket_topk"  -> q37 _,
     "q38_knn_label"        -> q38 _,
-    "q39_embed_neardup"    -> q39 _
+    "q39_embed_neardup"    -> q39 _,
+    "q57_ivf_ann"          -> q57 _
   )
 
   private val simhashSql: String =
@@ -296,6 +327,23 @@ object LlmQueries extends QueryPack {
              ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim_q
       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
       WHERE ${VectorOps.cosineSql("x.embedding", "y.embedding")} >= 9000
-      ORDER BY a, b"""
+      ORDER BY a, b""",
+    "q57_ivf_ann" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      ranked AS (SELECT e.vec_id, cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${VectorOps.l2sqSql("e.embedding", "cents.cv")}, cid) AS rnk
+                 FROM e, cents),
+      asg AS (SELECT vec_id, cid AS cell FROM ranked WHERE rnk = 1),
+      qc AS (SELECT vec_id AS q_id, cid AS qcell FROM ranked WHERE vec_id < 5 AND rnk <= 2),
+      cand AS (SELECT q.q_id, a.vec_id FROM qc q JOIN asg a
+               ON a.cell = q.qcell AND a.vec_id <> q.q_id),
+      p AS (SELECT c.q_id, c.vec_id,
+              ${VectorOps.cosineSql("qe.embedding", "ce.embedding")} AS sim_q
+            FROM cand c JOIN e qe ON qe.vec_id = c.q_id
+                        JOIN e ce ON ce.vec_id = c.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM p)
+      SELECT q_id, rn, vec_id, sim_q FROM r WHERE rn <= 3 ORDER BY q_id, rn"""
   )
 }

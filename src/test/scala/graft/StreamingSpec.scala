@@ -116,6 +116,36 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Seq((7L, 2L)), s"got $sessions")
   }
 
+  test("stream-stream interval join: purchases to prior clicks within 2h") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF().withWatermark("ts", "1 day")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val p = purchases.toDF().withWatermark("ts", "1 day")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"))
+    val q = joined.writeStream.format("memory").queryName("t_ssj")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, ts(1, 1), 7, "click", 1.0), Ev(2, ts(1, 8), 7, "click", 1.0))
+    purchases.addData(Ev(10, ts(1, 2), 7, "purchase", 9.0)) // 1h after click 1
+    q.processAllAvailable()
+    clicks.addData(Ev(99, ts(20), 99, "click", 0.0))
+    purchases.addData(Ev(98, ts(20), 98, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssj").filter(col("p_id") === 10)
+      .select("c_id").collect().map(_.getLong(0)).toSeq
+    // only click 1 is within [p_ts - 2h, p_ts]; click 2 is 6h later
+    assert(got == Seq(1), s"got $got")
+  }
+
   test("flatMapGroupsWithState running counts accumulate across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
