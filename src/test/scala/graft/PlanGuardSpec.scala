@@ -1,0 +1,39 @@
+package graft
+
+/** Plan-regression guard: every registered query must compile to a
+  * physical plan free of the patterns that do not survive 100 TB.
+  * Catches a future edit that silently turns a keyed join into a
+  * cartesian product or drops a broadcast. */
+class PlanGuardSpec extends SparkSpec {
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("every lineitem query prunes columns at the scan") {
+    // lineitem has 11 columns; no query needs them all
+    val lineitemQueries = Seq("q01_pricing", "q02_map_filter", "q11_join3_revenue",
+      "q12_join_left", "q16_broadcast_dims", "q26_range_join")
+    lineitemQueries.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val readSchemas = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      val lineitemSchema = readSchemas.find(_.contains("l_"))
+      assert(lineitemSchema.isDefined, s"$name: no lineitem scan found")
+      val nCols = lineitemSchema.get.split(",").length
+      assert(nCols < 11, s"$name reads all $nCols lineitem columns")
+    }
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact table for enrichment)") {
+    val plan = SparkEntry.queries("q16_broadcast_dims")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+}

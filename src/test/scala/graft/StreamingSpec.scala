@@ -116,6 +116,26 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Seq((7L, 2L)), s"got $sessions")
   }
 
+  test("streaming Deduplicate: event_id dedupe across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // Beam's Deduplicate transform: drop repeats of a key within the
+    // watermark horizon — dropDuplicates + watermark keeps state bounded
+    val q = mem.toDF().withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, ts(1, 2), 1, "click", 2.0), Ev(2, ts(2), 1, "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L), s"got $ids") // the 3 copies of id 1 collapse
+  }
+
   test("stream-stream interval join: purchases to prior clicks within 2h") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
