@@ -1,5 +1,6 @@
 package graft.functions
 
+import java.security.MessageDigest
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -24,6 +25,49 @@ object Aggs {
     def finish(buf: (Double, Long)): Long = buf._2
     def bufferEncoder: Encoder[(Double, Long)] = Encoders.product[(Double, Long)]
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  // ---- Count-Min Sketch -------------------------------------------------
+
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** Bucket of `word` in sketch row `d`: 6 md5 hex chars of "d#word"
+    * mod width — byte-identical to the SQL twin
+    * `CAST(('0x' || substr(md5(d || '#' || w), 1, 6)) AS BIGINT) % 64`. */
+  def cmsBucket(d: Int, word: String): Int = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$d#$word".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 6)
+    (java.lang.Long.parseLong(hex, 16) % CmsWidth).toInt
+  }
+
+  /** Count-Min Sketch as a mergeable CombineFn: one pass over the
+    * tokens, a flat depth x width counter buffer, elementwise-add merge
+    * — the sketch shape that aggregates 100 TB in a single shuffle of
+    * 2 KiB buffers. Estimates (min over rows at the word's buckets) are
+    * deterministic given the md5 bucketing, so unlike most sketches this
+    * one is oracle-checkable exactly. */
+  class CountMinAgg extends Aggregator[String, Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](CmsDepth * CmsWidth)
+    def reduce(buf: Array[Long], word: String): Array[Long] = {
+      var d = 0
+      while (d < CmsDepth) {
+        buf(d * CmsWidth + cmsBucket(d, word)) += 1
+        d += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   case class Moments(n: Long, mean: Double, variance: Double)

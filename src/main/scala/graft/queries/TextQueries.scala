@@ -101,12 +101,42 @@ object TextQueries extends QueryPack {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("lang"), col("word"))
 
+  /** q58: Count-Min Sketch heavy hitters — the sketch is built in ONE
+    * pass by a mergeable Aggregator (graft.functions.Aggs.CountMinAgg),
+    * then the top-10 true words are estimated from it. CMS guarantees
+    * est >= true; collisions within 64 buckets make some estimates
+    * larger. The oracle rebuilds identical counters relationally (sums
+    * are commutative, buckets are md5-derived), so even this sketch is
+    * hash-verified exactly. */
+  def q58(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Aggs
+    val cms = udaf(new Aggs.CountMinAgg)
+    val tok = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+    val sketch = tok.agg(cms(col("word")).as("cnt")) // 1 row: the 4x64 counters
+    val wTop = Window.orderBy(col("true_cnt").desc, col("word"))
+    val top = tok.groupBy(col("word")).agg(count(lit(1)).as("true_cnt"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+    def bucketExpr(dd: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(s"$dd#"), col("word"))), 1, 6), 16, 10)
+        .cast("long") % Aggs.CmsWidth
+    top.crossJoin(broadcast(sketch))
+      .withColumn("cms_est",
+        (0 until Aggs.CmsDepth).map(dd =>
+          element_at(col("cnt"), (lit(dd * Aggs.CmsWidth) + bucketExpr(dd) + 1).cast("int")))
+          .reduce(least(_, _)))
+      .select(col("word"), col("true_cnt"), col("cms_est"))
+      .orderBy(col("true_cnt").desc, col("word"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_langid"          -> q40 _,
     "q41_quality_score"   -> q41 _,
     "q42_token_count"     -> q42 _,
     "q43_fingerprint"     -> q43 _,
-    "q44_wordcount_lang"  -> q44 _
+    "q44_wordcount_lang"  -> q44 _,
+    "q58_cms_heavy_hitters" -> q58 _
   )
 
   private val stopSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -151,6 +181,19 @@ object TextQueries extends QueryPack {
     "q44_wordcount_lang" -> """
       SELECT lang, word, COUNT(*) AS cnt
       FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
-      GROUP BY lang, word ORDER BY lang, word"""
+      GROUP BY lang, word ORDER BY lang, word""",
+    "q58_cms_heavy_hitters" -> """
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      top AS (SELECT word, COUNT(*) AS true_cnt FROM tok GROUP BY word
+              ORDER BY true_cnt DESC, word LIMIT 10),
+      buckets AS (SELECT d, CAST(('0x' || substr(md5(d || '#' || word), 1, 6)) AS BIGINT) % 64 AS b,
+                         COUNT(*) AS c
+                  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS d) ds
+                  GROUP BY 1, 2)
+      SELECT t.word, t.true_cnt, MIN(bu.c) AS cms_est
+      FROM top t JOIN buckets bu
+        ON bu.b = CAST(('0x' || substr(md5(bu.d || '#' || t.word), 1, 6)) AS BIGINT) % 64
+      GROUP BY t.word, t.true_cnt
+      ORDER BY true_cnt DESC, word"""
   )
 }
