@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, MinHashSigs, WordFingerprint}
+import graft.expressions.{CosineSimilarity, CountMinSketchAgg, MinHashSigs, WordFingerprint}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -25,7 +25,11 @@ object GraftFunctions {
       (children: Seq[Expression]) => WordFingerprint(children.head): Expression),
     (new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      (children: Seq[Expression]) => MinHashSigs(children.head): Expression)
+      (children: Seq[Expression]) => MinHashSigs(children.head): Expression),
+    (new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
+      (children: Seq[Expression]) =>
+        CountMinSketchAgg(children.head).toAggregateExpression(): Expression)
   )
 
   /** Idempotent per-session registration. */

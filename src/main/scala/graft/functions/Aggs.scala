@@ -32,15 +32,37 @@ object Aggs {
   val CmsDepth = 4
   val CmsWidth = 64
 
-  /** Bucket of `word` in sketch row `d`: 6 md5 hex chars of "d#word"
-    * mod width — byte-identical to the SQL twin
+  private val localMd = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  // natural-language token streams are Zipfian: the same words repeat, so
+  // a bounded per-thread memo makes the hash cost ~once per vocab word
+  private val localMemo = ThreadLocal.withInitial[java.util.HashMap[String, Array[Int]]](() =>
+    new java.util.HashMap[String, Array[Int]]())
+
+  /** Buckets of `word` across all sketch rows: row d uses 6 md5 hex
+    * chars of "d#word" mod width — byte-identical to the SQL twin
     * `CAST(('0x' || substr(md5(d || '#' || w), 1, 6)) AS BIGINT) % 64`. */
-  def cmsBucket(d: Int, word: String): Int = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$d#$word".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 6)
-    (java.lang.Long.parseLong(hex, 16) % CmsWidth).toInt
+  def cmsBuckets(word: String): Array[Int] = {
+    val memo = localMemo.get()
+    val hit = memo.get(word)
+    if (hit != null) return hit
+    val md = localMd.get()
+    val out = new Array[Int](CmsDepth)
+    var d = 0
+    while (d < CmsDepth) {
+      md.reset()
+      val hex = md.digest(s"$d#$word".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      out(d) = (java.lang.Long.parseLong(hex, 16) % CmsWidth).toInt
+      d += 1
+    }
+    if (memo.size() > 65536) memo.clear()
+    memo.put(word, out)
+    out
   }
+
+  /** Single-row form of [[cmsBuckets]]. */
+  def cmsBucket(d: Int, word: String): Int = cmsBuckets(word)(d)
 
   /** Count-Min Sketch as a mergeable CombineFn: one pass over the
     * tokens, a flat depth x width counter buffer, elementwise-add merge
@@ -51,9 +73,10 @@ object Aggs {
   class CountMinAgg extends Aggregator[String, Array[Long], Seq[Long]] {
     def zero: Array[Long] = new Array[Long](CmsDepth * CmsWidth)
     def reduce(buf: Array[Long], word: String): Array[Long] = {
+      val bs = cmsBuckets(word)
       var d = 0
       while (d < CmsDepth) {
-        buf(d * CmsWidth + cmsBucket(d, word)) += 1
+        buf(d * CmsWidth + bs(d)) += 1
         d += 1
       }
       buf

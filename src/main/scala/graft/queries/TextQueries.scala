@@ -110,10 +110,13 @@ object TextQueries extends QueryPack {
     * hash-verified exactly. */
   def q58(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Aggs
-    val cms = udaf(new Aggs.CountMinAgg)
+    graft.GraftFunctions.ensure(s)
     val tok = Tables.documents(s, d)
       .select(explode(words(col("text"))).as("word"))
-    val sketch = tok.agg(cms(col("word")).as("cnt")) // 1 row: the 4x64 counters
+    // TypedImperativeAggregate form: mutable counters, serialized only at
+    // shuffle boundaries (the Encoder-based Aggs.CountMinAgg is the
+    // reference form, equality-tested in ExpressionSpec)
+    val sketch = tok.agg(call_function("cms_sketch", col("word")).as("cnt"))
     val wTop = Window.orderBy(col("true_cnt").desc, col("word"))
     val top = tok.groupBy(col("word")).agg(count(lit(1)).as("true_cnt"))
       .withColumn("rk", row_number().over(wTop))

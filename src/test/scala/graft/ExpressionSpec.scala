@@ -73,6 +73,20 @@ class ExpressionSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("cms_sketch (TypedImperativeAggregate) equals the Aggregator CMS") {
+    GraftFunctions.ensure(spark)
+    import graft.functions.{Aggs, TextOps}
+    val tok = Tables.documents(spark, sf("sf0.001"))
+      .select(explode(TextOps.words(col("text"))).as("word"))
+    val native = tok.agg(call_function("cms_sketch", col("word")))
+      .head().getSeq[Long](0)
+    val cmsUdaf = udaf(new Aggs.CountMinAgg)
+    val viaAggregator = tok.agg(cmsUdaf(col("word")))
+      .head().getSeq[Long](0)
+    assert(native == viaAggregator)
+    assert(native.sum == tok.count() * Aggs.CmsDepth) // every token counted in every row
+  }
+
   test("cosine_sim rejects non-double-array inputs with a clear error") {
     GraftFunctions.ensure(spark)
     val err = intercept[Exception] {
