@@ -59,13 +59,14 @@ object AggQueries extends QueryPack {
         col("q").getItem(2).as("p75"))
 
   /** q49: deterministic pseudo-random sample — Beam Sample.FixedSizeGlobally
-    * made oracle-checkable by ordering on md5 of the key. */
+    * made oracle-checkable by ordering on md5 of the key. orderBy+limit
+    * plans as TakeOrderedAndProject (per-partition partial top-k, then a
+    * 100-row merge) — a global row_number window would instead drag the
+    * whole table through one partition. */
   def q49(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))))
-      .filter(col("rn") <= 100)
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      .limit(100)
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 

@@ -117,10 +117,9 @@ object TextQueries extends QueryPack {
     // shuffle boundaries (the Encoder-based Aggs.CountMinAgg is the
     // reference form, equality-tested in ExpressionSpec)
     val sketch = tok.agg(call_function("cms_sketch", col("word")).as("cnt"))
-    val wTop = Window.orderBy(col("true_cnt").desc, col("word"))
     val top = tok.groupBy(col("word")).agg(count(lit(1)).as("true_cnt"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 10)
+      .orderBy(col("true_cnt").desc, col("word")) // TakeOrderedAndProject
+      .limit(10)
     def bucketExpr(dd: Int): org.apache.spark.sql.Column =
       conv(substring(md5(concat(lit(s"$dd#"), col("word"))), 1, 6), 16, 10)
         .cast("long") % Aggs.CmsWidth

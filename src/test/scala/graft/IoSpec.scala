@@ -62,6 +62,48 @@ class IoSpec extends SparkSpec {
     assert(spark.range(1).count() == 1)
   }
 
+  test("orc round-trip") {
+    // (spark-avro is not on this classpath — avro would need the module jar)
+    val dir = tmp()
+    val df = Tables.nation(spark, sf("sf0.001"))
+    df.write.orc(s"$dir/o")
+    assert(spark.read.orc(s"$dir/o").count() == df.count())
+  }
+
+  test("accumulators count side observations (Beam metrics counter)") {
+    import spark.implicits._
+    val malformed = spark.sparkContext.longAccumulator("malformed")
+    val parsed = Tables.events(spark, sf("sf0.001"))
+      .select(col("props")).as[String]
+      .mapPartitions { it =>
+        it.map { s =>
+          if (!s.startsWith("{")) malformed.add(1)
+          s.length
+        }
+      }
+    parsed.count() // action drives the accumulator
+    assert(malformed.value == 0) // fixture props are all JSON objects
+  }
+
+  test("foreachBatch streams micro-batches into parquet (WriteToFiles)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    mem.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    mem.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 5)
+  }
+
   test("binary payload survives a parquet round-trip") {
     val dir = tmp() + "/b"
     val df = Tables.documents(spark, sf("sf0.001"))
