@@ -98,8 +98,9 @@ object Aggs {
   /** (count, sum, sum-of-squares) moments with exact decimal accumulation:
     * inputs carry exactly 2 decimals, so scale-2/scale-4 BigDecimal sums
     * are exact and merge-order-independent; only the final mean/variance
-    * divide in double (rounded to 4 by the caller's oracle contract).
-    * Beam equivalent: a custom CombineFn with a (sum, count) accumulator. */
+    * divide in double (emitted raw — same formula, same order, bit-equal
+    * in the oracle). Beam equivalent: a CombineFn with a (sum, count)
+    * accumulator. */
   class MomentsAgg extends Aggregator[Double, (Long, BigDecimal, BigDecimal), Moments] {
     private def d2(x: Double): BigDecimal =
       BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)

@@ -33,20 +33,17 @@ class ExpressionSpec extends SparkSpec {
     assert(orth == 0.0)
   }
 
-  test("GraftExtensions injects cosine_sim at session build") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      // newSession shares the extension-injected registry
-      val r = s2.sql("SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
-        .head().getDouble(0)
-      assert(math.abs(r - 1.0) < 1e-15)
-    } finally { /* shared master; do not stop the default session */ }
+  test("function registry is per-session; ensure() covers a fresh newSession") {
+    GraftFunctions.ensure(spark)
+    val fresh = spark.newSession()
+    // a new session has its own registry — the function must NOT leak in
+    intercept[Exception] {
+      fresh.sql("SELECT cosine_sim(array(1.0d), array(1.0d))").collect()
+    }
+    GraftFunctions.ensure(fresh)
+    val r = fresh.sql("SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-15)
   }
 
   test("word_fingerprint equals the HOF fingerprint on real documents") {
