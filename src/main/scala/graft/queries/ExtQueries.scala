@@ -90,12 +90,31 @@ object ExtQueries extends QueryPack {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** q59: Beam GroupIntoBatches — per-key batches of 10, assembled in a
+    * typed flatMapGroups (the stateful DoFn shape, batch-local memory
+    * only: one group's events are iterated once, batches emitted as they
+    * fill). Output is (user, batch_idx, batch size) so the oracle can
+    * reproduce it arithmetically. */
+  def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long)]) =>
+        it.map(_._2).toSeq.sorted.grouped(10).zipWithIndex
+          .map { case (batch, i) => (uid, i.toLong, batch.size.toLong) }
+      }
+      .toDF("user_id", "batch_idx", "n")
+      .orderBy(col("user_id"), col("batch_idx"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_asof_join"  -> q25 _,
     "q26_range_join" -> q26 _,
     "q27_kv_ops"     -> q27 _,
     "q28_join_right" -> q28 _,
-    "q29_anti_nonempty" -> q29 _
+    "q29_anti_nonempty" -> q29 _,
+    "q59_group_into_batches" -> q59 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -129,6 +148,13 @@ object ExtQueries extends QueryPack {
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE NOT EXISTS (SELECT 1 FROM lineitem
                         WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+    "q59_group_into_batches" -> """
+      SELECT user_id, batch_idx, COUNT(*) AS n
+      FROM (SELECT user_id,
+                   (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 10 AS batch_idx
+            FROM events)
+      GROUP BY user_id, batch_idx
+      ORDER BY user_id, batch_idx"""
   )
 }
