@@ -80,6 +80,23 @@ class OpsSpec extends SparkSpec {
       relational.collect().toSeq)
   }
 
+  test("Dataset.observe surfaces pipeline metrics (Beam PipelineResult.metrics)") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("ev_metrics")
+    val df = Tables.events(spark, sf("sf0.001"))
+      .observe(obs, count(lit(1)).as("n"), sum(col("value").cast("double")).as("total"))
+    val n = df.count()
+    val metrics = obs.get
+    assert(metrics("n") == n)
+    assert(metrics("total").asInstanceOf[Double] > 0)
+  }
+
+  test("seeded sample is reproducible within a session (API parity)") {
+    val a = Tables.orders(spark, sf("sf0.001")).sample(0.1, seed = 42).count()
+    val b = Tables.orders(spark, sf("sf0.001")).sample(0.1, seed = 42).count()
+    assert(a == b && a > 0)
+  }
+
   test("minhash signature only shrinks when docs lose shingles (containment)") {
     import spark.implicits._
     val df = Seq("a b c d e f", "a b c d").toDF("text")
