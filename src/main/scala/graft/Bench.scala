@@ -40,19 +40,30 @@ object Bench {
     Thread.sleep(500)
 
     // two timed passes, report the min: steady-state per query, immune to
-    // one-off GC/IO hiccups (observed ±15% single-run noise on this box)
+    // one-off GC/IO hiccups (observed ±15% single-run noise on this box).
+    // A failing query reports -1 (and its error) instead of masquerading
+    // as a fast run.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try exec(name, sfDir) catch { case _: Throwable => () }
+      try exec(name, sfDir)
+      catch {
+        case t: Throwable =>
+          errors(name) = t.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
+      val (a, b) = (timeOnce(name), timeOnce(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

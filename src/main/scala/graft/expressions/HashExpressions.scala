@@ -18,11 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * and to DuckDB's md5 — the oracle contract.
   */
 trait Md5Helper {
-  @transient protected lazy val md: MessageDigest = MessageDigest.getInstance("MD5")
+  // ThreadLocal, not a per-instance lazy val: a shared plan fragment can
+  // be evaluated from multiple threads (e.g. driver-side constant
+  // folding + executor tasks), and MessageDigest is stateful.
+  @transient private lazy val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
   private val hexChars = "0123456789abcdef".toCharArray
 
   protected def md5Hex(bytes: Array[Byte]): String = {
-    val d = md.digest(bytes)
+    val d = mdLocal.get().digest(bytes)
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {

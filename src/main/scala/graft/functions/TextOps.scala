@@ -16,11 +16,18 @@ object TextOps {
   /** Fixture texts are space-separated, punctuation-free (FIXTURES.md). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Word 3-gram shingles: one per window start, empty for docs <3 words. */
+  /** Word 3-gram shingles: one per window start, empty for docs <3 words.
+    *
+    * The short-doc case must be guarded explicitly: Spark's
+    * `sequence(1, 0)` steps DOWN by default (yielding [1, 0]) and the
+    * `slice(ws, 0, 3)` it would trigger throws at runtime — unlike
+    * DuckDB's `generate_series(1, 0)`, which is empty. */
   def shingles3(ws: Column): Column =
-    transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
-      i => concat_ws(" ", slice(ws, i, lit(3))))
+    when(size(ws) >= 3,
+      transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash component for seed `k`: the minimum md5 over shingles of
     * "k|shingle". Min of hex strings == min of the underlying 128-bit

@@ -66,8 +66,11 @@ object TextQueries extends QueryPack {
         expr("CAST((n_distinct * 10000L) DIV n_words AS BIGINT)").as("distinct_bp"),
         expr("CAST((n_stop * 10000L) DIV n_words AS BIGINT)").as("stop_bp"),
         // quality = distinct_ratio * (1 - stop_ratio), exactly:
-        // nd*(nw-ns)*10000 / nw^2, floored
-        expr("CAST((n_distinct * (n_words - n_stop) * 10000L) DIV (n_words * n_words) AS BIGINT)")
+        // nd*(nw-ns)*10000 / nw^2, floored. Promote to BIGINT before the
+        // int*int products: with ANSI off they would wrap silently past
+        // ~46k distinct words (DuckDB auto-promotes and would diverge).
+        expr("CAST((CAST(n_distinct AS BIGINT) * (n_words - n_stop) * 10000L) " +
+          "DIV (CAST(n_words AS BIGINT) * n_words) AS BIGINT)")
           .as("quality_bp"))
       .orderBy(col("doc_id"))
 

@@ -84,6 +84,26 @@ class ExpressionSpec extends SparkSpec {
     assert(native.sum == tok.count() * Aggs.CmsDepth) // every token counted in every row
   }
 
+  test("shingles3 is empty (not a crash) for docs under 3 words") {
+    GraftFunctions.ensure(spark)
+    import graft.functions.TextOps
+    import spark.implicits._
+    // regression: sequence(1, 0) steps DOWN in Spark, so the unguarded
+    // form called slice(ws, 0, 3) and threw on any doc with <3 words
+    val df = Seq("", "a", "a b", "a b c", "a b c d").toDF("text")
+      .select(col("text"), TextOps.shingles3(TextOps.words(col("text"))).as("shs"))
+    val sizes = df.select(size(col("shs"))).collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(0, 0, 0, 1, 2))
+    // and the full MinHash path over short docs stays non-crashing:
+    // empty shingle set -> all-null signature components, both forms
+    val sg = df.select(call_function("minhash_sigs", col("shs")).as("sg"),
+        graft.functions.TextOps.minhash(col("shs"), 0).as("h0"))
+      .collect()
+    sg.take(3).foreach { r =>
+      assert(r.getSeq[String](0).forall(_ == null) && r.isNullAt(1))
+    }
+  }
+
   test("cosine_sim rejects non-double-array inputs with a clear error") {
     GraftFunctions.ensure(spark)
     val err = intercept[Exception] {

@@ -41,17 +41,22 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
-        # normalize dtypes for compare
+        # dtype-normalized compare: numeric columns compare as values
+        # (int64 1 == float64 1.0), everything else as strings.
+        # pd.to_numeric(errors="ignore") is deprecated and the plain
+        # astype(str) compare yields spurious FAILs on dtype repr drift.
+        import numpy as np
         mismatch = None
         for c in got.columns:
             a, b = got[c], want[c]
-            try:
-                if a.dtype != object and b.dtype != object:
-                    a = pd.to_numeric(a, errors="ignore")
-                    b = pd.to_numeric(b, errors="ignore")
-            except Exception:
-                pass
-            eq = (a.astype(str).values == b.astype(str).values)
+            if pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b):
+                if pd.api.types.is_integer_dtype(a) and pd.api.types.is_integer_dtype(b):
+                    eq = (a.values == b.values)
+                else:
+                    eq = np.isclose(a.astype("float64").values, b.astype("float64").values,
+                                    rtol=0, atol=0, equal_nan=True)
+            else:
+                eq = (a.astype(str).values == b.astype(str).values)
             if not eq.all():
                 i = int((~eq).argmax())
                 mismatch = (c, i, a.iloc[i], b.iloc[i])
