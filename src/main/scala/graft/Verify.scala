@@ -20,6 +20,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any STALE output from a previous run: an analysis-time
+        // failure happens before the overwrite touches the directory, and
+        // leftover parquet would grade a broken query as a PASS
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
       }
       finally spark.catalog.clearCache() // per-query persist() must not leak
     }

@@ -60,7 +60,21 @@ object VectorOps {
       }
     }
 
-  private def litArr(p: Seq[Double]): Column = array(p.map(lit): _*)
+  def litArr(p: Seq[Double]): Column = array(p.map(lit): _*)
+
+  /** Cells of a driver-known coarse quantizer, sorted nearest-first.
+    *
+    * The centroid set is a trained model a few KB in size — embedding it
+    * as literals makes cell assignment a pure per-row expression (zero
+    * shuffle, zero row amplification), where a join-against-centroids
+    * formulation would fan every row out |cents|x and then shuffle the
+    * whole corpus through a window just to take the argmin. Struct
+    * comparison is field-ordered, so array_sort ranks by (dist, cid) —
+    * ties break on the lower cell id, same as ORDER BY dist, cid. */
+  def nearestCells(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array_sort(array(cents.map { case (cid, cv) =>
+      struct(l2sq(v, litArr(cv)).as("dist"), lit(cid).as("cid"))
+    }: _*))
 
   /** 8-bit LSH bucket id: bit h set iff dot(v, plane_h) >= 0. */
   def lshBucket(v: Column): Column =

@@ -90,20 +90,17 @@ object ExtQueries extends QueryPack {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
-  /** q59: Beam GroupIntoBatches — per-key batches of 10, assembled in a
-    * typed flatMapGroups (the stateful DoFn shape, batch-local memory
-    * only: one group's events are iterated once, batches emitted as they
-    * fill). Output is (user, batch_idx, batch size) so the oracle can
-    * reproduce it arithmetically. */
+  /** q59: Beam GroupIntoBatches — per-key batches of 10 via
+    * [[graft.functions.Batching.groupIntoBatchSizes]]: one shuffle on
+    * the key, a within-partition sort, and O(1)-memory streaming batch
+    * emission — a hot key no longer buffers its full event list in one
+    * task (the flatMapGroups formulation did, and a 10^8-event bot user
+    * would OOM it). Output is (user, batch_idx, batch size) so the
+    * oracle can reproduce it arithmetically. */
   def q59(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id")).as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long)]) =>
-        it.map(_._2).toSeq.sorted.grouped(10).zipWithIndex
-          .map { case (batch, i) => (uid, i.toLong, batch.size.toLong) }
-      }
+    graft.functions.Batching.groupIntoBatchSizes(
+        Tables.events(s, d).select(col("user_id"), col("event_id")).as[(Long, Long)], 10)
       .toDF("user_id", "batch_idx", "n")
       .orderBy(col("user_id"), col("batch_idx"))
   }

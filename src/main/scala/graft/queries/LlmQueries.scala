@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -212,33 +212,46 @@ object LlmQueries extends QueryPack {
 
   // q57: IVF-style ANN — coarse quantizer cells + nprobe=2 search ------
 
-  /** IVF (inverted-file) ANN variant: a 16-cell coarse quantizer assigns
-    * each vector to its nearest centroid by L2; queries probe their 2
-    * nearest cells and rank candidates by cosine. Centroids here are the
-    * first 16 vectors (a deterministic stand-in for k-means training —
-    * the oracle must reproduce them exactly); the search path (assign →
-    * invert → probe → rank) is the real IVF shape: candidate count is
-    * O(n * nprobe / cells), never O(n) per query. */
-  def q57(s: SparkSession, d: String): DataFrame = {
+  /** IVF (inverted-file) ANN variant: a `cells`-cell coarse quantizer
+    * assigns each vector to its nearest centroid by L2; queries probe
+    * their `nprobe` nearest cells and rank candidates by cosine.
+    * Centroids here are the first `cells` vectors (a deterministic
+    * stand-in for k-means training — the oracle must reproduce them
+    * exactly); the search path (assign → invert → probe → rank) is the
+    * real IVF shape: candidate count is O(n * nprobe / cells), never
+    * O(n) per query.
+    *
+    * The centroid set is collected once on the driver (a few KB — the
+    * trained-model artifact of any IVF index) and embedded as literals,
+    * so cell assignment is a ZERO-SHUFFLE map over the scan: no
+    * cells-fold row amplification, no exchange of the corpus before the
+    * probe join (PlanGuardSpec asserts this). At 100 TB the only
+    * corpus-wide cost is one pass of |cells| codegen'd fold expressions
+    * per row. */
+  def ivfAnn(s: SparkSession, d: String, cells: Int = 16, nprobe: Int = 2,
+             k: Int = 3, nQueries: Int = 5): DataFrame = {
     graft.GraftFunctions.ensure(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
-    val cents = e.filter(col("vec_id") < 16).select(col("vec_id").as("cid"), col("v").as("cv"))
-    val wDist = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    val ranked = e.join(broadcast(cents))
-      .withColumn("dist", l2sq(col("v"), col("cv")))
-      .withColumn("rnk", row_number().over(wDist))
-    val asg = ranked.filter(col("rnk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"), col("v"))
-    val qc = ranked.filter(col("vec_id") < 5 && col("rnk") <= 2)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid").as("qcell"))
+    val cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < cells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
+      .sortBy(_._1)
+    def cellId(rank: Int): Column = element_at(col("cells"), rank).getField("cid")
+    val asg = e.withColumn("cells", nearestCells(col("v"), cents))
+      .select(col("vec_id"), col("v"), cellId(1).as("cell"))
+    val qc = e.filter(col("vec_id") < nQueries)
+      .withColumn("cells", nearestCells(col("v"), cents))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array((1 to nprobe).map(cellId): _*)).as("qcell"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))
     asg.join(broadcast(qc), col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosineQNative(col("qv"), col("v")).as("sim_q"))
       .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim_q"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  def q57(s: SparkSession, d: String): DataFrame = ivfAnn(s, d)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"      -> q30 _,

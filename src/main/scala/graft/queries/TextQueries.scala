@@ -28,8 +28,11 @@ object TextQueries extends QueryPack {
     * prediction = argmax overlap (ties -> lang asc). Output: confusion
     * matrix. */
   def q40(s: SparkSession, d: String): DataFrame = {
+    // persisted: tok feeds BOTH the profile build and the scoring join —
+    // without it the full tokenize+explode scan runs twice
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("word"))
+      .persist()
     val wProf = Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("word"))
     val prof = tok.groupBy(col("lang").as("p_lang"), col("word"))
       .agg(count(lit(1)).as("cnt"))

@@ -30,6 +30,17 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q57 IVF assigns cells without shuffling or amplifying the corpus") {
+    // cell assignment must be a literal-centroid map: the only exchanges
+    // allowed are the tiny post-join window on q_id and the final sort —
+    // never a hashpartitioning of the corpus on vec_id
+    val plan = SparkEntry.queries("q57_ivf_ann")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus-wide exchange on vec_id in q57:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "probe join must broadcast the query side")
+  }
+
   test("dimension joins broadcast (no shuffle of the fact table for enrichment)") {
     val plan = SparkEntry.queries("q16_broadcast_dims")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

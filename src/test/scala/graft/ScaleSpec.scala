@@ -58,6 +58,26 @@ class ScaleSpec extends SparkSpec {
       d.view.mapValues(v => (math.round(v._1), v._2)).toMap)
   }
 
+  test("GroupIntoBatches streams a 10^6-event hot key in O(1) task memory") {
+    import spark.implicits._
+    // one pathological key with a million events plus a few cold keys —
+    // the flatMapGroups formulation buffered the full hot list per task
+    val hot = spark.range(1000000L).map(i => (7L, i.toLong))
+    val cold = spark.range(25L).map(i => (100L + (i % 3), i.toLong))
+    val out = graft.functions.Batching.groupIntoBatchSizes(hot.union(cold), 10)
+      .toDF("k", "idx", "n")
+    val hotAgg = out.filter($"k" === 7L)
+      .agg(count(lit(1)), sum($"n"), max($"idx"), min($"n")).head()
+    assert(hotAgg.getLong(0) == 100000L)  // 10^6 / 10 batches
+    assert(hotAgg.getLong(1) == 1000000L) // every event in exactly one batch
+    assert(hotAgg.getLong(2) == 99999L)   // contiguous batch indices
+    assert(hotAgg.getLong(3) == 10L)      // all full
+    // cold keys: sizes partition each key's count into 10s + remainder
+    val cold101 = out.filter($"k" === 101L).orderBy($"idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(cold101 == Seq((0L, 8L))) // 8 events for key 101 (i%3==1)
+  }
+
   test("broadcast hint flips a shuffle join to broadcast") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
