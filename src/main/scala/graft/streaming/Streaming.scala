@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.util.Det._
 
 /** Structured Streaming mirror of the batch event-time queries
@@ -83,6 +84,26 @@ object Streaming {
       }
   }
 
+  /** Beam `Deduplicate` [BEAM apache_beam/transforms/deduplicate.py]:
+    * drop repeats of a key, batch or stream with ONE declaration.
+    *
+    * On a stream, `withinWatermark` uses
+    * `dropDuplicatesWithinWatermark`: dedup state for a key is dropped
+    * once the watermark passes its event time — Beam's
+    * Deduplicate.within_duration semantics, and the only formulation
+    * whose state is bounded at 100 TB (plain dropDuplicates on a stream
+    * keeps every key forever). On a batch frame both forms reduce to
+    * plain dropDuplicates. */
+  def deduplicate(events: DataFrame, keys: Seq[String],
+                  withinWatermark: Option[(String, String)] = None): DataFrame =
+    withinWatermark match {
+      case Some((tsCol, horizon)) =>
+        val wm = events.withWatermark(tsCol, horizon)
+        if (events.isStreaming) wm.dropDuplicatesWithinWatermark(keys)
+        else wm.dropDuplicates(keys)
+      case None => events.dropDuplicates(keys)
+    }
+
   /** Stateful ParDo exemplar (Beam ValueState): per-user running event
     * count via flatMapGroupsWithState. Emits the updated total for each
     * key touched in a micro-batch; state is a single Long per key, so at
@@ -96,5 +117,32 @@ object Streaming {
           state.update(n)
           Iterator(UserCount(uid, n))
       }
+  }
+
+  /** [[runningCounts]] migrated to Spark 4's `transformWithState` — the
+    * modern arbitrary-state API (SPARK-45939, SURVEY §2.9): explicit
+    * named ValueState with optional TTL, timers decoupled from state,
+    * and RocksDB-backed stores (set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider — the API requires it). Kept alongside the
+    * flatMapGroupsWithState form; StreamingSpec asserts both produce
+    * the same totals. */
+  class RunningCountProcessor extends StatefulProcessor[Long, Ev, UserCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator(UserCount(key, n))
+    }
+  }
+
+  def runningCountsTws(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[UserCount]])
   }
 }

@@ -116,24 +116,51 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Seq((7L, 2L)), s"got $sessions")
   }
 
-  test("streaming Deduplicate: event_id dedupe across micro-batches") {
+  test("streaming Deduplicate: stream equals batch within the watermark horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
-    // Beam's Deduplicate transform: drop repeats of a key within the
-    // watermark horizon — dropDuplicates + watermark keeps state bounded
-    val q = mem.toDF().withWatermark("ts", "1 day")
-      .dropDuplicates("event_id")
+    // Beam's Deduplicate.within_duration: repeats of a key are dropped
+    // while the key is within the watermark horizon; state then expires
+    val dups = Seq(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0),
+      Ev(1, ts(1, 2), 1, "click", 2.0), Ev(2, ts(2), 1, "view", 3.0))
+    val q = Streaming.deduplicate(mem.toDF(), Seq("event_id"), Some(("ts", "1 day")))
       .writeStream.format("memory").queryName("t_dedup")
       .outputMode("append").start()
-    mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0))
+    mem.addData(dups.take(2): _*)
     q.processAllAvailable()
-    mem.addData(Ev(1, ts(1, 2), 1, "click", 2.0), Ev(2, ts(2), 1, "view", 3.0))
+    mem.addData(dups.drop(2): _*)
     q.processAllAvailable()
     q.stop()
     val ids = spark.table("t_dedup").select("event_id")
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(ids == Seq(1L, 2L), s"got $ids") // the 3 copies of id 1 collapse
+    // the SAME declaration over a bounded frame gives the same keys
+    val batchIds = Streaming.deduplicate(dups.toDF(), Seq("event_id"), Some(("ts", "1 day")))
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(batchIds == ids, s"batch=$batchIds stream=$ids")
+  }
+
+  test("Deduplicate state expires once the watermark passes the key") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.deduplicate(mem.toDF(), Seq("event_id"), Some(("ts", "1 hour")))
+      .writeStream.format("memory").queryName("t_dedup_exp")
+      .outputMode("append").start()
+    mem.addData(Ev(1, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark a day past id 1's slot, expiring its state
+    mem.addData(Ev(50, ts(2), 1, "click", 1.0))
+    q.processAllAvailable()
+    // the same id re-appearing AFTER expiry is emitted again — the
+    // within-watermark contract (bounded state), not forever-dedup
+    mem.addData(Ev(1, ts(2, 1), 1, "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val n1 = spark.table("t_dedup_exp").filter(col("event_id") === 1).count()
+    assert(n1 == 2, s"expired key must re-emit, got $n1 rows for id 1")
   }
 
   test("stream-stream interval join: purchases to prior clicks within 2h") {
@@ -183,5 +210,34 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id").agg(max("n").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(finalCounts == Map(10L -> 3L, 11L -> 2L))
+  }
+
+  test("transformWithState running counts match the flatMapGroupsWithState form") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streaming.runningCountsTws(mem.toDS())
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").start()
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      q.stop()
+      val finalCounts = spark.table("t_tws")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalCounts == Map(10L -> 3L, 11L -> 2L)) // same as t_state totals
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }
