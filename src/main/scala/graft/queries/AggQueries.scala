@@ -100,7 +100,28 @@ object AggQueries extends QueryPack {
       .orderBy(col("r_regionkey"))
   }
 
+  /** q60: hot-key fanout as an operator
+    * ([[graft.functions.Skew.saltedAgg]]) — events aggregated by
+    * event_type, which at any sf is 5 keys over the whole table: every
+    * key is hot, the worst case for a naive single-phase shuffle. The
+    * salted plan's final shuffle carries 5 * fanout partial rows. Sums
+    * stay in DECIMAL(18,2) through both phases, so the two-phase result
+    * is bit-equal to the one-phase oracle. */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Skew
+    Skew.saltedAgg(
+        Tables.events(s, d).select(col("event_type"), dec2(col("value")).as("v")),
+        Seq("event_type"), 16,
+        Seq(Skew.countOf("n"), Skew.sumOf(col("v"), "sum_value"),
+          Skew.maxOf(col("v"), "max_value")))
+      .select(col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("max_value").cast("double").as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_hotkey_fanout"   -> q60 _,
     "q45_custom_argmax"   -> q45 _,
     "q46_custom_moments"  -> q46 _,
     "q47_approx_distinct" -> q47 _,
@@ -113,6 +134,11 @@ object AggQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q60_hotkey_fanout" -> """
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q45_custom_argmax" -> """
       SELECT event_type, event_id AS top_event_id, value AS top_value
       FROM (SELECT event_type, event_id, value,

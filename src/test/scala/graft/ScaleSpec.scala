@@ -45,13 +45,9 @@ class ScaleSpec extends SparkSpec {
       (1 to 1000).map(i => (s"cold${i % 50}", i.toDouble))
     val df = skewed.toDF("k", "v")
     val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
-    // two-phase: salt the key, partial-agg, strip the salt, final-agg
-    val salted = df
-      .withColumn("salt", pmod(hash(monotonically_increasing_id()), lit(16)))
-      .groupBy(col("k"), col("salt"))
-      .agg(sum("v").as("ps"), count(lit(1)).as("pn"))
-      .groupBy(col("k"))
-      .agg(sum("ps").as("s"), sum("pn").as("n"))
+    // the reusable operator: salt, partial-agg, strip the salt, final-agg
+    val salted = graft.functions.Skew.saltedAgg(df, Seq("k"), 16,
+      Seq(graft.functions.Skew.sumOf(col("v"), "s"), graft.functions.Skew.countOf("n")))
     val d = direct.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     val sl = salted.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(sl.view.mapValues(v => (math.round(v._1), v._2)).toMap ==
