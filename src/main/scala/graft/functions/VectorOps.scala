@@ -42,7 +42,11 @@ object VectorOps {
 
   // ---- Random-hyperplane LSH --------------------------------------------
 
+  /** Default hash width; callers can pass any `bits <= MaxLshBits`.
+    * 8 bits = 256 buckets suits the fixtures; at corpus scale pick
+    * bits ≈ log2(n / targetBucketSize) (e.g. 20 bits → ~1M buckets). */
   val LshBits = 8
+  val MaxLshBits = 24
   val Dim = 64
 
   private def md5hex(s: String): String =
@@ -53,12 +57,14 @@ object VectorOps {
     * md5("h_d") — computed once on the driver and embedded as literals in
     * BOTH the Spark plan and the oracle SQL, so the two engines share the
     * exact same doubles (and at scale no per-row hashing is paid). */
-  val planes: IndexedSeq[IndexedSeq[Double]] =
-    (0 until LshBits).map { h =>
+  val allPlanes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until MaxLshBits).map { h =>
       (0 until Dim).map { d =>
         ((java.lang.Long.parseLong(md5hex(s"${h}_${d}").substring(0, 6), 16) % 2001) - 1000) / 1000.0
       }
     }
+
+  val planes: IndexedSeq[IndexedSeq[Double]] = allPlanes.take(LshBits)
 
   def litArr(p: Seq[Double]): Column = array(p.map(lit): _*)
 
@@ -76,15 +82,23 @@ object VectorOps {
       struct(l2sq(v, litArr(cv)).as("dist"), lit(cid).as("cid"))
     }: _*))
 
-  /** 8-bit LSH bucket id: bit h set iff dot(v, plane_h) >= 0. */
-  def lshBucket(v: Column): Column =
-    planes.zipWithIndex.map { case (p, h) =>
+  /** `bits`-bit LSH bucket id: bit h set iff dot(v, plane_h) >= 0. */
+  def lshBucket(v: Column, bits: Int = LshBits): Column =
+    allPlanes.take(bits).zipWithIndex.map { case (p, h) =>
       when(dot(v, litArr(p)) >= 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Multi-probe set over an already-computed bucket column: the exact
+    * bucket plus its `bits` Hamming-distance-1 neighbors. Probing the
+    * flip buckets recovers most of the recall a hard bucket boundary
+    * loses — a near-neighbor differs in at most a couple of sign bits —
+    * at (bits+1)x candidate cost, still O(n * probes / 2^bits). */
+  def multiProbe(bucket: Column, bits: Int = LshBits): Column =
+    array(bucket +: (0 until bits).map(b => bucket.bitwiseXOR(lit(1 << b))): _*)
+
   /** DuckDB SQL for the same bucket id over a FLOAT[] column name. */
-  def lshBucketSql(col: String): String =
-    planes.zipWithIndex.map { case (p, h) =>
+  def lshBucketSql(col: String, bits: Int = LshBits): String =
+    allPlanes.take(bits).zipWithIndex.map { case (p, h) =>
       val lits = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_sum([CAST($col[i] AS DOUBLE) * ($lits)[i] for i in generate_series(1, $Dim)]) >= 0 THEN ${1 << h} ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -82,6 +82,15 @@ object LlmQueries extends QueryPack {
 
   // q33: LSH near-dup pairs: band join -> exact Jaccard >= 0.5 -----------
 
+  /** Band-size cap for q33: a band bucket holding more than this many
+    * docs (a degenerate band — thousands of near-identical documents)
+    * is skipped entirely, trading recall on exact-duplicate clusters
+    * for an O(cap^2) bound on any bucket's candidate blow-up. Exact
+    * duplicates are q31's job anyway — run hash-dedup BEFORE near-dup
+    * and the cap almost never fires. Fixture bands are far below the
+    * cap, so the oracle (which applies the same cap) is unaffected. */
+  val BandCap = 64
+
   def q33(s: SparkSession, d: String): DataFrame = {
     // Signature table: distinct shingle set + 4 minhashes + 2 band keys,
     // computed ONCE and persisted — the md5-heavy stage would otherwise
@@ -99,7 +108,11 @@ object LlmQueries extends QueryPack {
       .persist()
     val bands = base.select(col("doc_id"),
       explode(array(col("b0"), col("b1"))).as("band"))
-    val cand = bands.as("x").join(bands.as("y"),
+    val okBands = bands.groupBy(col("band"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= BandCap)
+      .select(col("band"))
+    val cand = bands.join(okBands, Seq("band")).as("x")
+      .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     // Exact Jaccard on the (few) candidates via array_intersect — no
@@ -287,8 +300,10 @@ object LlmQueries extends QueryPack {
     "q33_lsh_neardup" -> s"""
       WITH $oracleSigs,
       bands AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sigs),
+      bands_ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) <= $BandCap),
       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-               FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+               FROM bands x JOIN bands_ok k ON x.band = k.band
+                            JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
       sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
       sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
       com AS (SELECT a, b, COUNT(*) AS common

@@ -107,6 +107,52 @@ class OpsSpec extends SparkSpec {
     assert(df(1) >= df(0))
   }
 
+  test("ANN recall@5 vs brute force; multi-probe recovers boundary losses") {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.ensure(spark)
+    // bits must track corpus size (bits ~ log2(n / bucketSize)): 500
+    // vectors at 4 bits -> ~30/bucket. The default 8 bits over this
+    // corpus gives singleton buckets and ~zero recall — which is the
+    // parameterization lesson itself, measured here.
+    val k = 5
+    val bits = 4
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+      .withColumn("bucket", VectorOps.lshBucket(col("v"), bits))
+      .persist()
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    def topk(cond: org.apache.spark.sql.Column): Map[Long, Set[Long]] =
+      e.join(broadcast(q), cond && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosineQNative(col("qv"), col("v")).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(lit(true))
+    val single = topk(col("bucket") === col("qb"))
+    val qProbes = q.withColumn("qb", explode(VectorOps.multiProbe(col("qb"), bits)))
+      .select(col("q_id"), col("qv"), col("qb"))
+    val multi =
+      e.join(broadcast(qProbes), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosineQNative(col("qv"), col("v")).as("sim")).distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(ann: Map[Long, Set[Long]]): Double = {
+      val hits = brute.map { case (qid, bf) => (ann.getOrElse(qid, Set.empty) & bf).size }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val (rs, rm) = (recall(single), recall(multi))
+    info(f"recall@$k bits=$bits single-probe=$rs%.3f multi-probe(${bits + 1} buckets)=$rm%.3f")
+    assert(rm > rs, "HD-1 probing must recover some boundary neighbors")
+    assert(rs >= 0.05, f"single-probe recall collapsed: $rs%.3f")
+    assert(rm >= 0.3, f"multi-probe recall collapsed: $rm%.3f")
+    e.unpersist()
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val fps = Seq("a b c", "c b a").toDF("text")
