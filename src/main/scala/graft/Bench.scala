@@ -29,7 +29,10 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // SPARK_GRAFT_ONLY=q02_...,q11_... restricts the run (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try exec(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }

@@ -25,8 +25,7 @@ trait Md5Helper {
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
   private val hexChars = "0123456789abcdef".toCharArray
 
-  protected def md5Hex(bytes: Array[Byte]): String = {
-    val d = mdLocal.get().digest(bytes)
+  protected def toHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -36,6 +35,67 @@ trait Md5Helper {
     }
     new String(out)
   }
+
+  protected def md5Hex(bytes: Array[Byte]): String =
+    toHex(mdLocal.get().digest(bytes))
+
+  /** Digest of prefix ++ body without concatenating the arrays. */
+  protected def md5Parts(prefix: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.update(prefix)
+    md.update(body)
+    md.digest()
+  }
+
+  /** Unsigned lexicographic compare — the same order as comparing the
+    * hex encodings (hex is big-endian per nibble). */
+  protected def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+}
+
+/** Word 3-gram shingles over a string array — the native form of
+  * TextOps.shingles3 (same output: windows joined by single spaces,
+  * empty below 3 words). One UTF8String.concatWs per window replaces an
+  * interpreted transform+slice+concat_ws tree per window.
+  */
+case class Shingles3(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles3 expects array<string>, got ${t.simpleString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = UTF8String.concatWs(space,
+        arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
 }
 
 /** Position-weighted rolling fingerprint mod 1e9+7 over a string array —
@@ -89,22 +149,28 @@ case class MinHashSigs(child: Expression)
       s"minhash_sigs expects array<string>, got ${t.simpleString}")
   }
 
+  // "0|".."3|" as bytes: the seed prefix is fed to the digest separately
+  // from the shingle bytes, so the hot loop allocates no strings at all
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(Seeds)(k => s"$k|".getBytes("UTF-8"))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val mins = new Array[String](Seeds)
+    val mins = new Array[Array[Byte]](Seeds)
     var i = 0
     while (i < n) {
-      val sh = arr.getUTF8String(i).toString
+      val shB = arr.getUTF8String(i).getBytes
       var k = 0
       while (k < Seeds) {
-        val h = md5Hex((k.toString + "|" + sh).getBytes("UTF-8"))
-        if (mins(k) == null || h.compareTo(mins(k)) < 0) mins(k) = h
+        val d = md5Parts(prefixes(k), shB)
+        if (mins(k) == null || unsignedLess(d, mins(k))) mins(k) = d
         k += 1
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m => if (m == null) null else UTF8String.fromString(m)))
+    new GenericArrayData(mins.map(m =>
+      if (m == null) null else UTF8String.fromString(toHex(m))))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =

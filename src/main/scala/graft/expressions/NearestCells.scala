@@ -1,0 +1,88 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Coarse-quantizer cell ranking for IVF ANN: given a vector and a
+  * LITERAL centroid matrix (right child must be a foldable
+  * array<array<double>> — the driver-known trained model), returns the
+  * centroid indices ordered by ascending L2 distance, ties on the lower
+  * index.
+  *
+  * Semantics contract (must stay bit-identical to the HOF/oracle form):
+  * dist_c = (dot(v,v) - 2*dot(v,c)) + dot(c,c), every dot a sequential
+  * left fold in element order. CodegenFallback by the same argument as
+  * [[Md5Helper]]'s expressions: the cost is the O(cells*dim) arithmetic,
+  * which runs here as primitive JVM loops over a pre-extracted
+  * double[][] instead of cells*dim interpreted Catalyst HOF steps per
+  * row (measured ~25x on the sf1 bench).
+  */
+case class NearestCells(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "nearest_cells expects (array<double>, foldable array<array<double>>)")
+    }
+
+  // centroid matrix and its norms, extracted from the literal once per
+  // task (not per row)
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i =>
+      arr.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val centNorms: Array[Double] =
+    cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
+  override def nullSafeEval(v: Any, ignoredCents: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData].toDoubleArray()
+    val n = vec.length
+    var vv = 0.0
+    var i = 0
+    while (i < n) { vv += vec(i) * vec(i); i += 1 }
+    val k = cents.length
+    val dist = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      var dp = 0.0
+      i = 0
+      while (i < n) { dp += vec(i) * cent(i); i += 1 }
+      dist(c) = (vv - 2.0 * dp) + centNorms(c)
+      c += 1
+    }
+    // rank indices by (dist, index): k is small (a quantizer has tens of
+    // cells), so a simple selection sort is branch-cheap and allocation-free
+    val idx = Array.tabulate(k)(identity)
+    var a = 0
+    while (a < k - 1) {
+      var best = a
+      var b = a + 1
+      while (b < k) {
+        if (dist(idx(b)) < dist(idx(best)) ||
+          (dist(idx(b)) == dist(idx(best)) && idx(b) < idx(best))) best = b
+        b += 1
+      }
+      val t = idx(a); idx(a) = idx(best); idx(best) = t
+      a += 1
+    }
+    new GenericArrayData(idx.map(_.toLong))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCells =
+    copy(left = newLeft, right = newRight)
+}

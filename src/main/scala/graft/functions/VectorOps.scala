@@ -76,10 +76,19 @@ object VectorOps {
     * formulation would fan every row out |cents|x and then shuffle the
     * whole corpus through a window just to take the argmin. Struct
     * comparison is field-ordered, so array_sort ranks by (dist, cid) —
-    * ties break on the lower cell id, same as ORDER BY dist, cid. */
-  def nearestCells(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    * ties break on the lower cell id, same as ORDER BY dist, cid.
+    *
+    * Cost shape: |v|^2 arrives precomputed in `vv` (one fold per row,
+    * not one per centroid) and each |c|^2 is folded on the DRIVER —
+    * sequential left fold, the same order as the engines' list folds,
+    * so the doubles stay bit-identical to the oracle's
+    * dot(a,a) - 2 dot(a,b) + dot(b,b). Per row that leaves exactly
+    * |cents| dot products. */
+  def nearestCells(v: Column, vv: Column, cents: Seq[(Long, Seq[Double])]): Column =
     array_sort(array(cents.map { case (cid, cv) =>
-      struct(l2sq(v, litArr(cv)).as("dist"), lit(cid).as("cid"))
+      val cc = cv.foldLeft(0.0)((s, x) => s + x * x)
+      struct((vv - lit(2.0) * dot(v, litArr(cv)) + lit(cc)).as("dist"),
+        lit(cid).as("cid"))
     }: _*))
 
   /** `bits`-bit LSH bucket id: bit h set iff dot(v, plane_h) >= 0. */

@@ -41,7 +41,7 @@ object LlmQueries extends QueryPack {
     graft.GraftFunctions.ensure(s)
     docWords(s, d).select(
       col("doc_id"),
-      call_function("minhash_sigs", shingles3(col("ws"))).as("sg"))
+      call_function("minhash_sigs", call_function("shingles3", col("ws"))).as("sg"))
       .select(col("doc_id") +: (0 until 4).map(k => element_at(col("sg"), k + 1).as(s"sig$k")): _*)
   }
 
@@ -99,7 +99,8 @@ object LlmQueries extends QueryPack {
     // step of any LSH pipeline (a few hundred bytes/doc, not the corpus).
     graft.GraftFunctions.ensure(s)
     val base = docWords(s, d)
-      .select(col("doc_id"), array_distinct(shingles3(col("ws"))).as("shs"))
+      .select(col("doc_id"),
+        array_distinct(call_function("shingles3", col("ws"))).as("shs"))
       .select(col("doc_id"), col("shs"),
         call_function("minhash_sigs", col("shs")).as("sg"))
       .select(col("doc_id"), col("shs"),
@@ -248,11 +249,18 @@ object LlmQueries extends QueryPack {
     val cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < cells)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
       .sortBy(_._1)
-    def cellId(rank: Int): Column = element_at(col("cells"), rank).getField("cid")
-    val asg = e.withColumn("cells", nearestCells(col("v"), cents))
+    // cell ranking runs in the native NearestCells expression (primitive
+    // JVM loops over the literal centroid matrix; the HOF nearestCells
+    // form is the equality-tested reference). It returns centroid
+    // INDICES nearest-first; cidLit maps an index back to its cell id.
+    val centsLit = array(cents.map(c => litArr(c._2)): _*)
+    val cidLit = array(cents.map(c => lit(c._1)): _*)
+    def cellId(rank: Int): Column =
+      element_at(cidLit, element_at(col("cells"), rank).cast("int") + 1)
+    val asg = e.withColumn("cells", call_function("nearest_cells", col("v"), centsLit))
       .select(col("vec_id"), col("v"), cellId(1).as("cell"))
     val qc = e.filter(col("vec_id") < nQueries)
-      .withColumn("cells", nearestCells(col("v"), cents))
+      .withColumn("cells", call_function("nearest_cells", col("v"), centsLit))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(array((1 to nprobe).map(cellId): _*)).as("qcell"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))

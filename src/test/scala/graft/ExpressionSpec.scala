@@ -84,6 +84,43 @@ class ExpressionSpec extends SparkSpec {
     assert(native.sum == tok.count() * Aggs.CmsDepth) // every token counted in every row
   }
 
+  test("shingles3 native equals the HOF shingles3 on real documents") {
+    GraftFunctions.ensure(spark)
+    import graft.functions.TextOps
+    val ws = TextOps.words(col("text"))
+    val diff = Tables.documents(spark, sf("sf0.001"))
+      .select(TextOps.shingles3(ws).as("hof"),
+        call_function("shingles3", ws).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+    // and the short-doc guard carries over
+    import spark.implicits._
+    val sizes = Seq("", "a b", "a b c").toDF("text")
+      .select(size(call_function("shingles3", TextOps.words(col("text")))))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(0, 0, 1))
+  }
+
+  test("nearest_cells equals the HOF nearestCells ranking on real embeddings") {
+    GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
+      .sortBy(_._1)
+    val centsLit = array(cents.map(c => VectorOps.litArr(c._2)): _*)
+    val hofRanked = transform(
+      VectorOps.nearestCells(col("v"), VectorOps.dot(col("v"), col("v")), cents),
+      x => x.getField("cid"))
+    // the native form returns indices; cents are cid-sorted so index==position
+    val nativeRanked = transform(
+      call_function("nearest_cells", col("v"), centsLit),
+      i => element_at(array(cents.map(c => lit(c._1)): _*), i.cast("int") + 1))
+    val diff = e.select(hofRanked.as("a"), nativeRanked.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("shingles3 is empty (not a crash) for docs under 3 words") {
     GraftFunctions.ensure(spark)
     import graft.functions.TextOps
