@@ -58,6 +58,21 @@ object AggQueries extends QueryPack {
         col("q").getItem(1).as("p50"),
         col("q").getItem(2).as("p75"))
 
+  /** q61: per-key quantiles (Beam ApproximateQuantiles.PerKey, exact
+    * form): EXACT interpolated percentiles per event_type via Spark's
+    * `percentile`, which applies the same lower+(upper-lower)*frac
+    * interpolation as DuckDB's `quantile_cont` over identical doubles —
+    * so even quantiles hash-compare exactly. percentile_approx stays
+    * the scale path (q48); this is the oracle-checkable counterpart. */
+  def q61(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"))
+      .orderBy(col("event_type"))
+
   /** q49: deterministic pseudo-random sample — Beam Sample.FixedSizeGlobally
     * made oracle-checkable by ordering on md5 of the key. orderBy+limit
     * plans as TakeOrderedAndProject (per-partition partial top-k, then a
@@ -122,6 +137,7 @@ object AggQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_hotkey_fanout"   -> q60 _,
+    "q61_perkey_quantiles" -> q61 _,
     "q45_custom_argmax"   -> q45 _,
     "q46_custom_moments"  -> q46 _,
     "q47_approx_distinct" -> q47 _,
@@ -138,6 +154,12 @@ object AggQueries extends QueryPack {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q61_perkey_quantiles" -> """
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.75) AS p75
       FROM events GROUP BY event_type ORDER BY event_type""",
     "q45_custom_argmax" -> """
       SELECT event_type, event_id AS top_event_id, value AS top_value

@@ -84,6 +84,21 @@ object Streaming {
       }
   }
 
+  /** Kafka unbounded-source config surface [BEAM io/kafka.py
+    * ReadFromKafka]: the standard Structured Streaming connector
+    * builder. This sandbox ships no spark-sql-kafka jar (zero egress),
+    * so `.load()` here fails fast with DATA_SOURCE_NOT_FOUND — the spec
+    * pins that failure mode; on a cluster with the connector on the
+    * classpath the same builder yields the canonical
+    * key/value/topic/partition/offset/timestamp stream. */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession, bootstrapServers: String,
+                  topic: String, startingOffsets: String = "earliest")
+      : org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+
   /** Beam `Deduplicate` [BEAM apache_beam/transforms/deduplicate.py]:
     * drop repeats of a key, batch or stream with ONE declaration.
     *

@@ -212,6 +212,15 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts == Map(10L -> 3L, 11L -> 2L))
   }
 
+  test("kafka source builder: config surface works; connector absence is explicit") {
+    // no spark-sql-kafka jar in this sandbox (zero egress): the builder
+    // must fail FAST and CLEARLY at load(), not at query start
+    val err = intercept[Exception] {
+      Streaming.kafkaSource(spark, "broker:9092", "events").load()
+    }
+    assert(err.getMessage.toLowerCase.contains("kafka"), err.getMessage)
+  }
+
   test("transformWithState running counts match the flatMapGroupsWithState form") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
