@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Regenerate QUERIES.md from a Verify dump and a Bench JSON line.
+
+Usage: python3 tools/genqueries.py <verifyOutDir> <benchJsonFile> <roundLabel>
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+
+
+def main(out_dir, bench_file, label):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    line = open(bench_file).read()
+    bench = json.loads(line[line.index('{"metric"'):])["queries"]
+    con = duckdb.connect()
+    rows = {}
+    for qdir in sorted(glob.glob(f"{out_dir}/q*")):
+        name = os.path.basename(qdir)
+        try:
+            rows[name] = con.sql(f"SELECT COUNT(*) FROM '{qdir}/*.parquet'").fetchone()[0]
+        except Exception:
+            rows[name] = None
+    names = sorted(set(rows) | set(bench))
+    with open("QUERIES.md", "w") as f:
+        f.write(f"# QUERIES — generated inventory ({label})\n\n")
+        f.write("Oracle-checked = driver DuckDB hash-compare; rows measured at sf0.01; "
+                "seconds = min-of-two noop-sink runs at sf0.1 on local[32]. "
+                "Scaling curve vs DuckDB at sf0.001–sf1: BENCH_SCALING.json / BASELINE.md.\n\n")
+        f.write("| query | rows @sf0.01 | oracle | sec @sf0.1 |\n|---|---|---|---|\n")
+        for n in names:
+            r = rows.get(n)
+            b = bench.get(n)
+            f.write(f"| {n} | {r if r is not None else '—'} | "
+                    f"{'yes' if n in oracle else 'rows-only'} | "
+                    f"{f'{b:.2f}' if b is not None else '—'} |\n")
+        f.write(f"\nTotal: {len(names)} queries, {len(oracle)} oracle-checked.\n")
+        f.write("\nANN quality (OpsSpec, sf0.01, bits=4): recall@5 = 0.12 single-probe, "
+                "0.46 multi-probe (HD-1 probe set) vs brute-force cosine.\n")
+    print(f"QUERIES.md: {len(names)} queries, {len(oracle)} oracle-checked")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3])
