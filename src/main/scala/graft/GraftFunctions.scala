@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles3, WordFingerprint}
+import graft.expressions.{CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles3, Simhash16, WordFingerprint}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -26,6 +26,9 @@ object GraftFunctions {
     (new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) => MinHashSigs(children.head): Expression),
+    (new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
+      (children: Seq[Expression]) => Simhash16(children.head): Expression),
     (new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children.head): Expression),

@@ -36,8 +36,11 @@ trait Md5Helper {
     new String(out)
   }
 
+  protected def md5Raw(bytes: Array[Byte]): Array[Byte] =
+    mdLocal.get().digest(bytes)
+
   protected def md5Hex(bytes: Array[Byte]): String =
-    toHex(mdLocal.get().digest(bytes))
+    toHex(md5Raw(bytes))
 
   /** Digest of prefix ++ body without concatenating the arrays. */
   protected def md5Parts(prefix: Array[Byte], body: Array[Byte]): Array[Byte] = {
@@ -98,6 +101,50 @@ case class Shingles3(child: Expression)
     copy(child = newChild)
 }
 
+/** 16-bit SimHash over a word array — the native form of
+  * TextOps.simhash16 (bit b set iff the sum over words of +1/-1 by
+  * md5-derived hash-bit b is positive). The per-word 16-bit hash is the
+  * first two digest bytes — exactly `conv(substring(md5(w),1,4),16,10)`.
+  */
+case class Simhash16(child: Expression)
+    extends UnaryExpression with CodegenFallback with Md5Helper {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val bitSums = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      val d = md5Raw(arr.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      var b = 0
+      while (b < 16) {
+        if (((h >> b) & 1) == 1) bitSums(b) += 1 else bitSums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0
+    var b = 0
+    while (b < 16) {
+      if (bitSums(b) > 0) out |= 1 << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
 /** Position-weighted rolling fingerprint mod 1e9+7 over a string array —
   * the native form of TextOps.fingerprint (same fold, same constants).
   */
@@ -120,8 +167,11 @@ case class WordFingerprint(child: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      val w = arr.getUTF8String(i)
-      val h = java.lang.Long.parseLong(md5Hex(w.getBytes).substring(0, 7), 16) % P
+      // first 7 hex chars == top 28 digest bits, read straight off the
+      // bytes (no hex-string round trip): n0..n6 big-endian nibbles
+      val d = md5Raw(arr.getUTF8String(i).getBytes)
+      val h = (((d(0) & 0xffL) << 20) | ((d(1) & 0xff) << 12) |
+        ((d(2) & 0xff) << 4) | ((d(3) & 0xff) >> 4)) % P
       acc = (acc + (i + 1) * h % P) % P
       i += 1
     }

@@ -25,34 +25,38 @@ object Batching {
     kv.toDF("k", "o").as[(Long, Long)]
       .repartition(col("k"))
       .sortWithinPartitions(col("k"), col("o"))
-      .mapPartitions { rows =>
-        new Iterator[(Long, Long, Long)] {
-          private var out: Option[(Long, Long, Long)] = None
-          private var open = false            // a batch is accumulating
-          private var key = 0L
-          private var idx = 0L
-          private var cnt = 0L
+      .mapPartitions(rows => batchIterator(rows.map(_._1), batchSize))
+  }
 
-          private def advance(): Unit = {
-            while (out.isEmpty && rows.hasNext) {
-              val k = rows.next()._1
-              if (!open) { open = true; key = k; idx = 0L; cnt = 1L }
-              else if (k == key && cnt < batchSize) cnt += 1
-              else {
-                out = Some((key, idx, cnt))   // close the filled/ended batch
-                if (k == key) idx += 1 else { key = k; idx = 0L }
-                cnt = 1L
-              }
-            }
-            if (out.isEmpty && open) { out = Some((key, idx, cnt)); open = false }
-          }
+  /** The pure kernel: stream (key, batch_idx, size) triples over a
+    * key-sorted key iterator with three longs of state. Law-tested in
+    * LawsProps against the materializing reference. */
+  def batchIterator(keys: Iterator[Long], batchSize: Int): Iterator[(Long, Long, Long)] =
+    new Iterator[(Long, Long, Long)] {
+      private var out: Option[(Long, Long, Long)] = None
+      private var open = false            // a batch is accumulating
+      private var key = 0L
+      private var idx = 0L
+      private var cnt = 0L
 
-          def hasNext: Boolean = { if (out.isEmpty) advance(); out.isDefined }
-          def next(): (Long, Long, Long) = {
-            if (!hasNext) Iterator.empty.next()
-            val r = out.get; out = None; r
+      private def advance(): Unit = {
+        while (out.isEmpty && keys.hasNext) {
+          val k = keys.next()
+          if (!open) { open = true; key = k; idx = 0L; cnt = 1L }
+          else if (k == key && cnt < batchSize) cnt += 1
+          else {
+            out = Some((key, idx, cnt))   // close the filled/ended batch
+            if (k == key) idx += 1 else { key = k; idx = 0L }
+            cnt = 1L
           }
         }
+        if (out.isEmpty && open) { out = Some((key, idx, cnt)); open = false }
       }
-  }
+
+      def hasNext: Boolean = { if (out.isEmpty) advance(); out.isDefined }
+      def next(): (Long, Long, Long) = {
+        if (!hasNext) Iterator.empty.next()
+        val r = out.get; out = None; r
+      }
+    }
 }

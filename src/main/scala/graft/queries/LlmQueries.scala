@@ -134,11 +134,12 @@ object LlmQueries extends QueryPack {
 
   // q34: 16-bit SimHash per doc ------------------------------------------
 
-  def q34(s: SparkSession, d: String): DataFrame =
+  def q34(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
     docWords(s, d)
-      .select(col("doc_id"), wordHashes16(col("ws")).as("hs"))
-      .select(col("doc_id"), simhash16FromHashes(col("hs")).as("simhash"))
+      .select(col("doc_id"), call_function("simhash16", col("ws")).as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   // q35: brute-force cosine top-5 for a small query set ------------------
 

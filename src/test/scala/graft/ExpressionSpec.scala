@@ -84,6 +84,17 @@ class ExpressionSpec extends SparkSpec {
     assert(native.sum == tok.count() * Aggs.CmsDepth) // every token counted in every row
   }
 
+  test("simhash16 native equals the HOF simhash on real documents") {
+    GraftFunctions.ensure(spark)
+    import graft.functions.TextOps
+    val ws = TextOps.words(col("text"))
+    val diff = Tables.documents(spark, sf("sf0.001"))
+      .select(TextOps.simhash16(ws).as("hof"),
+        call_function("simhash16", ws).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
   test("shingles3 native equals the HOF shingles3 on real documents") {
     GraftFunctions.ensure(spark)
     import graft.functions.TextOps

@@ -52,6 +52,28 @@ object LawsProps extends Properties("graft.laws") {
   property("LSH hyperplane components lie in [-1, 1]") = Prop(
     VectorOps.planes.flatten.forall(v => v >= -1.0 && v <= 1.0))
 
+  property("batchIterator == materializing grouped() reference") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(1L, 30L)))) { counts =>
+      // build a key-sorted run: for each (key, n) pair, n occurrences
+      val keys = counts.flatMap { case (k, n) => List.fill(n.toInt)(k) }
+        .sorted
+      val got = graft.functions.Batching.batchIterator(keys.iterator, 10).toList
+      val want = keys.groupBy(identity).toList.sortBy(_._1).flatMap { case (k, ks) =>
+        ks.grouped(10).zipWithIndex.map { case (b, i) => (k, i.toLong, b.size.toLong) }
+      }
+      got == want
+    }
+
+  property("batchIterator emits every element exactly once") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 3L))) { raw =>
+      val keys = raw.sorted
+      val got = graft.functions.Batching.batchIterator(keys.iterator, 7).toList
+      got.map(_._3).sum == keys.size &&
+        got.groupBy(_._1).forall { case (k, bs) =>
+          bs.map(_._2).sorted == bs.indices.map(_.toLong)
+        }
+    }
+
   property("argmax CombineFn is merge-order independent") =
     forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 999L)))) { xs =>
       xs.nonEmpty ==> {
