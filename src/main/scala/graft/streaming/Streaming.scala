@@ -19,9 +19,10 @@ import graft.util.Det._
   * Semantics notes (documented gaps, not emulated):
   *  - `withWatermark` + append mode ≈ Beam's AfterWatermark single final
   *    pane with allowed_lateness=0; data later than the watermark is
-  *    dropped. Beam's early/late re-firing panes and accumulating mode
-  *    have no Structured Streaming equivalent (update mode approximates
-  *    accumulating).
+  *    dropped. Beam's early/late re-firing panes have no Structured
+  *    Streaming equivalent; update output mode approximates
+  *    ACCUMULATING panes (each micro-batch re-emits a window's refined
+  *    aggregate — spec'd in StreamingSpec), discarding mode has none.
   *  - Watermarks advance per micro-batch, not per element.
   */
 object Streaming {

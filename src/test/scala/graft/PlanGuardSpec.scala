@@ -41,6 +41,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "probe join must broadcast the query side")
   }
 
+  test("q60 keeps the two-phase salted shape (salt in phase 1, stripped in phase 2)") {
+    val plan = SparkEntry.queries("q60_hotkey_fanout")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // the salt column must survive into the physical plan (phase-1
+    // grouping) — if Catalyst ever collapsed the two aggregations the
+    // hot-key spreading would silently disappear
+    assert(plan.contains("__salt"), s"salted phase folded away:\n$plan")
+  }
+
   test("dimension joins broadcast (no shuffle of the fact table for enrichment)") {
     val plan = SparkEntry.queries("q16_broadcast_dims")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

@@ -212,6 +212,28 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts == Map(10L -> 3L, 11L -> 2L))
   }
 
+  test("update mode approximates Beam accumulating panes (re-emitted refinements)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // Beam accumulating mode re-fires a window's UPDATED aggregate on
+    // each trigger; Structured Streaming's update output mode re-emits
+    // the refined row for every window a micro-batch touches. The
+    // memory sink keeps all updates, so the same window key must appear
+    // with a GROWING count — the accumulating (not discarding) shape.
+    val mem = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("t_accum")
+      .outputMode("update").start()
+    mem.addData(Ev(1, ts(1, 1), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(2, ts(1, 2), 1, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val ns = spark.table("t_accum").filter(col("event_type") === "click")
+      .select("n").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ns == Seq(1L, 2L), s"got $ns") // pane 1 then refined pane 2
+  }
+
   test("kafka source builder: config surface works; connector absence is explicit") {
     // no spark-sql-kafka jar in this sandbox (zero egress): the builder
     // must fail FAST and CLEARLY at load(), not at query start
