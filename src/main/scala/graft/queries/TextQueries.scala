@@ -138,7 +138,39 @@ object TextQueries extends QueryPack {
       .orderBy(col("true_cnt").desc, col("word"))
   }
 
+  /** q62: the END-TO-END training-data pipeline — the operators composed
+    * as one DAG, the way a real corpus-prep job runs them:
+    * score (q41's metrics) → quality-filter → exact-dedup (md5 key,
+    * min-doc_id representative) → per-language corpus stats.
+    * One scan, one narrow projection, one 16-byte-key shuffle for the
+    * dedup, one tiny aggregation — nothing in the pipeline is
+    * per-document quadratic, so the plan IS the 100 TB shape. */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id"), col("lang"), col("text"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        size(filter(col("ws"), w => w.isInCollection(stopWords))).as("n_stop"))
+      .withColumn("quality_bp",
+        expr("CAST((CAST(n_distinct AS BIGINT) * (n_words - n_stop) * 10000L) " +
+          "DIV (CAST(n_words AS BIGINT) * n_words) AS BIGINT)"))
+      .filter(col("quality_bp") >= 5000 && col("n_words") >= 10)
+    val wDedup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_tokens"),
+        expr("CAST(SUM(quality_bp) DIV COUNT(*) AS BIGINT)").as("avg_quality_bp"))
+      .orderBy(col("lang"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_e2e_pipeline"    -> q62 _,
     "q40_langid"          -> q40 _,
     "q41_quality_score"   -> q41 _,
     "q42_token_count"     -> q42 _,
@@ -150,6 +182,25 @@ object TextQueries extends QueryPack {
   private val stopSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   override val oracle: Map[String, String] = Map(
+    "q62_e2e_pipeline" -> s"""
+      WITH scored AS (
+        SELECT doc_id, lang, text, n_words,
+               (n_distinct * (n_words - n_stop) * 10000) // (n_words * n_words) AS quality_bp
+        FROM (SELECT doc_id, lang, text, len(words) AS n_words,
+                     len(list_distinct(words)) AS n_distinct,
+                     len(list_filter(words, w -> w IN $stopSql)) AS n_stop
+              FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents))
+        WHERE (n_distinct * (n_words - n_stop) * 10000) // (n_words * n_words) >= 5000
+          AND n_words >= 10),
+      dedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM scored)
+        WHERE rn = 1)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+             CAST(SUM(quality_bp) // COUNT(*) AS BIGINT) AS avg_quality_bp
+      FROM dedup GROUP BY lang ORDER BY lang""",
     "q40_langid" -> """
       WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
       prof AS (SELECT p_lang, word FROM (
