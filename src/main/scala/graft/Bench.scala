@@ -23,11 +23,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String, dir: String): Unit = {
-      SparkEntry.queries(name)(spark, dir)
+    def exec(name: String, dir: String): Unit =
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
-    }
+      // ALWAYS drop per-query persist()s — a failing query must not
+      // leave its cache behind to skew every later timing
+      finally spark.catalog.clearCache()
 
     // SPARK_GRAFT_ONLY=q02_...,q11_... restricts the run (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -47,12 +48,21 @@ object Bench {
     // A failing query reports -1 (and its error) instead of masquerading
     // as a fast run.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // full JSON-string escape (backslash, quote, ALL control chars):
+    // Spark failure messages embed \t\n stack traces that would
+    // otherwise break the emitted JSON line
+    def jsonSafe(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try exec(name, sfDir)
       catch {
         case t: Throwable =>
-          errors(name) = t.toString.replaceAll("[\"\\\\\n\r]", " ").take(200)
+          errors(name) = jsonSafe(t.toString).take(200)
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9

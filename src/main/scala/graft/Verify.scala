@@ -22,11 +22,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any STALE output from a previous run: an analysis-time
         // failure happens before the overwrite touches the directory, and
-        // leftover parquet would grade a broken query as a PASS
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        // leftover parquet would grade a broken query as a PASS. Cleanup
+        // itself must never abort the loop (Spark's async committer abort
+        // can race the walk), so best-effort per file.
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq.reverse
+                .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+            } finally walk.close()
+          }
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name stale-cleanup incomplete: ${c.getMessage}")
         }
       }
       finally spark.catalog.clearCache() // per-query persist() must not leak

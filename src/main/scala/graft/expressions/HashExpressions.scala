@@ -123,8 +123,14 @@ case class Simhash16(child: Expression)
     val bitSums = new Array[Int](16)
     var i = 0
     while (i < n) {
-      val d = md5Raw(arr.getUTF8String(i).getBytes)
-      val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      // a null word contributes -1 to every bit — the HOF form's
+      // when(null > 0).otherwise(-1) behavior, same as h == 0
+      val h =
+        if (arr.isNullAt(i)) 0
+        else {
+          val d = md5Raw(arr.getUTF8String(i).getBytes)
+          ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        }
       var b = 0
       while (b < 16) {
         if (((h >> b) & 1) == 1) bitSums(b) += 1 else bitSums(b) -= 1

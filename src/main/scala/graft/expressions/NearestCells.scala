@@ -58,6 +58,10 @@ case class NearestCells(left: Expression, right: Expression)
     var c = 0
     while (c < k) {
       val cent = cents(c)
+      // fail loudly on a malformed vector: a silent truncated distance
+      // would diverge from the HOF/oracle forms with no hint why
+      if (cent.length != n) throw new IllegalArgumentException(
+        s"nearest_cells: vector dim $n != centroid dim ${cent.length}")
       var dp = 0.0
       i = 0
       while (i < n) { dp += vec(i) * cent(i); i += 1 }

@@ -91,26 +91,36 @@ object VectorOps {
         lit(cid).as("cid"))
     }: _*))
 
+  private def checkBits(bits: Int): Unit =
+    require(bits >= 1 && bits <= MaxLshBits,
+      s"LSH bits must be in [1, $MaxLshBits], got $bits")
+
   /** `bits`-bit LSH bucket id: bit h set iff dot(v, plane_h) >= 0. */
-  def lshBucket(v: Column, bits: Int = LshBits): Column =
+  def lshBucket(v: Column, bits: Int = LshBits): Column = {
+    checkBits(bits)
     allPlanes.take(bits).zipWithIndex.map { case (p, h) =>
       when(dot(v, litArr(p)) >= 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Multi-probe set over an already-computed bucket column: the exact
     * bucket plus its `bits` Hamming-distance-1 neighbors. Probing the
     * flip buckets recovers most of the recall a hard bucket boundary
     * loses — a near-neighbor differs in at most a couple of sign bits —
     * at (bits+1)x candidate cost, still O(n * probes / 2^bits). */
-  def multiProbe(bucket: Column, bits: Int = LshBits): Column =
+  def multiProbe(bucket: Column, bits: Int = LshBits): Column = {
+    checkBits(bits)
     array(bucket +: (0 until bits).map(b => bucket.bitwiseXOR(lit(1 << b))): _*)
+  }
 
   /** DuckDB SQL for the same bucket id over a FLOAT[] column name. */
-  def lshBucketSql(col: String, bits: Int = LshBits): String =
+  def lshBucketSql(col: String, bits: Int = LshBits): String = {
+    checkBits(bits)
     allPlanes.take(bits).zipWithIndex.map { case (p, h) =>
       val lits = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_sum([CAST($col[i] AS DOUBLE) * ($lits)[i] for i in generate_series(1, $Dim)]) >= 0 THEN ${1 << h} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
 
   /** DuckDB SQL for a double dot product over FLOAT[] columns. */
   def dotSql(x: String, y: String): String =

@@ -93,6 +93,14 @@ class ExpressionSpec extends SparkSpec {
         call_function("simhash16", ws).as("native"))
       .filter(col("hof") =!= col("native")).count()
     assert(diff == 0)
+    // null-word parity: HOF maps a null hash to -1 per bit; native must too
+    val r = spark.sql(
+      """SELECT simhash16(array('a', CAST(NULL AS STRING))) AS n""").head().getInt(0)
+    import spark.implicits._
+    val h = Seq(1).toDF("x")
+      .select(TextOps.simhash16(array(lit("a"), lit(null).cast("string"))))
+      .head().getInt(0)
+    assert(r == h)
   }
 
   test("shingles3 native equals the HOF shingles3 on real documents") {

@@ -33,9 +33,10 @@ def main(out_dir, bench_file, label):
         for n in names:
             r = rows.get(n)
             b = bench.get(n)
+            # Bench publishes -1 as its failed-query sentinel
+            sec = "FAIL" if b is not None and b < 0 else (f"{b:.2f}" if b is not None else "—")
             f.write(f"| {n} | {r if r is not None else '—'} | "
-                    f"{'yes' if n in oracle else 'rows-only'} | "
-                    f"{f'{b:.2f}' if b is not None else '—'} |\n")
+                    f"{'yes' if n in oracle else 'rows-only'} | {sec} |\n")
         f.write(f"\nTotal: {len(names)} queries, {len(oracle)} oracle-checked.\n")
         f.write("\nANN quality (OpsSpec, sf0.01, bits=4): recall@5 = 0.12 single-probe, "
                 "0.46 multi-probe (HD-1 probe set) vs brute-force cosine.\n")
