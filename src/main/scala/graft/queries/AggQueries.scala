@@ -73,6 +73,22 @@ object AggQueries extends QueryPack {
         expr("percentile(value, 0.75)").as("p75"))
       .orderBy(col("event_type"))
 
+  /** q64: Beam Sample.FixedSizePerKey — 20 deterministic pseudo-random
+    * docs per language, the per-key twin of q49: md5 of the key gives a
+    * uniform deterministic order both engines reproduce, and the
+    * rank <= k filter plans as WindowGroupLimit (map-side partial
+    * top-k per key before the exchange, never a full per-key sort). */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** q49: deterministic pseudo-random sample — Beam Sample.FixedSizeGlobally
     * made oracle-checkable by ordering on md5 of the key. orderBy+limit
     * plans as TakeOrderedAndProject (per-partition partial top-k, then a
@@ -138,6 +154,7 @@ object AggQueries extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_hotkey_fanout"   -> q60 _,
     "q61_perkey_quantiles" -> q61 _,
+    "q64_sample_perkey"   -> q64 _,
     "q45_custom_argmax"   -> q45 _,
     "q46_custom_moments"  -> q46 _,
     "q47_approx_distinct" -> q47 _,
@@ -155,6 +172,13 @@ object AggQueries extends QueryPack {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "q64_sample_perkey" -> """
+      SELECT lang, rk, doc_id
+      FROM (SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+      WHERE rk <= 20 ORDER BY lang, rk""",
     "q61_perkey_quantiles" -> """
       SELECT event_type,
              quantile_cont(value, 0.25) AS p25,

@@ -169,8 +169,33 @@ object TextQueries extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** q63: TF-IDF top-3 terms per document — the canonical Beam example
+    * [BEAM examples/complete/tfidf.py], with the idf factor replaced by
+    * the rank-equivalent integer surrogate (tf * 1e6) DIV df: ln(N/df)
+    * is monotone decreasing in df and N is constant per corpus, so the
+    * per-document ranking is IDENTICAL to tf·idf while staying pure
+    * integer arithmetic (a computed ln differs in the last ulp across
+    * engines; an integer never does). Plan shape at scale: one shuffle
+    * to (doc, word) counts, a vocabulary-sized aggregate joined back on
+    * the word key, and a per-doc WindowGroupLimit top-3. */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val wTop = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    tf.join(dfreq, Seq("word"))
+      .withColumn("score", expr("CAST((tf * 1000000L) DIV df AS BIGINT)"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_e2e_pipeline"    -> q62 _,
+    "q63_tfidf"           -> q63 _,
     "q40_langid"          -> q40 _,
     "q41_quality_score"   -> q41 _,
     "q42_token_count"     -> q42 _,
@@ -182,6 +207,16 @@ object TextQueries extends QueryPack {
   private val stopSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   override val oracle: Map[String, String] = Map(
+    "q63_tfidf" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+      dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      sc AS (SELECT t.doc_id, t.word, t.tf, d.df, (t.tf * 1000000) // d.df AS score
+             FROM tf t JOIN dfq d ON t.word = d.word),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+            FROM sc)
+      SELECT doc_id, rk, word, tf, df, CAST(score AS BIGINT) AS score
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q62_e2e_pipeline" -> s"""
       WITH scored AS (
         SELECT doc_id, lang, text, n_words,
