@@ -245,11 +245,22 @@ object LlmQueries extends QueryPack {
     * per row. */
   def ivfAnn(s: SparkSession, d: String, cells: Int = 16, nprobe: Int = 2,
              k: Int = 3, nQueries: Int = 5): DataFrame = {
-    graft.GraftFunctions.ensure(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
+    // first-`cells` vectors as the quantizer: a deterministic k-means
+    // stand-in the oracle can reproduce; ivfSearch takes ANY centroid
+    // set (OpsSpec drives it with real KMeans-trained centroids)
     val cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < cells)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
       .sortBy(_._1)
+    ivfSearch(e, cents, nprobe, k, nQueries)
+  }
+
+  /** The IVF search path over an arbitrary (trained) centroid set —
+    * see [[ivfAnn]] for the plan-shape discussion. */
+  def ivfSearch(e: DataFrame, cents: Seq[(Long, Seq[Double])], nprobe: Int,
+                k: Int, nQueries: Int): DataFrame = {
+    val s = e.sparkSession
+    graft.GraftFunctions.ensure(s)
     // cell ranking runs in the native NearestCells expression (primitive
     // JVM loops over the literal centroid matrix; the HOF nearestCells
     // form is the equality-tested reference). It returns centroid

@@ -153,6 +153,42 @@ class OpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("IVF search accepts a real KMeans-trained quantizer (the production path)") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.ensure(spark)
+    // q57's first-16-vectors quantizer is the oracle-reproducible
+    // stand-in; here the same ivfSearch runs on centroids trained by
+    // spark.ml KMeans — the actual train-then-embed-as-literals flow
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+      .persist()
+    val km = new KMeans().setK(16).setSeed(7L).setMaxIter(5)
+      .fit(e.select(array_to_vector(col("v")).as("features")))
+    val cents = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toIndexedSeq: Seq[Double]) }.toIndexedSeq
+    val res = graft.queries.LlmQueries.ivfSearch(e, cents, nprobe = 2, k = 5, nQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(res.nonEmpty && res.forall { case (q, v) => q != v })
+    assert(res.groupBy(_._1).forall(_._2.size <= 5))
+    // recall vs brute-force cosine top-5 over the same 10 queries
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineQNative(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.map { case (qid, bf) => (ann.getOrElse(qid, Set.empty) & bf).size }.sum
+      .toDouble / brute.values.map(_.size).sum
+    info(f"KMeans-IVF recall@5 (nprobe=2/16 cells) = $recall%.3f")
+    assert(recall >= 0.1, f"trained-quantizer recall collapsed: $recall%.3f")
+    e.unpersist()
+  }
+
   test("fingerprint is order-sensitive") {
     import spark.implicits._
     val fps = Seq("a b c", "c b a").toDF("text")
