@@ -179,10 +179,14 @@ object TextQueries extends QueryPack {
     * to (doc, word) counts, a vocabulary-sized aggregate joined back on
     * the word key, and a per-doc WindowGroupLimit top-3. */
   def q63(s: SparkSession, d: String): DataFrame = {
+    // persisted: tf feeds both the document-frequency aggregate and the
+    // scoring join — without it the explode+shuffle runs twice (same
+    // multi-consumer pattern as q40's token table)
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val wTop = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
     tf.join(dfreq, Seq("word"))
