@@ -182,6 +182,31 @@ object LlmQueries extends QueryPack {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // q65: ANN with Hamming-distance-1 multi-probe -------------------------
+
+  /** q37's bucket search with the [[VectorOps.multiProbe]] probe set:
+    * each query also probes its bits single-bit-flip neighbor buckets,
+    * recovering neighbors a hard bucket boundary loses (recall measured
+    * in OpsSpec: 0.12 → 0.46 at bits=4). A candidate lives in exactly
+    * one bucket and the probe values are distinct, so no dedup is
+    * needed; candidate cost is (bits+1)/2^bits of the corpus per query. */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(multiProbe(col("bucket"))).as("qb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineQNative(col("qv"), col("v")).as("sim_q"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   // q38: kNN label vote (k=10) -------------------------------------------
 
   def q38(s: SparkSession, d: String): DataFrame = {
@@ -296,6 +321,7 @@ object LlmQueries extends QueryPack {
     "q36_ann_buckets"      -> q36 _,
     "q37_ann_bucket_topk"  -> q37 _,
     "q38_knn_label"        -> q38 _,
+    "q65_ann_multiprobe"   -> q65 _,
     "q39_embed_neardup"    -> q39 _,
     "q57_ivf_ann"          -> q57 _
   )
@@ -355,6 +381,16 @@ object LlmQueries extends QueryPack {
         SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
                ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim_q
         FROM b q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM p)
+      SELECT q_id, rn, vec_id, sim_q FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q65_ann_multiprobe" -> s"""
+      WITH b AS (SELECT vec_id, embedding, ${VectorOps.lshBucketSql("embedding")} AS bucket FROM embeddings),
+      p AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS sim_q
+        FROM b q JOIN b e ON e.vec_id <> q.vec_id AND e.bucket IN
+          (q.bucket${(0 until VectorOps.LshBits).map(h => s", xor(q.bucket, ${1 << h})").mkString})
         WHERE q.vec_id < 5),
       r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM p)
       SELECT q_id, rn, vec_id, sim_q FROM r WHERE rn <= 3 ORDER BY q_id, rn""",

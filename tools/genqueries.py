@@ -38,8 +38,9 @@ def main(out_dir, bench_file, label):
             f.write(f"| {n} | {r if r is not None else '—'} | "
                     f"{'yes' if n in oracle else 'rows-only'} | {sec} |\n")
         f.write(f"\nTotal: {len(names)} queries, {len(oracle)} oracle-checked.\n")
-        f.write("\nANN quality (OpsSpec, sf0.01, bits=4): recall@5 = 0.12 single-probe, "
-                "0.46 multi-probe (HD-1 probe set) vs brute-force cosine.\n")
+        f.write("\nANN quality (OpsSpec, sf0.01): recall@5 vs brute-force cosine = "
+                "0.12 single-probe / 0.46 multi-probe at bits=4 (HD-1 probe set); "
+                "0.52 with a KMeans-trained 16-cell IVF quantizer at nprobe=2.\n")
     print(f"QUERIES.md: {len(names)} queries, {len(oracle)} oracle-checked")
 
 
