@@ -311,6 +311,34 @@ object LlmQueries extends QueryPack {
 
   def q57(s: SparkSession, d: String): DataFrame = ivfAnn(s, d)
 
+  // q66: int8 embedding quantization -------------------------------------
+
+  /** Per-vector min/max int8 quantization — the storage-compression
+    * step of a 100 TB embedding pipeline (4x smaller than float32; the
+    * scale/offset pair rides along for dequantization). Pure per-row
+    * array expressions, zero shuffles; quantized code
+    * floor((x-mn)/(mx-mn)*255) and the max reconstruction error in
+    * basis points of the vector's range are both integers, so the
+    * oracle compare is exact. Constant vectors (mx == mn) quantize to
+    * all-zero codes by convention. */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
+    val rng = col("mx") - col("mn")
+    val codes = when(rng === 0.0, transform(col("v"), _ => lit(0)))
+      .otherwise(transform(col("v"),
+        x => floor((x - col("mn")) / rng * 255).cast("int")))
+    // reconstruction: mn + code/255*rng; error in bp of the range
+    val errBp = when(rng === 0.0, lit(0L)).otherwise(
+      array_max(zip_with(col("v"), col("q8"),
+        (x, q) => floor(abs(x - (col("mn") + q.cast("double") / 255.0 * rng)) / rng * 10000).cast("long"))))
+    e.withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("q8", codes)
+      .withColumn("max_err_bp", errBp)
+      .select(col("vec_id"), col("q8"), col("max_err_bp"))
+      .orderBy(col("vec_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"      -> q30 _,
     "q31_dedup_hash"       -> q31 _,
@@ -322,6 +350,7 @@ object LlmQueries extends QueryPack {
     "q37_ann_bucket_topk"  -> q37 _,
     "q38_knn_label"        -> q38 _,
     "q65_ann_multiprobe"   -> q65 _,
+    "q66_embed_quantize"   -> q66 _,
     "q39_embed_neardup"    -> q39 _,
     "q57_ivf_ann"          -> q57 _
   )
@@ -384,6 +413,19 @@ object LlmQueries extends QueryPack {
         WHERE q.vec_id < 5),
       r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM p)
       SELECT q_id, rn, vec_id, sim_q FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q66_embed_quantize" -> s"""
+      WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+      mm AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+      q AS (SELECT vec_id, v, mn, mx,
+              CASE WHEN mx = mn THEN [0 for x in v]
+                   ELSE [CAST(floor((x - mn) / (mx - mn) * 255) AS INT) for x in v] END AS q8
+            FROM mm)
+      SELECT vec_id, q8,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(list_max([CAST(floor(abs(v[i] - (mn + CAST(q8[i] AS DOUBLE) / 255.0 * (mx - mn)))
+                         / (mx - mn) * 10000) AS BIGINT) for i in generate_series(1, len(v))]) AS BIGINT)
+             END AS max_err_bp
+      FROM q ORDER BY vec_id""",
     "q65_ann_multiprobe" -> s"""
       WITH b AS (SELECT vec_id, embedding, ${VectorOps.lshBucketSql("embedding")} AS bucket FROM embeddings),
       p AS (

@@ -197,8 +197,34 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** q67: fixed-size document chunking with overlap — the
+    * context-window prep step of a training pipeline: windows of 40
+    * words, stride 30 (10-word overlap), last partial chunk kept iff it
+    * has more than the overlap's worth of new words. One generator per
+    * doc (chunk starts from a sequence expression), no shuffles until
+    * the final ORDER BY; each chunk carries its word span and a
+    * fingerprint of its first/last word so the oracle is fully exact. */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val size = 40
+    val stride = 30
+    val starts = sequence(lit(1),
+      greatest(col("n_words") - (size - stride), lit(1)), lit(stride))
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_words", org.apache.spark.sql.functions.size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n_words"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .withColumn("len", least(lit(size), col("n_words") - col("start") + 1))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_word"), col("len").cast("long").as("n_chunk_words"),
+        element_at(col("ws"), col("start")).as("first_word"),
+        element_at(col("ws"), col("start") + col("len") - 1).as("last_word"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_e2e_pipeline"    -> q62 _,
+    "q67_chunking"        -> q67 _,
     "q63_tfidf"           -> q63 _,
     "q40_langid"          -> q40 _,
     "q41_quality_score"   -> q41 _,
@@ -211,6 +237,18 @@ object TextQueries extends QueryPack {
   private val stopSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   override val oracle: Map[String, String] = Map(
+    "q67_chunking" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n_words
+                 FROM documents),
+      ch AS (SELECT doc_id, ws, n_words, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                    CAST(1 + chunk_idx * 30 AS BIGINT) AS start_word
+             FROM (SELECT doc_id, ws, n_words, unnest(range(greatest((n_words - 10 - 1) // 30 + 1, 1))) AS chunk_idx
+                   FROM d))
+      SELECT doc_id, chunk_idx, start_word,
+             CAST(least(40, n_words - start_word + 1) AS BIGINT) AS n_chunk_words,
+             ws[start_word] AS first_word,
+             ws[start_word + least(40, n_words - start_word + 1) - 1] AS last_word
+      FROM ch ORDER BY doc_id, chunk_idx""",
     "q63_tfidf" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
       tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
