@@ -282,8 +282,12 @@ object LlmQueries extends QueryPack {
 
   /** The IVF search path over an arbitrary (trained) centroid set —
     * see [[ivfAnn]] for the plan-shape discussion. */
-  def ivfSearch(e: DataFrame, cents: Seq[(Long, Seq[Double])], nprobe: Int,
+  def ivfSearch(e: DataFrame, centsIn: Seq[(Long, Seq[Double])], nprobe: Int,
                 k: Int, nQueries: Int): DataFrame = {
+    // nearest_cells breaks exact-L2 ties by ARRAY INDEX; the HOF/oracle
+    // twin breaks them by cid. Sorting by cid here makes index order ≡ cid
+    // order, so the invariant is enforced rather than assumed of callers.
+    val cents = centsIn.sortBy(_._1)
     val s = e.sparkSession
     graft.GraftFunctions.ensure(s)
     // cell ranking runs in the native NearestCells expression (primitive
@@ -320,7 +324,11 @@ object LlmQueries extends QueryPack {
     * floor((x-mn)/(mx-mn)*255) and the max reconstruction error in
     * basis points of the vector's range are both integers, so the
     * oracle compare is exact. Constant vectors (mx == mn) quantize to
-    * all-zero codes by convention. */
+    * all-zero codes by convention. The code vector is emitted as a CSV
+    * string (`q8_csv`): the driver's comparator sorts result rows by
+    * every output column, and an array-typed column is unhashable
+    * there (round-2 gate failure) — and at 100 TB the int8 payload
+    * would be a packed binary column anyway, not a list<int>. */
   def q66(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
     val rng = col("mx") - col("mn")
@@ -335,7 +343,7 @@ object LlmQueries extends QueryPack {
       .withColumn("mx", array_max(col("v")))
       .withColumn("q8", codes)
       .withColumn("max_err_bp", errBp)
-      .select(col("vec_id"), col("q8"), col("max_err_bp"))
+      .select(col("vec_id"), array_join(col("q8"), ",").as("q8_csv"), col("max_err_bp"))
       .orderBy(col("vec_id"))
   }
 
@@ -420,7 +428,7 @@ object LlmQueries extends QueryPack {
               CASE WHEN mx = mn THEN [0 for x in v]
                    ELSE [CAST(floor((x - mn) / (mx - mn) * 255) AS INT) for x in v] END AS q8
             FROM mm)
-      SELECT vec_id, q8,
+      SELECT vec_id, array_to_string(q8, ',') AS q8_csv,
              CASE WHEN mx = mn THEN 0
                   ELSE CAST(list_max([CAST(floor(abs(v[i] - (mn + CAST(q8[i] AS DOUBLE) / 255.0 * (mx - mn)))
                          / (mx - mn) * 10000) AS BIGINT) for i in generate_series(1, len(v))]) AS BIGINT)
