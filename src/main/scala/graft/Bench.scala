@@ -62,7 +62,9 @@ object Bench {
       try exec(name, sfDir)
       catch {
         case t: Throwable =>
-          errors(name) = jsonSafe(t.toString).take(200)
+          // truncate BEFORE escaping — a cut landing inside an escape
+          // pair would leave a dangling backslash and break the JSON line
+          errors(name) = jsonSafe(t.toString.take(200))
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9

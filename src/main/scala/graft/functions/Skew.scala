@@ -39,6 +39,11 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], fanout: Int,
                 aggs: Seq[SplitAgg]): DataFrame = {
     require(fanout > 0 && aggs.nonEmpty)
+    require(!df.columns.contains("__salt"),
+      "saltedAgg reserves the __salt column name")
+    require(aggs.map(_.alias).distinct.size == aggs.size &&
+      aggs.map(_.alias).forall(a => !keys.contains(a)),
+      "agg aliases must be distinct and disjoint from the grouping keys")
     // the salt only has to spread rows evenly; it is stripped before the
     // merge, so the result is salt-independent
     val salted = df.withColumn("__salt",

@@ -53,8 +53,17 @@ def main(sf_dir, out_dir):
                 if pd.api.types.is_integer_dtype(a) and pd.api.types.is_integer_dtype(b):
                     eq = (a.values == b.values)
                 else:
-                    eq = np.isclose(a.astype("float64").values, b.astype("float64").values,
-                                    rtol=0, atol=0, equal_nan=True)
+                    av, bv = a.astype("float64").values, b.astype("float64").values
+                    # mixed int/float dtypes whose VALUES are all integral:
+                    # compare exactly via int64 — the float64 cast collapses
+                    # distinct integers above 2^53 (key domains are shifted
+                    # by i*1e8 in scaled data, so this is reachable)
+                    fin = np.isfinite(av) & np.isfinite(bv)
+                    if fin.all() and (av == np.floor(av)).all() and (bv == np.floor(bv)).all() \
+                       and (np.abs(av) < 2**62).all() and (np.abs(bv) < 2**62).all():
+                        eq = (a.astype("int64").values == b.astype("int64").values)
+                    else:
+                        eq = np.isclose(av, bv, rtol=0, atol=0, equal_nan=True)
             else:
                 eq = (a.astype(str).values == b.astype(str).values)
             if not eq.all():
