@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles3, Simhash16, WordFingerprint}
+import graft.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles3, Simhash16, WordFingerprint}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -38,7 +38,14 @@ object GraftFunctions {
     (new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
       (children: Seq[Expression]) =>
-        CountMinSketchAgg(children.head).toAggregateExpression(): Expression)
+        CountMinSketchAgg(children.head).toAggregateExpression(): Expression),
+    (new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) =>
+        BloomFilterAgg(children.head).toAggregateExpression(): Expression),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1)): Expression)
   )
 
   /** Idempotent per-session registration. */

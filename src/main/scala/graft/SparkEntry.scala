@@ -13,7 +13,8 @@ object SparkEntry {
     LlmQueries,
     TextQueries,
     AggQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -45,6 +45,22 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id") +: (0 until 4).map(k => element_at(col("sg"), k + 1).as(s"sig$k")): _*)
   }
 
+  /** Band join → candidate pairs → exact-Jaccard support counts; the
+    * CTE chain behind both the q33 pair listing and q68's clustering
+    * (expects `$oracleSigs` bound first). */
+  private def neardupCtes = s"""
+      bands AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sigs),
+      bands_ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) <= $BandCap),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bands x JOIN bands_ok k ON x.band = k.band
+                            JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+      sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
+      sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      com AS (SELECT a, b, COUNT(*) AS common
+              FROM cand JOIN sh sa ON sa.doc_id = a
+                        JOIN sh sb ON sb.doc_id = b AND sa.s = sb.s
+              GROUP BY a, b)"""
+
   private val oracleSigs = """
     docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     shs AS (SELECT doc_id,
@@ -91,7 +107,12 @@ object LlmQueries extends QueryPack {
     * cap, so the oracle (which applies the same cap) is unaffected. */
   val BandCap = 64
 
-  def q33(s: SparkSession, d: String): DataFrame = {
+  def q33(s: SparkSession, d: String): DataFrame =
+    neardupPairs(s, d).orderBy(col("a"), col("b"))
+
+  /** The LSH near-dup pair pipeline shared by q33 (pairs) and q68
+    * (clusters): band join → candidates → exact Jaccard ≥ 0.5. */
+  def neardupPairs(s: SparkSession, d: String): DataFrame = {
     // Signature table: distinct shingle set + 4 minhashes + 2 band keys,
     // computed ONCE and persisted — the md5-heavy stage would otherwise
     // re-run for every downstream use (both band sides + both Jaccard
@@ -128,8 +149,24 @@ object LlmQueries extends QueryPack {
       .filter(col("common") * 2 >= col("union_sz"))
       .select(col("a"), col("b"),
         expr("CAST((common * 10000L) DIV union_sz AS BIGINT)").as("jac_bp"))
-      .orderBy(col("a"), col("b"))
     out
+  }
+
+  // q68: near-dup pairs -> dedup clusters (connected components) ---------
+
+  /** Near-dup CLUSTERING: the pair set is only half the dedup story —
+    * a group of k mutually-similar docs yields up to k(k-1)/2 pairs,
+    * and the keep-one-per-group decision needs the transitive closure.
+    * Components come from [[graft.functions.Graph.connectedComponents]]
+    * (distributed min-label propagation); cluster_id = min doc_id of
+    * the component, which is exactly the representative q30/q31 would
+    * keep. Only docs that appear in some near-dup pair are emitted —
+    * singletons are trivially their own cluster. */
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val edges = neardupPairs(s, d).select(col("a"), col("b"))
+    graft.functions.Graph.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   // q34: 16-bit SimHash per doc ------------------------------------------
@@ -360,7 +397,8 @@ object LlmQueries extends QueryPack {
     "q65_ann_multiprobe"   -> q65 _,
     "q66_embed_quantize"   -> q66 _,
     "q39_embed_neardup"    -> q39 _,
-    "q57_ivf_ann"          -> q57 _
+    "q57_ivf_ann"          -> q57 _,
+    "q68_neardup_clusters" -> q68 _
   )
 
   private val simhashSql: String =
@@ -382,21 +420,25 @@ object LlmQueries extends QueryPack {
       SELECT doc_id, sig0, sig1, sig2, sig3 FROM sigs ORDER BY doc_id""",
     "q33_lsh_neardup" -> s"""
       WITH $oracleSigs,
-      bands AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sigs),
-      bands_ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) <= $BandCap),
-      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-               FROM bands x JOIN bands_ok k ON x.band = k.band
-                            JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
-      sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
-      sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-      com AS (SELECT a, b, COUNT(*) AS common
-              FROM cand JOIN sh sa ON sa.doc_id = a
-                        JOIN sh sb ON sb.doc_id = b AND sa.s = sb.s
-              GROUP BY a, b)
+      $neardupCtes
       SELECT a, b, (common * 10000) // (za.c + zb.c - common) AS jac_bp
       FROM com JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
       WHERE common * 2 >= (za.c + zb.c - common)
       ORDER BY a, b""",
+    "q68_neardup_clusters" -> s"""
+      WITH RECURSIVE $oracleSigs,
+      $neardupCtes,
+      pairs AS (SELECT a, b
+                FROM com JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+                WHERE common * 2 >= (za.c + zb.c - common)),
+      e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+      n AS (SELECT DISTINCT u AS id FROM e),
+      reach(id, r) AS (
+        SELECT id, id FROM n
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id
+      )
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
     "q34_simhash" -> s"""
       SELECT doc_id, $simhashSql AS simhash
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)

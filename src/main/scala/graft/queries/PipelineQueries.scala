@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{Packing, TextOps}
+
+/** Round-3 training-data pipeline operators: runtime join prefiltering,
+  * benchmark decontamination, sequence packing, window analytics,
+  * stratified corpus mixing, repetition scoring.
+  *
+  * 100 TB design notes:
+  *  - q69's bloom prefilter is THE mechanism for a selective fact-dim
+  *    semi join at scale: a 4 KiB broadcast drops non-matching fact rows
+  *    inside the scan's codegen stage, before any exchange; the exact
+  *    semi join afterwards only sees survivors, so false positives cost
+  *    shuffle bytes, never correctness.
+  *  - q70 broadcasts the benchmark shingle set (distinct n-grams of the
+  *    held-out benchmark — small by construction); the corpus side
+  *    explodes shingles but never shuffles them (the aggregation groups
+  *    back on doc_id partial-first).
+  *  - q71 packs with one hash shuffle + in-partition sort and O(1)
+  *    task state (functions/Packing).
+  *  - q72 windows shuffle once on user_id and evaluate all four
+  *    analytics in the two sort orders that shuffle provides.
+  *  - q73/q74 are pure per-row maps over a pruned scan — no shuffle
+  *    until the output ORDER BY.
+  */
+object PipelineQueries extends QueryPack {
+
+  import TextOps._
+
+  // q69: bloom-prefiltered semi join --------------------------------------
+
+  def q69(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // The filter is built in its own (tiny) job and injected as a 4 KiB
+    // BINARY LITERAL — the same two-phase shape engine-native runtime
+    // filters use. Keeping it lazy as a 1-row cross join instead lets
+    // Catalyst reorder the joins and evaluate the exact semi join
+    // FIRST, which defeats the prefilter (observed: the plan became
+    // semi-join → cross-join → filter). As a literal the predicate
+    // pushes into the fact scan's codegen stage, below the join.
+    val bf = cust.agg(call_function("bloom_agg", col("c_custkey")).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .filter(call_function("bloom_might_contain", lit(bf), col("o_custkey")))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // q70: benchmark contamination (shared 3-gram ratio vs held-out set) ----
+
+  def q70(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    // shingle sets computed once for both the benchmark and corpus sides
+    val shs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        array_distinct(call_function("shingles3", words(col("text")))).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist()
+    val bench = shs.filter(col("source") === "src0")
+      .select(explode(col("shs")).as("sh")).distinct()
+    val corpus = shs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    corpus.join(broadcast(bench.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .withColumn("contam_bp", expr("CAST((n_shared * 10000L) DIV n_shingles AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q71: greedy sequence packing per source (256-token bins) --------------
+
+  val PackBudget = 256L
+
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    Packing.packBySource(docs, PackBudget).toDF()
+      .select(col("source"), col("bin_id"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("bin_id"), col("doc_id"))
+  }
+
+  // q72: window-analytics family over the event stream --------------------
+
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wVal = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(wSeq))
+      .withColumn("next_value", lead(col("value"), 1).over(wSeq))
+      // percent_rank = (rank-1)/(n-1): both engines build the identical
+      // double from small-int division, so floor·1e4 is exact
+      .withColumn("pr_bp", floor(percent_rank().over(wVal) * 10000).cast("long"))
+      .withColumn("quartile", ntile(4).over(wVal))
+      .orderBy(col("event_id"))
+  }
+
+  // q73: stratified corpus mixing (deterministic per-language rates) ------
+
+  /** Down-sample English to 30% and everything else to 80% — the
+    * data-mixing step that rebalances a raw crawl toward a target
+    * language distribution. Membership is a pure hash of doc_id, so the
+    * sample is reproducible, join-free, and identical in both engines. */
+  def q73(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10000)
+      .withColumn("rate", when(col("lang") === "en", lit(3000L)).otherwise(lit(8000L)))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  // q74: intra-document repetition score (duplicate 3-gram ratio) ---------
+
+  def q74(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), call_function("shingles3", words(col("text"))).as("tri"))
+      .filter(size(col("tri")) > 0)
+      .select(col("doc_id"),
+        size(col("tri")).cast("long").as("n_tri"),
+        size(array_distinct(col("tri"))).cast("long").as("n_uniq"))
+      .withColumn("rep_bp", expr("CAST(((n_tri - n_uniq) * 10000L) DIV n_tri AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_bloom_semijoin"   -> q69 _,
+    "q70_contamination"    -> q70 _,
+    "q71_seq_pack"         -> q71 _,
+    "q72_window_analytics" -> q72 _,
+    "q73_stratified_mix"   -> q73 _,
+    "q74_repetition"       -> q74 _
+  )
+
+  private val shingleList =
+    "[array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 0))]"
+
+  override val oracle: Map[String, String] = Map(
+    "q69_bloom_semijoin" -> """
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      ORDER BY o_orderkey""",
+    "q70_contamination" -> s"""
+      WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+      shs AS (SELECT doc_id, source, list_distinct($shingleList) AS sh FROM docs),
+      ok AS (SELECT * FROM shs WHERE len(sh) > 0),
+      bench AS (SELECT DISTINCT unnest(sh) AS s FROM ok WHERE source = 'src0'),
+      corpus AS (SELECT doc_id, unnest(sh) AS s FROM ok WHERE source <> 'src0'),
+      j AS (SELECT c.doc_id, COUNT(*) AS n_shingles, COUNT(b.s) AS n_shared
+            FROM corpus c LEFT JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+      SELECT doc_id, n_shingles, n_shared,
+             (n_shared * 10000) // n_shingles AS contam_bp
+      FROM j ORDER BY doc_id""",
+    "q71_seq_pack" -> s"""
+      WITH RECURSIVE d AS (
+        SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      pack(source, rn, doc_id, n_tokens, bin_id, acc) AS (
+        SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+               CASE WHEN p.acc + d.n_tokens > $PackBudget THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.acc + d.n_tokens > $PackBudget THEN d.n_tokens ELSE p.acc + d.n_tokens END
+        FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      SELECT source, bin_id, doc_id, n_tokens
+      FROM pack ORDER BY source, bin_id, doc_id""",
+    "q72_window_analytics" -> """
+      SELECT event_id, user_id, value,
+             lag(value) OVER w AS prev_value,
+             lead(value) OVER w AS next_value,
+             CAST(floor(percent_rank() OVER wv * 10000) AS BIGINT) AS pr_bp,
+             ntile(4) OVER wv AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+             wv AS (PARTITION BY user_id ORDER BY value, event_id)
+      ORDER BY event_id""",
+    "q73_stratified_mix" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000
+            < CASE WHEN lang = 'en' THEN 3000 ELSE 8000 END
+      ORDER BY doc_id""",
+    "q74_repetition" -> s"""
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      tri AS (SELECT doc_id, $shingleList AS tri FROM docs),
+      ok AS (SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_tri,
+                    CAST(len(list_distinct(tri)) AS BIGINT) AS n_uniq
+             FROM tri WHERE len(tri) > 0)
+      SELECT doc_id, n_tri, n_uniq,
+             ((n_tri - n_uniq) * 10000) // n_tri AS rep_bp
+      FROM ok ORDER BY doc_id"""
+  )
+}

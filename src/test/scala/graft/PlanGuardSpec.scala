@@ -50,6 +50,37 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salted phase folded away:\n$plan")
   }
 
+  test("q69 bloom prefilter runs before the exact semi join, which broadcasts") {
+    val plan = SparkEntry.queries("q69_bloom_semijoin")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val filterAt = plan.indexOf("bloom_might_contain")
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    assert(filterAt >= 0, s"bloom prefilter missing:\n$plan")
+    assert(joinAt >= 0, s"semi join must broadcast:\n$plan")
+    // executedPlan prints top-down: the join node must appear BEFORE the
+    // filter in the text, i.e. the filter sits below it, on the scan side
+    assert(joinAt < filterAt, s"bloom filter not pushed below the join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "prefiltered semi join must not sort-merge")
+  }
+
+  test("q70 broadcasts the benchmark shingle set; corpus side never shuffles shingles") {
+    val plan = SparkEntry.queries("q70_contamination")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"shingle join must not sort-merge:\n$plan")
+  }
+
+  test("q71 packs with one hash exchange on source and no global sort before the map") {
+    val plan = SparkEntry.queries("q71_seq_pack")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(source"),
+      s"packing must co-locate by source:\n$plan")
+    // exactly one range exchange: the final presentation ORDER BY — the
+    // packing itself must rely on sortWithinPartitions only
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(rangeExchanges <= 1, s"packing introduced a global sort:\n$plan")
+  }
+
   test("dimension joins broadcast (no shuffle of the fact table for enrichment)") {
     val plan = SparkEntry.queries("q16_broadcast_dims")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
