@@ -37,10 +37,10 @@ object Graph {
     val dst = edges.columns(1)
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
     var it = 0
     var converged = false
@@ -57,7 +57,9 @@ object Graph {
           col("x.label") === col("lid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
-        .localCheckpoint()
+        // lazy: materialized by the convergence aggregate below, so each
+        // round runs ONE job (eager would schedule a separate one)
+        .localCheckpoint(false)
       val s = jumped.agg(sum(col("label"))).head().getLong(0)
       labels = jumped
       converged = s == lastSum

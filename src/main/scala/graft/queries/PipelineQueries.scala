@@ -133,13 +133,64 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q75: equi-depth histogram (decile buckets of l_extendedprice) --------
+
+  /** Global equi-depth bucketing: boundaries from one exact-percentile
+    * aggregate (Spark `percentile` interpolates identically to DuckDB
+    * `quantile_cont`), broadcast as a 9-double array; assignment is a
+    * per-row count of boundaries below the value — no global sort, no
+    * window, the 100 TB shape for building feature-equalizing buckets. */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    val pcts = (1 to 9).map(_ / 10.0).mkString("array(", ", ", ")")
+    val bnds = Tables.lineitem(s, d)
+      .agg(expr(s"percentile(l_extendedprice, $pcts)").as("bnds"))
+    Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+      .crossJoin(broadcast(bnds)) // 1 row, 9 doubles
+      .withColumn("bucket",
+        (size(filter(col("bnds"), b => b < col("x"))) + 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("min_price"), max(col("x")).as("max_price"))
+      .orderBy(col("bucket"))
+  }
+
+  // q76: exact distributed Pearson correlation per return flag -----------
+
+  /** corr(l_quantity, l_extendedprice) per flag WITHOUT the built-in
+    * `corr` aggregate: the built-in accumulates doubles in partition
+    * order, so its last bits are nondeterministic under parallelism.
+    * Here the five moment sums run in exact DECIMAL (order-independent,
+    * mergeable — the same trick as util.Det), and only the final
+    * per-group scalar formula drops to doubles, identically in both
+    * engines; floor·1e6 fixed-points the result. */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    import graft.util.Det.dec2
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    val g = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val corr = (nD * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+       sqrt(nD * col("syy") - col("sy") * col("sy")))
+    g.select(col("l_returnflag"), col("n"),
+        floor(corr * 1e6).cast("long").as("corr_fp"))
+      .orderBy(col("l_returnflag"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_bloom_semijoin"   -> q69 _,
     "q70_contamination"    -> q70 _,
     "q71_seq_pack"         -> q71 _,
     "q72_window_analytics" -> q72 _,
     "q73_stratified_mix"   -> q73 _,
-    "q74_repetition"       -> q74 _
+    "q74_repetition"       -> q74 _,
+    "q75_equidepth_hist"   -> q75 _,
+    "q76_corr_exact"       -> q76 _
   )
 
   private val shingleList =
@@ -199,6 +250,28 @@ object PipelineQueries extends QueryPack {
              FROM tri WHERE len(tri) > 0)
       SELECT doc_id, n_tri, n_uniq,
              ((n_tri - n_uniq) * 10000) // n_tri AS rep_bp
-      FROM ok ORDER BY doc_id"""
+      FROM ok ORDER BY doc_id""",
+    "q75_equidepth_hist" -> """
+      WITH b AS (SELECT quantile_cont(l_extendedprice,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+                 FROM lineitem)
+      SELECT CAST(len(list_filter(b.bnds, x -> x < l_extendedprice)) + 1 AS BIGINT) AS bucket,
+             COUNT(*) AS n, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+      FROM lineitem, b
+      GROUP BY 1 ORDER BY 1""",
+    "q76_corr_exact" -> """
+      WITH g AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             CAST(floor(((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+                   sqrt(CAST(n AS DOUBLE) * syy - sy * sy))) * 1000000) AS BIGINT) AS corr_fp
+      FROM g ORDER BY l_returnflag"""
   )
 }

@@ -73,6 +73,34 @@ class PipelineSpec extends SparkSpec {
     assert(got(("a", 4L)) !== got(("a", 5L)))
   }
 
+  test("range-partitioned shard export: shards internally sorted, ranges disjoint") {
+    // the training-shard writer shape: repartitionByRange gives globally
+    // ordered, disjoint shards WITHOUT a single-reducer global sort;
+    // readers can then merge or sample shards independently
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Tables.documents(spark, sf("sf0.001")).select(col("doc_id"), col("source"))
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+    val ranges = files.flatMap { f =>
+      val ids = spark.read.parquet(f.getPath).select(col("doc_id")).as[Long].collect()
+      if (ids.isEmpty) None
+      else {
+        assert(ids.sameElements(ids.sorted), s"${f.getName} not internally sorted")
+        Some((ids.min, ids.max))
+      }
+    }.sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple shards")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "shard ranges overlap")
+      case _ =>
+    }
+    val total = spark.read.parquet(out).count()
+    assert(total === Tables.documents(spark, sf("sf0.001")).count())
+  }
+
   test("packing bins never exceed the budget except for single oversized docs") {
     val out = SparkEntry.queries("q71_seq_pack")(spark, sf("sf0.001"))
     val bins = out.groupBy(col("source"), col("bin_id"))
