@@ -135,15 +135,25 @@ object PipelineQueries extends QueryPack {
 
   // q75: equi-depth histogram (decile buckets of l_extendedprice) --------
 
-  /** Global equi-depth bucketing: boundaries from one exact-percentile
-    * aggregate (Spark `percentile` interpolates identically to DuckDB
-    * `quantile_cont`), broadcast as a 9-double array; assignment is a
-    * per-row count of boundaries below the value — no global sort, no
-    * window, the 100 TB shape for building feature-equalizing buckets. */
+  /** Global equi-depth bucketing, the way Spark's own RangePartitioner
+    * does it: boundaries from an exact percentile over a DETERMINISTIC
+    * HASH SAMPLE (5%, md5 of the row key — identical row set in both
+    * engines), broadcast as a 9-double array; assignment is a per-row
+    * count of boundaries below the value. Exact `percentile` buffers
+    * every input value in one aggregation buffer — fine over a bounded
+    * sample, a scale-killer over the full column (measured 2.6 s at
+    * sf0.1 vs 0.6 s sampled; at 100 TB, shrink the rate or swap in
+    * mergeable `approx_percentile`, trading the oracle's exactness).
+    * Spark `percentile` interpolates identically to DuckDB
+    * `quantile_cont`, so sampled boundaries still hash-match. */
+  val SampleBp = 500L
+
   def q75(s: SparkSession, d: String): DataFrame = {
     val pcts = (1 to 9).map(_ / 10.0).mkString("array(", ", ", ")")
-    val bnds = Tables.lineitem(s, d)
-      .agg(expr(s"percentile(l_extendedprice, $pcts)").as("bnds"))
+    val sampled = Tables.lineitem(s, d)
+      .filter(conv(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 4), 16, 10)
+        .cast("long") % 10000 < SampleBp)
+    val bnds = sampled.agg(expr(s"percentile(l_extendedprice, $pcts)").as("bnds"))
     Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
       .crossJoin(broadcast(bnds)) // 1 row, 9 doubles
       .withColumn("bucket",
@@ -251,10 +261,12 @@ object PipelineQueries extends QueryPack {
       SELECT doc_id, n_tri, n_uniq,
              ((n_tri - n_uniq) * 10000) // n_tri AS rep_bp
       FROM ok ORDER BY doc_id""",
-    "q75_equidepth_hist" -> """
+    "q75_equidepth_hist" -> s"""
       WITH b AS (SELECT quantile_cont(l_extendedprice,
                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
-                 FROM lineitem)
+                 FROM lineitem
+                 WHERE CAST(('0x' || substr(md5(CONCAT(l_orderkey, '_', l_linenumber)), 1, 4)) AS INT)
+                       % 10000 < $SampleBp)
       SELECT CAST(len(list_filter(b.bnds, x -> x < l_extendedprice)) + 1 AS BIGINT) AS bucket,
              COUNT(*) AS n, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
       FROM lineitem, b
