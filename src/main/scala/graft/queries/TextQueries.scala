@@ -26,26 +26,40 @@ object TextQueries extends QueryPack {
   /** q40: frequency-profile language ID, self-trained: per-lang top-10
     * words by corpus frequency; a doc votes with word multiplicity;
     * prediction = argmax overlap (ties -> lang asc). Output: confusion
-    * matrix. */
+    * matrix.
+    *
+    * Two-job shape (like q69's bloom filter): the profile is 5 langs x
+    * 10 words BY CONSTRUCTION, so job 1 computes it and collects those
+    * 50 strings to the driver; job 2 scores every document with pure
+    * in-row array expressions against the word-list literals — no
+    * second explode, no join, no per-doc prediction window. The argmax
+    * with its lang-asc tie-break is an array_sort over
+    * struct(-score, lang). At 100 TB job 2 is a single narrow pass. */
   def q40(s: SparkSession, d: String): DataFrame = {
-    // persisted: tok feeds BOTH the profile build and the scoring join —
-    // without it the full tokenize+explode scan runs twice
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("word"))
-      .persist()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
     val wProf = Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("word"))
-    val prof = tok.groupBy(col("lang").as("p_lang"), col("word"))
+    val prof: Map[String, Seq[String]] = docs
+      .select(col("lang"), explode(col("ws")).as("word"))
+      .groupBy(col("lang").as("p_lang"), col("word"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(wProf))
       .filter(col("rk") <= 10)
       .select(col("p_lang"), col("word"))
-    val wPred = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
-    tok.join(broadcast(prof), Seq("word"))
-      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-      .agg(count(lit(1)).as("score"))
-      .withColumn("pr", row_number().over(wPred))
-      .filter(col("pr") === 1)
-      .groupBy(col("lang"), col("p_lang").as("pred_lang"))
+      .collect().toSeq
+      .groupBy(_.getString(0)).map { case (l, rs) => l -> rs.map(_.getString(1)) }
+    val scored = prof.keys.toSeq.sorted.map { l =>
+      val profWords = array(prof(l).map(lit): _*)
+      struct(
+        (-size(filter(col("ws"), w => array_contains(profWords, w)))).as("nscore"),
+        lit(l).as("p_lang"))
+    }
+    // min struct = (max score, then lang asc) — docs with zero profile
+    // hits in every lang drop out, as the inner scoring join did
+    val best = element_at(array_sort(array(scored: _*)), 1)
+    docs.withColumn("best", best)
+      .filter(col("best.nscore") < 0)
+      .groupBy(col("lang"), col("best.p_lang").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
   }
@@ -179,21 +193,25 @@ object TextQueries extends QueryPack {
     * cross-engine over every (N, df) pair with N ∈ {500, 5e3, 5e4,
     * 5e5}, df ≤ N — 555 500 values, zero divergences. Plan shape at
     * scale: one shuffle to (doc, word) counts, a vocabulary-sized
-    * aggregate joined back on the word key, a 1-row broadcast for N,
-    * and a per-doc WindowGroupLimit top-3. */
+    * aggregate BROADCAST back (natural-language vocabulary is
+    * sublinear in corpus size — Heaps' law — so the df table fits
+    * executors long past 100 TB; for an adversarial vocabulary drop
+    * the hint and AQE picks the shuffle join), a 1-row broadcast for
+    * N, and a per-doc WindowGroupLimit top-3. The hint saves
+    * re-shuffling the (doc, word) table — the big side — by word. */
   def q63(s: SparkSession, d: String): DataFrame = {
-    // persisted: tf feeds both the document-frequency aggregate and the
-    // scoring join — without it the explode+shuffle runs twice (same
-    // multi-consumer pattern as q40's token table)
+    // tf feeds both the document-frequency aggregate and the scoring
+    // join; the two consumers share one identical shuffle subtree, so
+    // ReuseExchange materializes the explode+partial-agg once — no
+    // persist needed (and no block-manager write in the hot path)
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val wTop = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
-    tf.join(dfreq, Seq("word"))
+    tf.join(broadcast(dfreq), Seq("word"))
       .crossJoin(broadcast(nDocs)) // 1-row corpus size for the idf
       .withColumn("score",
         col("tf") * floor(log(col("n_docs").cast("double") / col("df")) * 1e6).cast("long"))
