@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles3, Simhash16, WordFingerprint}
+import graft.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles3, Simhash16, WordFingerprint, ZorderKey}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -45,7 +45,10 @@ object GraftFunctions {
         BloomFilterAgg(children.head).toAggregateExpression(): Expression),
     (new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (children: Seq[Expression]) => BloomMightContain(children(0), children(1)): Expression)
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1)): Expression),
+    (new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZorderKey].getName, "zorder_key"),
+      (children: Seq[Expression]) => ZorderKey(children(0), children(1)): Expression)
   )
 
   /** Idempotent per-session registration. */

@@ -169,6 +169,28 @@ object LlmQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q78: end-to-end near-dup dedup decision ------------------------------
+
+  /** The decision table a dedup stage actually materializes: EVERY doc
+    * with its near-dup cluster id (own id if un-clustered) and the
+    * keep/drop bit — cluster representative = min doc_id, exactly the
+    * policy of q30/q31. The corpus side is a broadcast left join
+    * against the (tiny relative to corpus) clustered-doc set, so the
+    * full table is annotated in one narrow pass — the shape that lets
+    * the next pipeline stage `filter(kept = 1)` with zero extra
+    * shuffles at 100 TB. */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val clusters = graft.functions.Graph.connectedComponents(
+      neardupPairs(s, d).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("kept", (col("cluster_id") === col("doc_id")).cast("int"))
+      .select(col("doc_id"), col("source"), col("cluster_id"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // q34: 16-bit SimHash per doc ------------------------------------------
 
   def q34(s: SparkSession, d: String): DataFrame = {
@@ -398,7 +420,8 @@ object LlmQueries extends QueryPack {
     "q66_embed_quantize"   -> q66 _,
     "q39_embed_neardup"    -> q39 _,
     "q57_ivf_ann"          -> q57 _,
-    "q68_neardup_clusters" -> q68 _
+    "q68_neardup_clusters" -> q68 _,
+    "q78_dedup_decision"   -> q78 _
   )
 
   private val simhashSql: String =
@@ -439,6 +462,25 @@ object LlmQueries extends QueryPack {
         SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id
       )
       SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "q78_dedup_decision" -> s"""
+      WITH RECURSIVE $oracleSigs,
+      $neardupCtes,
+      pairs AS (SELECT a, b
+                FROM com JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+                WHERE common * 2 >= (za.c + zb.c - common)),
+      e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+      n AS (SELECT DISTINCT u AS id FROM e),
+      reach(id, r) AS (
+        SELECT id, id FROM n
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id
+      ),
+      cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT d.doc_id, d.source,
+             COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+             CAST(COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS INT) AS kept
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
     "q34_simhash" -> s"""
       SELECT doc_id, $simhashSql AS simhash
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)

@@ -192,6 +192,126 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  // q77: text normalization (stopword strip + renormalized join) ---------
+
+  private val stopWords = Seq("the", "a", "of")
+
+  /** The cleaning map step of corpus prep: strip stopwords, re-join,
+    * emit the normalized-text digest plus before/after token counts.
+    * Pure per-row array expressions over a pruned scan — no shuffle at
+    * all until the output ORDER BY; at 100 TB this runs at scan speed
+    * and the md5 keeps the verified output narrow (the real pipeline
+    * would write the normalized text itself). */
+  def q77(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("kept", filter(col("ws"), w => !w.isInCollection(stopWords)))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+
+  // q79: stratified train/val/test split ----------------------------------
+
+  /** Deterministic 80/10/10 corpus split (hash of doc_id, the same
+    * reproducible-membership trick as q73), reported per (lang, split)
+    * with token mass — the integrity check run before any training job.
+    * Join-free: membership is a pure row expression, the only shuffle
+    * is the final tiny aggregation. */
+  def q79(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10000)
+      .withColumn("split",
+        when(col("bucket") < 8000, lit("train"))
+          .when(col("bucket") < 9000, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast("long")).as("sum_tokens"))
+      .orderBy(col("lang"), col("split"))
+
+  // q80: vocabulary build with dense ids + cumulative coverage -----------
+
+  /** Tokenizer-prep vocabulary: words ranked by corpus frequency with
+    * dense ids and cumulative-coverage basis points. The corpus-scale
+    * work is one explode + partial-first count; the ranking windows run
+    * over the AGGREGATED vocabulary (Heaps'-law small), so the
+    * single-partition global window is a non-issue at any corpus
+    * size — it never sees raw tokens. */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val wRank = Window.orderBy(col("cnt").desc, col("word"))
+    counts
+      .withColumn("vocab_id", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("vocab_id"), col("word"), col("cnt"),
+        expr("CAST((cum * 10000L) DIV total AS BIGINT)").as("cum_bp"))
+      .orderBy(col("vocab_id"))
+  }
+
+  // q81: Z-order layout rewrite stats -------------------------------------
+
+  /** Multi-dimensional data layout: cut lineitem into 16 "files" along
+    * the native `zorder_key` (Morton interleave of partkey/suppkey low
+    * bits, graft.expressions.ZorderKey) and emit each file's row count
+    * and min/max of BOTH keys — the file-skipping stats a scan would
+    * consult after a Delta/Iceberg-style OPTIMIZE ZORDER rewrite.
+    * File boundaries come the way RangePartitioner gets them — exact
+    * percentiles over a deterministic 5% hash sample (q75's pattern),
+    * broadcast as 15 doubles — and assignment is a per-row boundary
+    * count, so the plan is sample-agg + narrow map + 16-group agg: no
+    * global window, no single-partition sort, nothing that breaks at
+    * 100 TB. (A global-ntile cut would be exact equal-height but moves
+    * the whole table to one partition — the first version did, and the
+    * WindowExec warning is why it's gone.) */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("z",
+        call_function("zorder_key", col("l_partkey"), col("l_suppkey")).cast("double"))
+    val pcts = (1 to 15).map(i => i / 16.0).mkString("array(", ", ", ")")
+    val bnds = li
+      .filter(conv(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 4), 16, 10)
+        .cast("long") % 10000 < SampleBp)
+      .agg(expr(s"percentile(z, $pcts)").as("bnds"))
+    li.crossJoin(broadcast(bnds)) // 1 row, 15 doubles
+      .withColumn("file_id",
+        (size(filter(col("bnds"), b => b < col("z"))) + 1).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("file_id"))
+  }
+
+  // q82: top-10 trigrams per language --------------------------------------
+
+  /** Corpus n-gram statistics (the profile behind contamination checks,
+    * repetition analysis, and n-gram LM baselines): explode 3-gram
+    * shingles, count per (lang, trigram), WindowGroupLimit top-10 per
+    * language. The shuffle key is (lang, trigram) with map-side partial
+    * aggregation, so the exchange carries n-gram counts, never raw
+    * text. */
+  def q82(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val wRank = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(call_function("shingles3", words(col("text")))).as("tri"))
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_bloom_semijoin"   -> q69 _,
     "q70_contamination"    -> q70 _,
@@ -200,8 +320,21 @@ object PipelineQueries extends QueryPack {
     "q73_stratified_mix"   -> q73 _,
     "q74_repetition"       -> q74 _,
     "q75_equidepth_hist"   -> q75 _,
-    "q76_corr_exact"       -> q76 _
+    "q76_corr_exact"       -> q76 _,
+    "q77_normalize"        -> q77 _,
+    "q79_split_report"     -> q79 _,
+    "q80_vocab"            -> q80 _,
+    "q81_zorder_layout"    -> q81 _,
+    "q82_trigram_topk"     -> q82 _
   )
+
+  /** Unrolled Morton interleave of the low 16 bits of two BIGINT
+    * columns — the oracle twin of graft.expressions.ZorderKey (disjoint
+    * bit positions, so + is carry-free bitwise or). */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((((($x & 65535) >> $i) & 1) << ${2 * i}) + (((($y & 65535) >> $i) & 1) << ${2 * i + 1}))")
+      .mkString("(", " + ", ")")
 
   private val shingleList =
     "[array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 0))]"
@@ -271,6 +404,60 @@ object PipelineQueries extends QueryPack {
              COUNT(*) AS n, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
       FROM lineitem, b
       GROUP BY 1 ORDER BY 1""",
+    "q77_normalize" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      k AS (SELECT doc_id, ws,
+                   list_filter(ws, w -> w NOT IN ('the', 'a', 'of')) AS kept
+            FROM d)
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             md5(array_to_string(kept, ' ')) AS norm_md5
+      FROM k ORDER BY doc_id""",
+    "q79_split_report" -> """
+      WITH d AS (
+        SELECT lang,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 < 8000 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT lang, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM d GROUP BY lang, split ORDER BY lang, split""",
+    "q80_vocab" -> """
+      WITH c AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      g AS (SELECT word, COUNT(*) AS cnt FROM c GROUP BY word),
+      r AS (SELECT word, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS vocab_id,
+                   CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS total
+            FROM g)
+      SELECT vocab_id, word, cnt, (cum * 10000) // total AS cum_bp
+      FROM r ORDER BY vocab_id""",
+    "q81_zorder_layout" -> s"""
+      WITH z AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CAST(${zorderSql("l_partkey", "l_suppkey")} AS DOUBLE) AS z
+        FROM lineitem),
+      b AS (SELECT quantile_cont(z, [${(1 to 15).map(i => i / 16.0).mkString(", ")}]) AS bnds
+            FROM z
+            WHERE CAST(('0x' || substr(md5(CONCAT(l_orderkey, '_', l_linenumber)), 1, 4)) AS INT)
+                  % 10000 < $SampleBp),
+      f AS (SELECT z.*, CAST(len(list_filter(b.bnds, x -> x < z.z)) + 1 AS BIGINT) AS file_id
+            FROM z, b)
+      SELECT file_id, COUNT(*) AS n,
+             MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+             MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+      FROM f GROUP BY file_id ORDER BY file_id""",
+    "q82_trigram_topk" -> s"""
+      WITH docs AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+      tri AS (SELECT lang, unnest($shingleList) AS tri FROM docs),
+      g AS (SELECT lang, tri, COUNT(*) AS cnt FROM tri GROUP BY lang, tri),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS BIGINT) AS rk
+            FROM g)
+      SELECT lang, tri, cnt, rk FROM r WHERE rk <= 10 ORDER BY lang, rk""",
     "q76_corr_exact" -> """
       WITH g AS (
         SELECT l_returnflag, COUNT(*) AS n,

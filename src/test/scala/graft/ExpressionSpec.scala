@@ -167,4 +167,41 @@ class ExpressionSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("cosine_sim"))
   }
+
+  test("zorder_key interleaves bits; codegen equals a SQL bit-math twin") {
+    GraftFunctions.ensure(spark)
+    // hand-checked values: (x=1,y=0)->1, (x=0,y=1)->2, (x=3,y=3)->15,
+    // (x=0xFFFF,y=0)->0x55555555, masking drops bits above 16
+    assert(expressions.ZorderKey.interleave16(1L, 0L) == 1L)
+    assert(expressions.ZorderKey.interleave16(0L, 1L) == 2L)
+    assert(expressions.ZorderKey.interleave16(3L, 3L) == 15L)
+    assert(expressions.ZorderKey.interleave16(0xFFFFL, 0L) == 0x55555555L)
+    assert(expressions.ZorderKey.interleave16(0x10000L, 0L) == 0L)
+    // against the unrolled bit-math form over real keys (same SQL shape
+    // as the DuckDB oracle), inside codegen
+    val twin = (0 until 16).map(i =>
+      s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i}) + " +
+        s"((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+    val diff = Tables.lineitem(spark, sf("sf0.001"))
+      .selectExpr(s"zorder_key(l_partkey, l_suppkey) AS native", s"$twin AS twin")
+      .filter(col("native") =!= col("twin")).count()
+    assert(diff == 0)
+  }
+
+  test("zorder_key clusters both dimensions: adjacent curve ranges have bounded key spans") {
+    GraftFunctions.ensure(spark)
+    // every 4096-wide aligned z-range covers at most a 64-value span in
+    // x and y (property of the Morton curve: 12 curve bits = 6+6 key
+    // bits), which is exactly why min/max file pruning works per file
+    val rows = spark.range(0, 1 << 14).selectExpr(
+        "id % 128 AS x", "id div 128 AS y")
+      .selectExpr("x", "y", "zorder_key(x, y) AS z")
+      .selectExpr("z div 4096 AS zblock", "x", "y")
+      .groupBy("zblock")
+      .agg(expr("max(x) - min(x)").as("xspan"), expr("max(y) - min(y)").as("yspan"))
+      .agg(expr("max(xspan)").as("mx"), expr("max(yspan)").as("my"))
+      .head()
+    assert(rows.getLong(0) <= 63 && rows.getLong(1) <= 63)
+  }
 }
