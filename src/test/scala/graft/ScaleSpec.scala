@@ -89,6 +89,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zorder_key + repartitionByRange clusters both keys per output partition") {
+    GraftFunctions.ensure(spark)
+    // the actual OPTIMIZE ZORDER write path: range-repartition on the
+    // curve key (sampled boundaries, parallel) + sort within partitions;
+    // every output "file" must then cover a narrow span of BOTH keys,
+    // which is what makes min/max pruning effective on either predicate
+    // balanced 128x128 grid (the property needs comparable key
+    // cardinalities; lineitem at fixture scale has a 10-value suppkey
+    // domain where no 16-way cut can halve both spans)
+    val grid = spark.range(0, 1 << 14)
+      .selectExpr("id % 128 AS x", "id div 128 AS y")
+      .selectExpr("x", "y", "zorder_key(x, y) AS z")
+    val spans = grid.repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .select(spark_partition_id().as("file"), col("x"), col("y"))
+      .groupBy(col("file"))
+      .agg((max("x") - min("x")).as("xspan"), (max("y") - min("y")).as("yspan"),
+        count(lit(1)).as("n"))
+      .collect()
+    // a random or single-key layout gives 16 files the FULL 127-value
+    // span in at least one dimension; the curve bounds BOTH
+    val avgX = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    val avgY = spans.map(_.getLong(2)).sum.toDouble / spans.length
+    assert(avgX < 64, s"x avg span $avgX not clustered")
+    assert(avgY < 64, s"y avg span $avgY not clustered")
+    assert(spans.map(_.getLong(3)).sum == (1 << 14))
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     val parts = Tables.orders(spark, sf("sf0.001"))
