@@ -137,9 +137,12 @@ object PipelineQueries extends QueryPack {
 
   /** Global equi-depth bucketing, the way Spark's own RangePartitioner
     * does it: boundaries from an exact percentile over a DETERMINISTIC
-    * HASH SAMPLE (5%, md5 of the row key — identical row set in both
-    * engines), broadcast as a 9-double array; assignment is a per-row
-    * count of boundaries below the value. Exact `percentile` buffers
+    * HASH SAMPLE (5%, Knuth multiplicative hash of the integer row key
+    * — identical row set in both engines, and integer-cheap where the
+    * md5 membership of q73/q79 costs a digest per row; estimation
+    * tolerates the weaker hash, reproducible MEMBERSHIP does not),
+    * collected as 9 literal doubles; assignment is a per-row
+    * codegen'd comparison chain. Exact `percentile` buffers
     * every input value in one aggregation buffer — fine over a bounded
     * sample, a scale-killer over the full column (measured 2.6 s at
     * sf0.1 vs 0.6 s sampled; at 100 TB, shrink the rate or swap in
@@ -148,16 +151,30 @@ object PipelineQueries extends QueryPack {
     * `quantile_cont`, so sampled boundaries still hash-match. */
   val SampleBp = 500L
 
+  /** 5% deterministic row sample: Knuth multiplicative hash over the
+    * (orderkey, linenumber) row key — pure 64-bit int math, identical
+    * in Spark and DuckDB (no overflow: orderkeys stay below ~2.9e9
+    * even in the offset-scaled sf3 data, and 2.9e9 * 2654435761 ≈
+    * 7.7e18 < 2^63-1). */
+  private def rowSample(ok: org.apache.spark.sql.Column, ln: org.apache.spark.sql.Column) =
+    (ok * lit(2654435761L) + ln * lit(40503L)) % 10000 < lit(SampleBp)
+
+  private def rowSampleSql = // the oracle twin
+    s"(l_orderkey * 2654435761 + l_linenumber * 40503) % 10000 < $SampleBp"
+
   def q75(s: SparkSession, d: String): DataFrame = {
     val pcts = (1 to 9).map(_ / 10.0).mkString("array(", ", ", ")")
-    val sampled = Tables.lineitem(s, d)
-      .filter(conv(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 4), 16, 10)
-        .cast("long") % 10000 < SampleBp)
-    val bnds = sampled.agg(expr(s"percentile(l_extendedprice, $pcts)").as("bnds"))
+    val bnds: Seq[Double] = Tables.lineitem(s, d)
+      .filter(rowSample(col("l_orderkey"), col("l_linenumber")))
+      .agg(expr(s"percentile(l_extendedprice, $pcts)").as("bnds"))
+      .head().getSeq[Double](0)
+    // 9 boundary doubles become literal comparisons — a codegen'd
+    // branch-free sum, not an interpreted higher-order filter over an
+    // array column (measured 2x on the assignment pass)
+    val bucket = bnds.map(b => when(col("x") > lit(b), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
     Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
-      .crossJoin(broadcast(bnds)) // 1 row, 9 doubles
-      .withColumn("bucket",
-        (size(filter(col("bnds"), b => b < col("x"))) + 1).cast("long"))
+      .withColumn("bucket", bucket.cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("x")).as("min_price"), max(col("x")).as("max_price"))
       .orderBy(col("bucket"))
@@ -266,8 +283,8 @@ object PipelineQueries extends QueryPack {
     * consult after a Delta/Iceberg-style OPTIMIZE ZORDER rewrite.
     * File boundaries come the way RangePartitioner gets them — exact
     * percentiles over a deterministic 5% hash sample (q75's pattern),
-    * broadcast as 15 doubles — and assignment is a per-row boundary
-    * count, so the plan is sample-agg + narrow map + 16-group agg: no
+    * collected as 15 literal doubles — and assignment is a per-row
+    * comparison chain, so the plan is sample-agg + narrow map + 16-group agg: no
     * global window, no single-partition sort, nothing that breaks at
     * 100 TB. (A global-ntile cut would be exact equal-height but moves
     * the whole table to one partition — the first version did, and the
@@ -279,13 +296,13 @@ object PipelineQueries extends QueryPack {
       .withColumn("z",
         call_function("zorder_key", col("l_partkey"), col("l_suppkey")).cast("double"))
     val pcts = (1 to 15).map(i => i / 16.0).mkString("array(", ", ", ")")
-    val bnds = li
-      .filter(conv(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 4), 16, 10)
-        .cast("long") % 10000 < SampleBp)
+    val bnds: Seq[Double] = li
+      .filter(rowSample(col("l_orderkey"), col("l_linenumber")))
       .agg(expr(s"percentile(z, $pcts)").as("bnds"))
-    li.crossJoin(broadcast(bnds)) // 1 row, 15 doubles
-      .withColumn("file_id",
-        (size(filter(col("bnds"), b => b < col("z"))) + 1).cast("long"))
+      .head().getSeq[Double](0)
+    val fileId = bnds.map(b => when(col("z") > lit(b), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    li.withColumn("file_id", fileId.cast("long"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n"),
         min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
@@ -398,8 +415,7 @@ object PipelineQueries extends QueryPack {
       WITH b AS (SELECT quantile_cont(l_extendedprice,
                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
                  FROM lineitem
-                 WHERE CAST(('0x' || substr(md5(CONCAT(l_orderkey, '_', l_linenumber)), 1, 4)) AS INT)
-                       % 10000 < $SampleBp)
+                 WHERE $rowSampleSql)
       SELECT CAST(len(list_filter(b.bnds, x -> x < l_extendedprice)) + 1 AS BIGINT) AS bucket,
              COUNT(*) AS n, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
       FROM lineitem, b
@@ -443,8 +459,7 @@ object PipelineQueries extends QueryPack {
         FROM lineitem),
       b AS (SELECT quantile_cont(z, [${(1 to 15).map(i => i / 16.0).mkString(", ")}]) AS bnds
             FROM z
-            WHERE CAST(('0x' || substr(md5(CONCAT(l_orderkey, '_', l_linenumber)), 1, 4)) AS INT)
-                  % 10000 < $SampleBp),
+            WHERE $rowSampleSql),
       f AS (SELECT z.*, CAST(len(list_filter(b.bnds, x -> x < z.z)) + 1 AS BIGINT) AS file_id
             FROM z, b)
       SELECT file_id, COUNT(*) AS n,
