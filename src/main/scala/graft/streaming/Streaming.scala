@@ -30,6 +30,25 @@ object Streaming {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                 event_type: String, value: Double)
 
+  case class Doc(doc_id: Long, text: String)
+
+  /** q41's quality-scoring map as a shared batch/stream builder: the
+    * Tier-L cleaning operators are STATELESS per-row expressions, so
+    * the identical plan runs over a bounded corpus and over a document
+    * stream (no watermark, no state store — a streaming quality gate
+    * costs exactly a batch one). StreamingSpec asserts stream ≡ batch. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        size(filter(col("ws"), w => w.isInCollection(Seq("the", "a", "of")))).as("n_stop"))
+      .withColumn("quality_bp",
+        expr("CAST((CAST(n_distinct AS BIGINT) * (n_words - n_stop) * 10000L) " +
+          "DIV (CAST(n_words AS BIGINT) * n_words) AS BIGINT)"))
+
   /** Tumbling 1-day counts per event_type — q21's shape. Pass
     * `watermark=Some("1 day")` on a streaming input. */
   def tumblingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {

@@ -196,4 +196,29 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(fps(0) != fps(1))
   }
+
+  test("dead-letter parse splits malformed JSON without losing rows (Beam with_exception_handling)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    // real fixture payloads plus injected garbage
+    val good = Tables.events(spark, sf("sf0.001")).select(col("event_id"), col("props")).limit(50)
+    val bad = Seq((9001L, "{not json"), (9002L, ""), (9003L, "[1,2")).toDF("event_id", "props")
+    val input = good.union(bad)
+    val (parsed, dead) = graft.functions.Errors.parseJsonWithDeadLetter(input, "props", schema)
+    assert(parsed.count() == 50)
+    assert(parsed.filter(col("k").isNull).count() == 0)
+    val deadIds = dead.collect().map(_.getLong(0)).sorted.toSeq
+    assert(deadIds == Seq(9001L, 9002L, 9003L)) // raw payload preserved for replay
+    assert(dead.columns.toSeq == Seq("event_id", "props"))
+  }
+
+  test("withDeadLetter routes on any null-on-failure expression") {
+    import spark.implicits._
+    val df = Seq("12", "7", "x", "").toDF("raw")
+    val (ok, dead) = graft.functions.Errors.withDeadLetter(
+      df, expr("try_cast(raw AS BIGINT)"), "n")
+    assert(ok.select("n").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 12L))
+    assert(dead.collect().map(_.getString(0)).sorted.toSeq == Seq("", "x"))
+  }
 }

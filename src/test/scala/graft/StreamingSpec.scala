@@ -271,4 +271,25 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("Tier-L quality scoring runs unchanged on a document stream (stream equals batch)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      Streaming.Doc(1, "the quick brown fox of the north"),
+      Streaming.Doc(2, "a a a a a"),
+      Streaming.Doc(3, "unique words only here"))
+    val mem = MemoryStream[Streaming.Doc]
+    val q = Streaming.qualityScore(mem.toDF())
+      .writeStream.format("memory").queryName("t_quality")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_quality").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streaming.qualityScore(docs.toDF()).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.size == 3)
+  }
 }
