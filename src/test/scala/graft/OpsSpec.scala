@@ -168,11 +168,9 @@ class OpsSpec extends SparkSpec {
       .fit(e.select(array_to_vector(col("v")).as("features")))
     val cents = km.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray.toIndexedSeq: Seq[Double]) }.toIndexedSeq
-    val res = graft.queries.LlmQueries.ivfSearch(e, cents, nprobe = 2, k = 5, nQueries = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
-    assert(res.nonEmpty && res.forall { case (q, v) => q != v })
-    assert(res.groupBy(_._1).forall(_._2.size <= 5))
-    // recall vs brute-force cosine top-5 over the same 10 queries
+    // recall vs brute-force cosine top-5 over the same 10 queries,
+    // along the nprobe cost/recall curve (nprobe/16 of the corpus is
+    // scanned per query — the knob a production deployment turns)
     val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     val brute = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -181,11 +179,19 @@ class OpsSpec extends SparkSpec {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ann = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recall = brute.map { case (qid, bf) => (ann.getOrElse(qid, Set.empty) & bf).size }.sum
-      .toDouble / brute.values.map(_.size).sum
-    info(f"KMeans-IVF recall@5 (nprobe=2/16 cells) = $recall%.3f")
-    assert(recall >= 0.1, f"trained-quantizer recall collapsed: $recall%.3f")
+    val recalls = Seq(1, 2, 4).map { np =>
+      val res = graft.queries.LlmQueries.ivfSearch(e, cents, nprobe = np, k = 5, nQueries = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(res.nonEmpty && res.forall { case (qq, v) => qq != v })
+      assert(res.groupBy(_._1).forall(_._2.size <= 5))
+      val ann = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      np -> brute.map { case (qid, bf) => (ann.getOrElse(qid, Set.empty) & bf).size }.sum
+        .toDouble / brute.values.map(_.size).sum
+    }
+    info(recalls.map { case (np, r) => f"nprobe=$np recall@5=$r%.3f" }.mkString("KMeans-IVF: ", ", ", " (16 cells)"))
+    val byNp = recalls.toMap
+    assert(byNp(4) >= byNp(1), "more probes must not lose recall")
+    assert(byNp(2) >= 0.1, f"trained-quantizer recall collapsed: ${byNp(2)}%.3f")
     e.unpersist()
   }
 

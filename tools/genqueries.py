@@ -40,7 +40,8 @@ def main(out_dir, bench_file, label):
         f.write(f"\nTotal: {len(names)} queries, {len(oracle)} oracle-checked.\n")
         f.write("\nANN quality (OpsSpec, sf0.01): recall@5 vs brute-force cosine = "
                 "0.12 single-probe / 0.46 multi-probe at bits=4 (HD-1 probe set); "
-                "0.52 with a KMeans-trained 16-cell IVF quantizer at nprobe=2.\n")
+                "KMeans-trained 16-cell IVF quantizer curve: 0.24 / 0.52 / 0.74 "
+                "at nprobe = 1 / 2 / 4 (nprobe/16 of the corpus scanned per query).\n")
     print(f"QUERIES.md: {len(names)} queries, {len(oracle)} oracle-checked")
 
 
