@@ -329,6 +329,52 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // q83: quality-weighted sampling ----------------------------------------
+
+  /** Data selection with probability PROPORTIONAL TO QUALITY (the
+    * soft version of a hard quality cutoff): a doc survives iff its
+    * hash bucket falls below its own quality score in basis points, so
+    * a 9 000 bp doc keeps 90% odds and a 2 000 bp doc 20%. Same
+    * join-free deterministic-membership shape as q73/q79 — the rate is
+    * just data-dependent. */
+  def q83(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        size(filter(col("ws"), w => w.isInCollection(stopWords))).as("n_stop"))
+      .withColumn("quality_bp",
+        expr("CAST((CAST(n_distinct AS BIGINT) * (n_words - n_stop) * 10000L) " +
+          "DIV (CAST(n_words AS BIGINT) * n_words) AS BIGINT)"))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10000)
+      .filter(col("bucket") < col("quality_bp"))
+      .select(col("doc_id"), col("lang"), col("quality_bp"))
+      .orderBy(col("doc_id"))
+
+  // q84: per-source quota capping -----------------------------------------
+
+  val SourceQuota = 20L
+
+  /** Cap any single source's contribution to the corpus mix (the
+    * anti-domination guard of corpus assembly): within each source,
+    * docs are ranked by a hash of their id — an unbiased deterministic
+    * shuffle, NOT doc_id order, which would favor old documents — and
+    * only the first `SourceQuota` survive. WindowGroupLimit prunes
+    * per-partition before the shuffle, so the exchange carries at most
+    * quota rows per source per partition. */
+  def q84(s: SparkSession, d: String): DataFrame = {
+    val wQ = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(wQ).cast("long"))
+      .filter(col("rk") <= SourceQuota)
+      .orderBy(col("source"), col("rk"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_bloom_semijoin"   -> q69 _,
     "q70_contamination"    -> q70 _,
@@ -342,7 +388,9 @@ object PipelineQueries extends QueryPack {
     "q79_split_report"     -> q79 _,
     "q80_vocab"            -> q80 _,
     "q81_zorder_layout"    -> q81 _,
-    "q82_trigram_topk"     -> q82 _
+    "q82_trigram_topk"     -> q82 _,
+    "q83_weighted_sample"  -> q83 _,
+    "q84_source_quota"     -> q84 _
   )
 
   /** Unrolled Morton interleave of the low 16 bits of two BIGINT
@@ -473,6 +521,27 @@ object PipelineQueries extends QueryPack {
       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS BIGINT) AS rk
             FROM g)
       SELECT lang, tri, cnt, rk FROM r WHERE rk <= 10 ORDER BY lang, rk""",
+    "q83_weighted_sample" -> """
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      m AS (SELECT doc_id, lang,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS n_stop
+            FROM d),
+      q AS (SELECT doc_id, lang,
+                   (n_distinct * (n_words - n_stop) * 10000) // (n_words * n_words) AS quality_bp
+            FROM m)
+      SELECT doc_id, lang, quality_bp FROM q
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 < quality_bp
+      ORDER BY doc_id""",
+    "q84_source_quota" -> s"""
+      WITH r AS (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        FROM documents)
+      SELECT source, doc_id, rk FROM r WHERE rk <= $SourceQuota
+      ORDER BY source, rk""",
     "q76_corr_exact" -> """
       WITH g AS (
         SELECT l_returnflag, COUNT(*) AS n,
