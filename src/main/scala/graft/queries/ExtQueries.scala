@@ -105,8 +105,29 @@ object ExtQueries extends QueryPack {
       .orderBy(col("user_id"), col("batch_idx"))
   }
 
+  /** q85: q25's purchase→last-click attribution through the CUSTOM
+    * as-of join operator (graft.plans.AsOfJoin: logical node +
+    * strategy + O(n+m) per-partition merge sweep with one buffered
+    * row of state) instead of the union+window composition. Same
+    * result, same DuckDB ASOF JOIN oracle — but the plan is one
+    * exchange per side + in-partition sorts, with no window holding
+    * both streams. */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), col("tus").as("click_tus"))
+    graft.plans.AsOfJoin.joinAsOf(purchases, clicks, "user_id", "tus", Seq("click_tus"))
+      .select(col("event_id"), col("user_id"), col("tus"), col("click_tus"))
+      .orderBy(col("event_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_asof_join"  -> q25 _,
+    "q85_asof_operator" -> q85 _,
     "q26_range_join" -> q26 _,
     "q27_kv_ops"     -> q27 _,
     "q28_join_right" -> q28 _,
@@ -116,6 +137,14 @@ object ExtQueries extends QueryPack {
 
   override val oracle: Map[String, String] = Map(
     "q25_asof_join" -> """
+      WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+                 FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.tus, c.tus AS click_tus
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.tus
+      ORDER BY p.event_id""",
+    "q85_asof_operator" -> """
       WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
                  FROM events WHERE event_type = 'purchase'),
            c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
