@@ -272,6 +272,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("rate source: Beam PeriodicImpulse parity (timestamped ticks drive a pipeline)") {
+    val src = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+    assert(src.isStreaming)
+    assert(src.schema.fieldNames.toSeq == Seq("timestamp", "value"))
+    val q = src.withColumn("bucket", col("value") % 10)
+      .writeStream.format("memory").queryName("t_rate").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        q.processAllAvailable()
+        n = spark.table("t_rate").count()
+      }
+      assert(n > 0, "rate source produced no rows within 15s")
+      assert(spark.table("t_rate").filter(col("bucket") >= 10).count() == 0)
+    } finally q.stop()
+  }
+
   test("Tier-L quality scoring runs unchanged on a document stream (stream equals batch)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
