@@ -142,7 +142,13 @@ object PipelineQueries extends QueryPack {
     * md5 membership of q73/q79 costs a digest per row; estimation
     * tolerates the weaker hash, reproducible MEMBERSHIP does not),
     * collected as 9 literal doubles; assignment is a per-row
-    * codegen'd comparison chain. Exact `percentile` buffers
+    * codegen'd comparison chain, with the boundary nudged by 1e-3:
+    * Spark `percentile` and DuckDB `quantile_cont` interpolate with
+    * different operation order, so an interpolated boundary can land
+    * 1 ULP apart across engines — found at sf1, where a data value sat
+    * exactly on a boundary and bucketed differently. The nudge is
+    * harmless (data granularity 0.01 >> 1e-3 >> ULP jitter) and makes
+    * assignment engine-stable. Exact `percentile` buffers
     * every input value in one aggregation buffer — fine over a bounded
     * sample, a scale-killer over the full column (measured 2.6 s at
     * sf0.1 vs 0.6 s sampled; at 100 TB, shrink the rate or swap in
@@ -170,8 +176,9 @@ object PipelineQueries extends QueryPack {
       .head().getSeq[Double](0)
     // 9 boundary doubles become literal comparisons — a codegen'd
     // branch-free sum, not an interpreted higher-order filter over an
-    // array column (measured 2x on the assignment pass)
-    val bucket = bnds.map(b => when(col("x") > lit(b), 1L).otherwise(0L))
+    // array column (measured 2x on the assignment pass); +1e-3 per the
+    // cross-engine ULP note above
+    val bucket = bnds.map(b => when(col("x") > lit(b + 1e-3), 1L).otherwise(0L))
       .reduce(_ + _) + lit(1L)
     Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
       .withColumn("bucket", bucket.cast("long"))
@@ -300,7 +307,9 @@ object PipelineQueries extends QueryPack {
       .filter(rowSample(col("l_orderkey"), col("l_linenumber")))
       .agg(expr(s"percentile(z, $pcts)").as("bnds"))
       .head().getSeq[Double](0)
-    val fileId = bnds.map(b => when(col("z") > lit(b), 1L).otherwise(0L))
+    // +1e-3: same cross-engine boundary-ULP guard as q75 (z is integer-
+    // valued, spacing 1 >> 1e-3 >> ULP jitter of a ~2^32-scale double)
+    val fileId = bnds.map(b => when(col("z") > lit(b + 1e-3), 1L).otherwise(0L))
       .reduce(_ + _) + lit(1L)
     li.withColumn("file_id", fileId.cast("long"))
       .groupBy(col("file_id"))
@@ -464,7 +473,7 @@ object PipelineQueries extends QueryPack {
                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
                  FROM lineitem
                  WHERE $rowSampleSql)
-      SELECT CAST(len(list_filter(b.bnds, x -> x < l_extendedprice)) + 1 AS BIGINT) AS bucket,
+      SELECT CAST(len(list_filter(b.bnds, t -> t + 0.001 < l_extendedprice)) + 1 AS BIGINT) AS bucket,
              COUNT(*) AS n, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
       FROM lineitem, b
       GROUP BY 1 ORDER BY 1""",
@@ -508,7 +517,7 @@ object PipelineQueries extends QueryPack {
       b AS (SELECT quantile_cont(z, [${(1 to 15).map(i => i / 16.0).mkString(", ")}]) AS bnds
             FROM z
             WHERE $rowSampleSql),
-      f AS (SELECT z.*, CAST(len(list_filter(b.bnds, x -> x < z.z)) + 1 AS BIGINT) AS file_id
+      f AS (SELECT z.*, CAST(len(list_filter(b.bnds, t -> t + 0.001 < z.z)) + 1 AS BIGINT) AS file_id
             FROM z, b)
       SELECT file_id, COUNT(*) AS n,
              MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,

@@ -52,7 +52,11 @@ object RelationalQueries extends QueryPack {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         revenueExpr(col("l_extendedprice"), col("l_discount")).cast("double").as("revenue"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data
+      // (118k duplicate pairs at sf0.1) — revenue makes the sort total,
+      // which only showed up at sf1 when DuckDB's sort went
+      // parallel-unstable on the ties
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
 
   def q03(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -293,7 +297,7 @@ object RelationalQueries extends QueryPack {
       SELECT l_orderkey, l_linenumber, CAST($rev AS DOUBLE) AS revenue
       FROM lineitem
       WHERE l_discount >= 0.09 AND l_shipdate >= TIMESTAMP '1998-01-01'
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, revenue""",
     "q03_flatmap_wordcount" -> """
       SELECT word, COUNT(*) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
