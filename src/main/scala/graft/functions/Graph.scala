@@ -41,7 +41,9 @@ object Graph {
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(false)
-    var lastSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // sum() over zero rows is NULL — an empty edge set must yield an
+    // empty (already-converged) result, not a null-read crash
+    var lastSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -60,7 +62,7 @@ object Graph {
         // lazy: materialized by the convergence aggregate below, so each
         // round runs ONE job (eager would schedule a separate one)
         .localCheckpoint(false)
-      val s = jumped.agg(sum(col("label"))).head().getLong(0)
+      val s = jumped.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       labels = jumped
       converged = s == lastSum
       lastSum = s

@@ -219,6 +219,27 @@ class OpsSpec extends SparkSpec {
     assert(dead.columns.toSeq == Seq("event_id", "props"))
   }
 
+  test("custom operators tolerate empty inputs (the production corner case)") {
+    import spark.implicits._
+    val emptyKv = spark.emptyDataset[(Long, Long)]
+    assert(graft.functions.Batching.groupIntoBatchSizes(emptyKv, 10).count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.functions.Graph.connectedComponents(emptyEdges).count() == 0)
+    val emptyDocs = Seq.empty[(String, Long, Long)].toDF("source", "doc_id", "n_tokens")
+    assert(graft.functions.Packing.packBySource(emptyDocs, 256L).count() == 0)
+    val emptyKeyed = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(graft.functions.Skew.saltedAgg(emptyKeyed, Seq("k"), 8,
+      Seq(graft.functions.Skew.sumOf(col("v"), "s"))).count() == 0)
+    val emptyLeft = Seq.empty[(Long, Long, Long)].toDF("k", "id", "t")
+    val someRight = Seq((1L, 5L, 900L)).toDF("k", "t", "p")
+    assert(graft.plans.AsOfJoin.joinAsOf(emptyLeft, someRight, "k", "t", Seq("p")).count() == 0)
+    // non-empty left, empty right: every row survives with a null payload
+    val someLeft = Seq((1L, 10L, 6L)).toDF("k", "id", "t")
+    val emptyRight = Seq.empty[(Long, Long, Long)].toDF("k", "t", "p")
+    val r = graft.plans.AsOfJoin.joinAsOf(someLeft, emptyRight, "k", "t", Seq("p")).collect()
+    assert(r.length == 1 && r.head.isNullAt(3))
+  }
+
   test("withDeadLetter routes on any null-on-failure expression") {
     import spark.implicits._
     val df = Seq("12", "7", "x", "").toDF("raw")
