@@ -188,16 +188,23 @@ case class WordFingerprint(child: Expression)
     copy(child = newChild)
 }
 
-/** The 4-seed MinHash signature over a shingle array in one pass — the
-  * native form of TextOps.minhash(shs, k) for k in 0..3. Element k of
-  * the result equals array_min(transform(shs, sh -> md5('k|' || sh))).
+/** The 4-permutation MinHash signature over a shingle array in one
+  * pass — ONE md5 per shingle, 4 derived hash functions by XOR with
+  * fixed 60-bit constants (the standard Broder-style construction: the
+  * base hash scatters, the XORs re-rank; replaced the earlier
+  * 4-digests-per-shingle form, 3/4 of whose digest work was
+  * redundant). Element k equals
+  * `array_min(transform(shs, sh -> xor(top60(md5(sh)), SEED_k)))`
+  * where top60 = first 15 hex chars as a BIGINT — exactly reproducible
+  * in DuckDB as `xor(CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT),
+  * SEED_k)` (TextOps.minhash is the HOF reference twin).
   */
 case class MinHashSigs(child: Expression)
     extends UnaryExpression with CodegenFallback with Md5Helper {
 
-  val Seeds = 4
+  import MinHashSigs.SeedConsts
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -205,30 +212,38 @@ case class MinHashSigs(child: Expression)
       s"minhash_sigs expects array<string>, got ${t.simpleString}")
   }
 
-  // "0|".."3|" as bytes: the seed prefix is fed to the digest separately
-  // from the shingle bytes, so the hot loop allocates no strings at all
-  @transient private lazy val prefixes: Array[Array[Byte]] =
-    Array.tabulate(Seeds)(k => s"$k|".getBytes("UTF-8"))
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val mins = new Array[Array[Byte]](Seeds)
+    if (n == 0) return new GenericArrayData(Array.fill[Any](SeedConsts.length)(null))
+    val mins = Array.fill(SeedConsts.length)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val shB = arr.getUTF8String(i).getBytes
+      val d = md5Raw(arr.getUTF8String(i).getBytes)
+      // first 15 hex nibbles = top 60 digest bits, unsigned
+      val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
       var k = 0
-      while (k < Seeds) {
-        val d = md5Parts(prefixes(k), shB)
-        if (mins(k) == null || unsignedLess(d, mins(k))) mins(k) = d
+      while (k < SeedConsts.length) {
+        val v = h ^ SeedConsts(k)
+        if (v < mins(k)) mins(k) = v
         k += 1
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m =>
-      if (m == null) null else UTF8String.fromString(toHex(m))))
+    new GenericArrayData(mins.map(m => m: Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
     copy(child = newChild)
+}
+
+object MinHashSigs {
+  /** 60-bit XOR seeds (seed 0 = identity; 1–3 from the hex expansion
+    * of pi — "nothing up my sleeve", all < 2^60 so every signature
+    * stays a non-negative BIGINT in both engines). */
+  val SeedConsts: Array[Long] =
+    Array(0L, 0x243F6A8885A308DL, 0x13198A2E0370734L, 0x082EFA98EC4E6C8L)
 }

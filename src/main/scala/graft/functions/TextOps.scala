@@ -32,8 +32,11 @@ object TextOps {
   /** MinHash component for seed `k`: the minimum md5 over shingles of
     * "k|shingle". Min of hex strings == min of the underlying 128-bit
     * hash, and is directly comparable across engines. */
-  def minhash(shs: Column, k: Int): Column =
-    array_min(transform(shs, sh => md5(concat(lit(s"$k|"), sh))))
+  def minhash(shs: Column, k: Int): Column = {
+    val seed = graft.expressions.MinHashSigs.SeedConsts(k)
+    array_min(transform(shs, sh =>
+      conv(substring(md5(sh), 1, 15), 16, 10).cast("long").bitwiseXOR(lit(seed))))
+  }
 
   /** Per-word 16-bit hashes (first 4 md5 hex chars as int). Project this
     * into its own column BEFORE simhash16FromHashes — the md5 work then

@@ -34,8 +34,9 @@ object LlmQueries extends QueryPack {
   private def docWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
 
-  /** doc_id + 4 minhash components over 3-gram shingles, via the native
-    * one-pass MinHashSigs expression (TextOps.minhash is the HOF
+  /** doc_id + 4 minhash components (60-bit BIGINTs: one md5 per
+    * shingle, 4 XOR-derived permutations) over 3-gram shingles, via the
+    * native one-pass MinHashSigs expression (TextOps.minhash is the HOF
     * reference form, equality-tested in ExpressionSpec). */
   private def sigs(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
@@ -49,7 +50,9 @@ object LlmQueries extends QueryPack {
     * CTE chain behind both the q33 pair listing and q68's clustering
     * (expects `$oracleSigs` bound first). */
   private def neardupCtes = s"""
-      bands AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sigs),
+      bands AS (SELECT doc_id,
+                unnest([md5(CAST(sig0 AS VARCHAR) || CAST(sig1 AS VARCHAR)),
+                        md5(CAST(sig2 AS VARCHAR) || CAST(sig3 AS VARCHAR))]) AS band FROM sigs),
       bands_ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) <= $BandCap),
       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                FROM bands x JOIN bands_ok k ON x.band = k.band
@@ -61,17 +64,24 @@ object LlmQueries extends QueryPack {
                         JOIN sh sb ON sb.doc_id = b AND sa.s = sb.s
               GROUP BY a, b)"""
 
-  private val oracleSigs = """
+  private val oracleSigs = {
+    // same 60-bit base hash + XOR seeds as the native MinHashSigs —
+    // generated from the one constant table so they cannot drift
+    def sig(k: Int) =
+      s"list_min([xor(CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT), " +
+        s"${graft.expressions.MinHashSigs.SeedConsts(k)}) for x in sh]) AS sig$k"
+    s"""
     docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     shs AS (SELECT doc_id,
               [array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 0))] AS sh
             FROM docs),
     sigs AS (SELECT doc_id,
-              list_min([md5('0|' || x) for x in sh]) AS sig0,
-              list_min([md5('1|' || x) for x in sh]) AS sig1,
-              list_min([md5('2|' || x) for x in sh]) AS sig2,
-              list_min([md5('3|' || x) for x in sh]) AS sig3
+              ${sig(0)},
+              ${sig(1)},
+              ${sig(2)},
+              ${sig(3)}
              FROM shs)"""
+  }
 
   // q30: exact dedup, canonical = min doc_id per identical text ----------
 
@@ -125,8 +135,10 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id"), col("shs"),
         call_function("minhash_sigs", col("shs")).as("sg"))
       .select(col("doc_id"), col("shs"),
-        md5(concat(element_at(col("sg"), 1), element_at(col("sg"), 2))).as("b0"),
-        md5(concat(element_at(col("sg"), 3), element_at(col("sg"), 4))).as("b1"))
+        md5(concat(element_at(col("sg"), 1).cast("string"),
+          element_at(col("sg"), 2).cast("string"))).as("b0"),
+        md5(concat(element_at(col("sg"), 3).cast("string"),
+          element_at(col("sg"), 4).cast("string"))).as("b1"))
       .persist()
     val bands = base.select(col("doc_id"),
       explode(array(col("b0"), col("b1"))).as("band"))

@@ -102,7 +102,7 @@ class OpsSpec extends SparkSpec {
     val df = Seq("a b c d e f", "a b c d").toDF("text")
       .select(TextOps.shingles3(TextOps.words(col("text"))).as("shs"))
       .select(TextOps.minhash(col("shs"), 0).as("m"))
-      .collect().map(_.getString(0))
+      .collect().map(_.getLong(0))
     // the shorter doc's shingles are a subset: its min can only be >= the superset's
     assert(df(1) >= df(0))
   }
