@@ -24,6 +24,15 @@ object Errors {
     * — input columns only). */
   def parseJsonWithDeadLetter(df: DataFrame, jsonCol: String, schema: StructType)
       : (DataFrame, DataFrame) = {
+    // reserved names (same guard discipline as saltedAgg's __salt): a
+    // schema that already declares __corrupt would silently misroute
+    // rows, and an input column named __parsed would be clobbered.
+    // (A JSON PAYLOAD carrying a "__corrupt" key routes to the dead
+    // letter side — callers with such payloads must rename upstream.)
+    require(!schema.fieldNames.contains("__corrupt"),
+      "parseJsonWithDeadLetter: schema must not declare the reserved field __corrupt")
+    require(!df.columns.contains("__parsed"),
+      "parseJsonWithDeadLetter: input must not contain the reserved column __parsed")
     // PERMISSIVE from_json yields an all-null struct for malformed
     // payloads (indistinguishable from legitimately-null fields), and a
     // null struct for empty input — the corrupt-record column is the

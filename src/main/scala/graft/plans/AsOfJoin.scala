@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -55,9 +55,19 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // The right payload columns join the sort key as a deterministic
+  // tiebreak: the sweep buffers the LAST row per (key, ts), so without
+  // a total order, equal-(key, ts) rows with different payloads would
+  // make the output depend on partition-internal sort luck. With them,
+  // ties resolve to the GREATEST orderable payload tuple — documented
+  // tie semantics at the cost of extra comparisons only on ties.
+  // (Un-orderable payload types — maps — are skipped; ties among them
+  // remain implementation-defined, which joinAsOf's scaladoc states.)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)) ::
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) :: Nil
+      (Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+        rightPayload.filter(a => RowOrdering.isOrderable(a.dataType))
+          .map(SortOrder(_, Ascending))) :: Nil
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -147,7 +157,11 @@ object AsOfJoin {
 
   /** `left` asof-joined to `right` on equal `key` with the last
     * `right.ts <= left.ts`; `payload` names the right columns to
-    * append. Key and ts columns must be LongType on both sides. */
+    * append. Key and ts columns must be LongType on both sides.
+    * Ties: when several right rows share the matching (key, ts), the
+    * one with the greatest payload tuple (orderable payload columns,
+    * in declaration order) wins — deterministic because those columns
+    * are part of the operator's required child ordering. */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
                payload: Seq[String]): DataFrame = {
     val spark = left.sparkSession

@@ -161,7 +161,15 @@ object LlmQueries extends QueryPack {
       .filter(col("common") * 2 >= col("union_sz"))
       .select(col("a"), col("b"),
         expr("CAST((common * 10000L) DIV union_sz AS BIGINT)").as("jac_bp"))
-    out
+    // Materialize the pair set NOW (it is tiny — near-dup pairs, a few
+    // hundred bytes each) so the signature table can be dropped instead
+    // of leaking block storage for the rest of the session; the eager
+    // checkpoint also truncates lineage for q68/q78's iterative
+    // connected-components consumer, which would otherwise re-analyze
+    // the whole LSH plan every round.
+    val pairs = out.localCheckpoint(true)
+    base.unpersist()
+    pairs
   }
 
   // q68: near-dup pairs -> dedup clusters (connected components) ---------

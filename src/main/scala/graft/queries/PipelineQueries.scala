@@ -308,7 +308,8 @@ object PipelineQueries extends QueryPack {
       .agg(expr(s"percentile(z, $pcts)").as("bnds"))
       .head().getSeq[Double](0)
     // +1e-3: same cross-engine boundary-ULP guard as q75 (z is integer-
-    // valued, spacing 1 >> 1e-3 >> ULP jitter of a ~2^32-scale double)
+    // valued, spacing 1 >> 1e-3 >> double ULP while z < ~2^42, i.e.
+    // keys < ~2^21 — holds through sf10-class partkeys)
     val fileId = bnds.map(b => when(col("z") > lit(b + 1e-3), 1L).otherwise(0L))
       .reduce(_ + _) + lit(1L)
     li.withColumn("file_id", fileId.cast("long"))
@@ -402,12 +403,12 @@ object PipelineQueries extends QueryPack {
     "q84_source_quota"     -> q84 _
   )
 
-  /** Unrolled Morton interleave of the low 16 bits of two BIGINT
+  /** Unrolled Morton interleave of the low 31 bits of two BIGINT
     * columns — the oracle twin of graft.expressions.ZorderKey (disjoint
     * bit positions, so + is carry-free bitwise or). */
   private def zorderSql(x: String, y: String): String =
-    (0 until 16).map(i =>
-      s"((((($x & 65535) >> $i) & 1) << ${2 * i}) + (((($y & 65535) >> $i) & 1) << ${2 * i + 1}))")
+    (0 until 31).map(i =>
+      s"((((($x & 2147483647) >> $i) & 1) << ${2 * i}) + (((($y & 2147483647) >> $i) & 1) << ${2 * i + 1}))")
       .mkString("(", " + ", ")")
 
   private val shingleList =

@@ -46,4 +46,21 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
     assert(out == Seq((100L, -1L), (101L, 920L), (102L, 930L), (103L, -1L)))
   }
+
+  test("as-of join ties on (key, ts) resolve deterministically to the greatest payload") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 25L)).toDF("k", "id", "t")
+    // three right rows with IDENTICAL (key, ts) and different payloads —
+    // before the payload tiebreak joined the required child ordering,
+    // which of them survived the one-row sweep buffer depended on
+    // partition-internal sort luck; now the greatest payload tuple wins
+    val right = Seq((1L, 20L, 910L), (1L, 20L, 930L), (1L, 20L, 920L))
+      .toDF("k", "t", "payload")
+      .repartition(4) // scramble the incoming order on purpose
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin.joinAsOf(left, right, "k", "t", Seq("payload"))
+        .collect().map(_.getLong(3)).toSeq
+      assert(out == Seq(930L), s"tie must pick the greatest payload, got $out")
+    }
+  }
 }

@@ -171,17 +171,20 @@ class ExpressionSpec extends SparkSpec {
   test("zorder_key interleaves bits; codegen equals a SQL bit-math twin") {
     GraftFunctions.ensure(spark)
     // hand-checked values: (x=1,y=0)->1, (x=0,y=1)->2, (x=3,y=3)->15,
-    // (x=0xFFFF,y=0)->0x55555555, masking drops bits above 16
-    assert(expressions.ZorderKey.interleave16(1L, 0L) == 1L)
-    assert(expressions.ZorderKey.interleave16(0L, 1L) == 2L)
-    assert(expressions.ZorderKey.interleave16(3L, 3L) == 15L)
-    assert(expressions.ZorderKey.interleave16(0xFFFFL, 0L) == 0x55555555L)
-    assert(expressions.ZorderKey.interleave16(0x10000L, 0L) == 0L)
+    // (x=0xFFFF,y=0)->0x55555555, bit 16 now survives (31-bit domain),
+    // masking drops bits above 31, and the key stays non-negative
+    assert(expressions.ZorderKey.interleave31(1L, 0L) == 1L)
+    assert(expressions.ZorderKey.interleave31(0L, 1L) == 2L)
+    assert(expressions.ZorderKey.interleave31(3L, 3L) == 15L)
+    assert(expressions.ZorderKey.interleave31(0xFFFFL, 0L) == 0x55555555L)
+    assert(expressions.ZorderKey.interleave31(0x10000L, 0L) == 0x100000000L)
+    assert(expressions.ZorderKey.interleave31(0x80000000L, 0L) == 0L)
+    assert(expressions.ZorderKey.interleave31(0x7FFFFFFFL, 0x7FFFFFFFL) == 0x3FFFFFFFFFFFFFFFL)
     // against the unrolled bit-math form over real keys (same SQL shape
     // as the DuckDB oracle), inside codegen
-    val twin = (0 until 16).map(i =>
-      s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i}) + " +
-        s"((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})")
+    val twin = (0 until 31).map(i =>
+      s"((((l_partkey & 2147483647) >> $i) & 1) << ${2 * i}) + " +
+        s"((((l_suppkey & 2147483647) >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " + ", ")")
     val diff = Tables.lineitem(spark, sf("sf0.001"))
       .selectExpr(s"zorder_key(l_partkey, l_suppkey) AS native", s"$twin AS twin")

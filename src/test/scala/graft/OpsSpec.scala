@@ -217,6 +217,13 @@ class OpsSpec extends SparkSpec {
     val deadIds = dead.collect().map(_.getLong(0)).sorted.toSeq
     assert(deadIds == Seq(9001L, 9002L, 9003L)) // raw payload preserved for replay
     assert(dead.columns.toSeq == Seq("event_id", "props"))
+    // reserved-name guard: a schema already declaring __corrupt would
+    // silently misroute rows — must fail loudly instead
+    val clash = StructType(Seq(StructField("k", LongType), StructField("__corrupt", StringType)))
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.Errors.parseJsonWithDeadLetter(input, "props", clash)
+    }
+    assert(err.getMessage.contains("__corrupt"))
   }
 
   test("custom operators tolerate empty inputs (the production corner case)") {
