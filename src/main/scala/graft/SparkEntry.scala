@@ -14,7 +14,8 @@ object SparkEntry {
     TextQueries,
     AggQueries,
     MultimodalQueries,
-    PipelineQueries
+    PipelineQueries,
+    Round4Queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -34,6 +34,41 @@ object Skew {
   def maxOf(c: Column, alias: String): SplitAgg =
     SplitAgg(alias, max(c), a => max(col(a)))
 
+  /** Salted (skew) equi-join: `big` ⋈ `small` on `keys` where a hot
+    * key in `big` would concentrate a shuffle join's work on a single
+    * reducer. Every big row gets a uniform salt in [0, fanout); the
+    * small side is replicated once per salt value (an explode over a
+    * literal range — |small| × fanout rows, still small); the join key
+    * becomes keys :+ salt, so each hot key's rows spread over `fanout`
+    * reducers. The salt is stripped from the output, and because EVERY
+    * small row exists under EVERY salt, each big row sees exactly the
+    * matches a plain join would give it — inner and left joins are
+    * salt-invariant (right/full are NOT: a replicated unmatched small
+    * row would surface fanout times — rejected).
+    *
+    * When to reach for it at 100 TB: AQE's skew-join split already
+    * handles most sort-merge skew at runtime; the explicit form covers
+    * what AQE can't — a skewed key feeding a join whose small side is
+    * over the broadcast threshold but far under the big side, or a
+    * deterministic pre-partitioned layout where runtime re-planning is
+    * unavailable (e.g. writing bucketed output). Cost: the small side
+    * shuffles fanout× larger; pick fanout ≈ the hot key's row count
+    * over a healthy partition size, not the cluster width. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 fanout: Int, joinType: String = "inner"): DataFrame = {
+    require(fanout > 0, "fanout must be positive")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins only (got $joinType): " +
+        "replicating the small side would duplicate right-side no-match rows")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(fanout)))
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until fanout).map(lit): _*)))
+    bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Two-phase aggregation of `df` by `keys` with hot keys fanned out
     * over `fanout` salts. Result schema: keys ++ agg aliases. */
   def saltedAgg(df: DataFrame, keys: Seq[String], fanout: Int,

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{Skew, TextOps, VectorOps}
+
+/** Round-4 operators: explicit skew-join salting, semantic
+  * (embedding-space) deduplication, and a Zipf-rank perplexity-proxy
+  * quality filter.
+  *
+  * 100 TB design notes:
+  *  - q86's salted join spreads a hot join key over `fanout` reducers
+  *    by replicating only the SMALL side — the fact table is touched
+  *    once, the dim pays fanout×. The query's aggregate then merges per
+  *    brand, so the answer is salt-invariant (ScaleSpec asserts the
+  *    operator equals a plain join under a forced shuffle join too).
+  *  - q87 is SemDeDup (Abbas et al. 2023, arXiv:2303.09540) in engine
+  *    form: cluster by a driver-known coarse quantizer (zero-shuffle
+  *    literal argmin, q57's trick), compare pairs ONLY within a cell
+  *    (O(Σ cell²), never corpus²), drop every vector that duplicates a
+  *    lower id in its cell. The assignment table is persisted once per
+  *    query run — three consumers, one nearest-cells pass.
+  *  - q88 scores each document by the mean Zipf RANK of its words
+  *    against the corpus vocabulary — the shape of a CCNet-style
+  *    perplexity gate, with frequency rank standing in for -log p:
+  *    monotone-equivalent under a Zipf model, and exactly portable
+  *    across engines (integer rank sums, no transcendental whose last
+  *    ulp differs between libm implementations). The vocabulary is
+  *    Heaps'-law small, so its global rank window and the broadcast
+  *    join both stay driver-safe at corpus scale.
+  */
+object Round4Queries extends QueryPack {
+
+  // q86: salted skew join -------------------------------------------------
+
+  /** Brand revenue through [[Skew.saltedJoin]]: lineitem (big, possibly
+    * hot-keyed) ⋈ part (small, over-broadcast-threshold stand-in) on
+    * l_partkey with fanout 8, then the per-brand merge. */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Skew.saltedJoin(li, p, Seq("l_partkey"), 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), graft.util.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  // q87: semantic dedup (SemDeDup) ----------------------------------------
+
+  /** Semantic-dup threshold in cosine basis points. The public recipe
+    * uses ~0.95 on real text embeddings; the synthetic fixture vectors
+    * are near-orthogonal (max within-cell cosine ≈ 0.49), so the demo
+    * threshold sits where the fixture has actual duplicates to decide
+    * about. The operator is threshold-agnostic. */
+  val SemThresholdBp = 3500L
+
+  def q87(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val cells = 16
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+    // first-`cells` vectors as the coarse quantizer — the deterministic
+    // k-means stand-in q57 uses (the oracle reproduces it exactly);
+    // collected once on the driver (a few KB) and embedded as literals
+    // so cell assignment is a zero-shuffle map over the scan
+    val cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < cells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .toIndexedSeq.sortBy(_._1)
+    val centsLit = array(cents.map(c => VectorOps.litArr(c._2)): _*)
+    val cidLit = array(cents.map(c => lit(c._1)): _*)
+    val asg = e
+      .withColumn("cells", call_function("nearest_cells", col("v"), centsLit))
+      .select(col("vec_id"), col("v"),
+        element_at(cidLit, element_at(col("cells"), 1).cast("int") + 1).as("cell"))
+      .persist() // three consumers below; Verify/Bench clearCache() reclaims
+    // a vector is dropped iff it near-duplicates a LOWER vec_id in its
+    // cell — keep-the-first, deterministic, and exactly SQL-mirrorable
+    val dropped = asg.as("x").join(asg.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(VectorOps.cosineQNative(col("x.v"), col("y.v")) >= lit(SemThresholdBp))
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("__drop", lit(1))
+    asg.select(col("vec_id"), col("cell"))
+      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .withColumn("kept", col("__drop").isNull.cast("int"))
+      .select(col("vec_id"), col("cell"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  // q88: Zipf-rank perplexity-proxy quality filter -------------------------
+
+  /** Keep threshold in centiranks (mean word rank ≤ 16.00): documents
+    * dominated by rare-tail words score high and are cut, the same
+    * decision surface as a unigram-LM perplexity gate. */
+  val RankKeepCentirank = 1600L
+
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+    // corpus vocabulary with dense frequency ranks (1 = most common);
+    // the rank window is global but runs over the aggregated vocab —
+    // Heaps'-law small — never over corpus rows (q80's discipline)
+    val ranked = w.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"),
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))).as("rank"))
+    w.join(broadcast(ranked), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("rank")).as("rank_sum"))
+      .select(col("doc_id"), col("n_words"), col("rank_sum"),
+        expr("CAST((rank_sum * 100L) DIV n_words AS BIGINT)").as("avg_rank_c"))
+      .withColumn("kept", (col("avg_rank_c") <= lit(RankKeepCentirank)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_salted_join" -> q86 _,
+    "q87_semdedup"    -> q87 _,
+    "q88_rank_filter" -> q88 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q86_salted_join" -> """
+      SELECT p_brand, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+    "q87_semdedup" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+      ranked AS (SELECT e.vec_id, cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${VectorOps.l2sqSql("e.embedding", "cents.cv")}, cid) AS rnk
+                 FROM e, cents),
+      asg AS (SELECT vec_id, cid AS cell FROM ranked WHERE rnk = 1),
+      dropped AS (SELECT DISTINCT y.vec_id
+                  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                  JOIN e ex ON ex.vec_id = x.vec_id
+                  JOIN e ey ON ey.vec_id = y.vec_id
+                  WHERE ${VectorOps.cosineSql("ex.embedding", "ey.embedding")} >= $SemThresholdBp)
+      SELECT a.vec_id, a.cell,
+             CAST(d.vec_id IS NULL AS INT) AS kept
+      FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id""",
+    "q88_rank_filter" -> s"""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+      r AS (SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank FROM v),
+      d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(rank) AS BIGINT) AS rank_sum
+            FROM w JOIN r USING (word) GROUP BY doc_id)
+      SELECT doc_id, n_words, rank_sum,
+             (rank_sum * 100) // n_words AS avg_rank_c,
+             CAST((rank_sum * 100) // n_words <= $RankKeepCentirank AS INT) AS kept
+      FROM d ORDER BY doc_id"""
+  )
+}

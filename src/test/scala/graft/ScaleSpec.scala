@@ -54,6 +54,38 @@ class ScaleSpec extends SparkSpec {
       d.view.mapValues(v => (math.round(v._1), v._2)).toMap)
   }
 
+  test("salted join equals a plain join under a forced shuffle join, including left no-match rows") {
+    import spark.implicits._
+    // hot key 1L carries 90% of the big side; key 99L has NO match in
+    // the small side (exercises left-join null payloads through the salt)
+    val big = ((1 to 9000).map(_ => 1L) ++ (1 to 900).map(i => (i % 30 + 2).toLong) ++
+      Seq(99L, 99L)).zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "row_id")
+    val small = (1L to 40L).map(k => (k, s"dim$k")).toDF("k", "name")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      for (jt <- Seq("inner", "left")) {
+        val plain = big.join(small, Seq("k"), jt)
+          .groupBy("k").agg(count(lit(1)).as("n"), sum("row_id").as("rs"),
+            count(col("name")).as("matched"))
+        val salted = graft.functions.Skew.saltedJoin(big, small, Seq("k"), 8, jt)
+          .groupBy("k").agg(count(lit(1)).as("n"), sum("row_id").as("rs"),
+            count(col("name")).as("matched"))
+        val p = plain.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        val sl = salted.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        assert(sl == p, s"$jt salted join diverged")
+      }
+      // the unmatched key must survive a left join exactly twice, unmatched
+      val leftRows = graft.functions.Skew.saltedJoin(big, small, Seq("k"), 8, "left")
+        .filter(col("k") === 99L).collect()
+      assert(leftRows.length == 2 && leftRows.forall(_.isNullAt(2)))
+      // replication on the small side makes right/full joins incorrect — rejected
+      intercept[IllegalArgumentException] {
+        graft.functions.Skew.saltedJoin(big, small, Seq("k"), 8, "right")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("GroupIntoBatches streams a 10^6-event hot key in O(1) task memory") {
     import spark.implicits._
     // one pathological key with a million events plus a few cold keys —
