@@ -116,10 +116,95 @@ object Round4Queries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q89: distributed k-means (Lloyd's), 2 rounds, exactly oracle-checked
+
+  /** Cluster count; init = the quantized first-K vectors (deterministic,
+    * oracle-reproducible — the same stand-in discipline as q57). */
+  val KmeansK = 8
+
+  /** Distributed Lloyd's iteration, the training loop behind q57's IVF
+    * quantizer, run for two rounds with EXACT cross-engine parity:
+    *
+    *  - embeddings quantize to integer-valued doubles (floor(x*1000)),
+    *    so round-1 distances and all centroid SUMS are exact integers —
+    *    order-independent no matter how Spark partitions the sum;
+    *  - round-1 means are one IEEE division of exact ints (bit-identical
+    *    in any engine), and round-2 distances follow the nearest_cells
+    *    expression's documented fold order, which l2sqSql mirrors —
+    *    bit-identical doubles, ties broken on cid in both engines.
+    *
+    * Per round: one zero-shuffle assignment map (literal centroid
+    * matrix), one hash aggregation carrying K×64 partial sums (map-side
+    * combined — the shuffle moves kilobytes), one driver collect of the
+    * K×64 model. That is the textbook scalable k-means shape; rounds
+    * are driver-sequenced exactly like [[graft.functions.Graph]]'s.
+    * Empty cells drop out of the next round's centroid set (can't
+    * happen with data-point init unless two init vectors are equal). */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val dim = VectorOps.Dim
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000)).cast("double")).as("q"))
+      .persist() // three passes (init collect + 2 assignment rounds)
+    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      val sorted = cents.sortBy(_._1) // index order ≡ cid order (tie contract)
+      val centsLit = array(sorted.map(c => VectorOps.litArr(c._2)): _*)
+      val cidLit = array(sorted.map(c => lit(c._1)): _*)
+      e.withColumn("cells", call_function("nearest_cells", col("q"), centsLit))
+        .select(col("vec_id"), col("q"),
+          element_at(cidLit, element_at(col("cells"), 1).cast("int") + 1).as("cell"))
+    }
+    val init: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < KmeansK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .toIndexedSeq
+    // round 1: assign, then per-cell element-wise sums as 64 flat agg
+    // columns — codegen-friendly, no explode, partials merged map-side
+    val a1 = assign(init)
+    val aggExprs = count(lit(1)).as("n") +:
+      (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s$i"))
+    val c1: Seq[(Long, Seq[Double])] = a1.groupBy(col("cell"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect().map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0), (1 to dim).map(i => r.getDouble(1 + i) / n))
+      }.toIndexedSeq
+    // round 2: re-assign against the updated means
+    assign(c1)
+      .select(col("vec_id"), col("cell"),
+        count(lit(1)).over(Window.partitionBy(col("cell"))).as("cell_n"))
+      .orderBy(col("vec_id"))
+  }
+
+  // q90: trailing range-frame window aggregate ----------------------------
+
+  /** Per-event trailing 3-day activity (count + cents sum) per user —
+    * the RANGE-frame window capability (event-time trailing windows per
+    * row, not per bucket like q21–q23). One shuffle on user_id; the
+    * frame sums integer cents (floor(value*100) — identical doubles
+    * floor identically in both engines), so no FP drift however either
+    * engine's window accumulator associates. Micros, not seconds: the
+    * fixture has sub-second timestamps, and second-truncation rounds
+    * differently across engines (q25's epoch_us precedent). */
+  def q90(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tus"),
+      floor(col("value") * 100).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3L * 86400 * 1000000, 0)
+    ev.select(col("event_id"), col("user_id"), col("tus"),
+        count(lit(1)).over(w).as("n_3d"),
+        sum(col("cents")).over(w).as("cents_3d"))
+      .orderBy(col("event_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_salted_join" -> q86 _,
     "q87_semdedup"    -> q87 _,
-    "q88_rank_filter" -> q88 _
+    "q88_rank_filter" -> q88 _,
+    "q89_kmeans"      -> q89 _,
+    "q90_trailing_3d" -> q90 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -155,6 +240,39 @@ object Round4Queries extends QueryPack {
       SELECT doc_id, n_words, rank_sum,
              (rank_sum * 100) // n_words AS avg_rank_c,
              CAST((rank_sum * 100) // n_words <= $RankKeepCentirank AS INT) AS kept
-      FROM d ORDER BY doc_id"""
+      FROM d ORDER BY doc_id""",
+    "q89_kmeans" -> s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+                 FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id < $KmeansK),
+      r1 AS (SELECT e.vec_id, cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${VectorOps.l2sqSql("e.q", "c0.cv")}, cid) AS rnk
+             FROM e, c0),
+      a1 AS (SELECT r1.vec_id, cid AS cell FROM r1 WHERE rnk = 1),
+      m AS (SELECT a1.cell, unnest(generate_series(1, ${VectorOps.Dim})) AS dim,
+                   unnest(e.q) AS val
+            FROM a1 JOIN e ON a1.vec_id = e.vec_id),
+      s AS (SELECT cell, dim, SUM(val) AS sv, COUNT(*) AS n FROM m GROUP BY cell, dim),
+      c1 AS (SELECT cell AS cid, list(sv / n ORDER BY dim) AS cv FROM s GROUP BY cell),
+      r2 AS (SELECT e.vec_id, cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${VectorOps.l2sqSql("e.q", "c1.cv")}, cid) AS rnk
+             FROM e, c1),
+      a2 AS (SELECT r2.vec_id, cid AS cell FROM r2 WHERE rnk = 1)
+      SELECT vec_id, cell, CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+      FROM a2 ORDER BY vec_id""",
+    "q90_trailing_3d" -> """
+      WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events)
+      SELECT event_id, user_id, tus,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_3d,
+             CAST(SUM(cents) OVER w AS BIGINT) AS cents_3d
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""
   )
 }

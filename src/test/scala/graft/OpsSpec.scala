@@ -237,6 +237,10 @@ class OpsSpec extends SparkSpec {
     val emptyKeyed = Seq.empty[(String, Double)].toDF("k", "v")
     assert(graft.functions.Skew.saltedAgg(emptyKeyed, Seq("k"), 8,
       Seq(graft.functions.Skew.sumOf(col("v"), "s"))).count() == 0)
+    val someDim = Seq(("a", 1L)).toDF("k", "d")
+    assert(graft.functions.Skew.saltedJoin(emptyKeyed, someDim, Seq("k"), 8).count() == 0)
+    assert(graft.functions.Skew.saltedJoin(someDim, emptyKeyed.select(col("k")), Seq("k"), 8,
+      "left").count() == 1)
     val emptyLeft = Seq.empty[(Long, Long, Long)].toDF("k", "id", "t")
     val someRight = Seq((1L, 5L, 900L)).toDF("k", "t", "p")
     assert(graft.plans.AsOfJoin.joinAsOf(emptyLeft, someRight, "k", "t", Seq("p")).count() == 0)
