@@ -170,10 +170,15 @@ object Round4Queries extends QueryPack {
         val n = r.getLong(1)
         (r.getLong(0), (1 to dim).map(i => r.getDouble(1 + i) / n))
       }.toIndexedSeq
-    // round 2: re-assign against the updated means
-    assign(c1)
-      .select(col("vec_id"), col("cell"),
-        count(lit(1)).over(Window.partitionBy(col("cell"))).as("cell_n"))
+    // round 2: re-assign against the updated means; cell sizes via a
+    // map-side-combined 8-row aggregate broadcast back — NOT a window
+    // over cell, which would shuffle the whole assignment table into K
+    // reducers (deliberate skew) at scale
+    val a2 = assign(c1)
+    val sizes = a2.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    a2.select(col("vec_id"), col("cell"))
+      .join(broadcast(sizes), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("cell_n"))
       .orderBy(col("vec_id"))
   }
 

@@ -41,6 +41,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "probe join must broadcast the query side")
   }
 
+  test("q89 k-means assigns cells as a literal map and never shuffles the corpus on vec_id") {
+    val plan = SparkEntry.queries("q89_kmeans")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nearestcells"), s"assignment must use the native expression:\n$plan")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus-wide exchange on vec_id in q89:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell sizes must broadcast back, not window over cell:\n$plan")
+  }
+
   test("q60 keeps the two-phase salted shape (salt in phase 1, stripped in phase 2)") {
     val plan = SparkEntry.queries("q60_hotkey_fanout")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
