@@ -15,7 +15,8 @@ object SparkEntry {
     AggQueries,
     MultimodalQueries,
     PipelineQueries,
-    Round4Queries
+    Round4Queries,
+    CorpusQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextOps
+
+/** Round-4 corpus-analytics wave: substring-level duplication spans,
+  * inverted-index construction, link analysis (integer-exact PageRank),
+  * BPE-style pair statistics, collocation mining, and PII-style
+  * redaction.
+  *
+  * 100 TB design notes:
+  *  - q91 never shuffles text: shingles reduce to 60-bit md5-derived
+  *    BIGINT keys before the duplicated-span groupBy, so the wide
+  *    shuffle carries 8-byte keys (q31's discipline, span-level).
+  *  - q92 prunes posting lists BEFORE the shuffle: the first-16 cap is
+  *    a row_number window Spark plans as WindowGroupLimit, so a hot
+  *    term ("the" at corpus scale) contributes 16 rows to the
+  *    collect_list, not its full posting set. Document frequency comes
+  *    from a separate count-only aggregate (map-side combined, no list).
+  *  - q93 runs PageRank in pure 64-bit integer arithmetic (rank mass
+  *    scaled ×10^6, floor division everywhere) — bit-identical across
+  *    engines and partitionings, no float accumulation anywhere. Rounds
+  *    are driver-sequenced joins like functions/Graph; each round is
+  *    one keyed join + one map-side-combined aggregation.
+  *  - q94/q95 aggregate the corpus down to its Heaps'-law-small
+  *    vocabulary FIRST, then do pair/character work on the vocab table
+  *    weighted by counts — the expensive explode runs over thousands of
+  *    rows, not billions (q88's discipline).
+  *  - q96 is a pure row-local map (regexp_replace/extract_all) — zero
+  *    shuffles besides the final presentation sort.
+  */
+object CorpusQueries extends QueryPack {
+
+  // q91: duplicated-span detection (substring-level dedup) ----------------
+
+  /** Per document: how many of its distinct word-3-gram spans also occur
+    * in some OTHER document — the decision surface of substring-level
+    * training-data dedup (exact-substring flavor of Lee et al. 2022,
+    * arXiv:2107.06499: duplicated spans, not whole-doc duplicates, are
+    * what leaks across a corpus). Emits span counts and the duplicated
+    * fraction in basis points (integer division, engine-portable). */
+  def q91(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(call_function("shingles3", TextOps.words(col("text")))).as("shs"))
+    // 60-bit portable hash per span: the shuffle key is 8 bytes however
+    // long the span text is ('0x'||substr(md5) — same derivation as the
+    // MinHash base hash, mirrored exactly in the oracle SQL)
+    val ex = base.select(col("doc_id"), explode(col("shs")).as("sp"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("h"))
+    // spans present in >= 2 docs; rows are distinct per (doc, span) so
+    // a plain count(*) counts documents
+    val shared = ex.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val perDoc = ex.join(shared, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("doc_id"), col("n_sh"), col("n_shared"),
+        when(col("n_sh") > 0,
+          expr("CAST((n_shared * 10000L) DIV n_sh AS BIGINT)"))
+          .otherwise(lit(0L)).as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q92: inverted index with pre-shuffle-pruned posting lists -------------
+
+  /** Posting-list cap: q92 materializes the FIRST `PostingCap` doc_ids
+    * per term (WindowGroupLimit prunes before the shuffle) plus the full
+    * document frequency — the truncated-postings shape a 100 TB index
+    * build actually ships to its sink. */
+  val PostingCap = 16
+
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.words(col("text")))).as("word"))
+    val dfs = w.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val top = w
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("word")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= PostingCap)
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    dfs.join(top, Seq("word"))
+      .select(col("word"), col("df"), col("postings"))
+      .orderBy(col("word"))
+  }
+
+  // q93: PageRank, 2 rounds, integer-exact --------------------------------
+
+  /** Node-id offset separating part nodes from supplier nodes in the
+    * co-occurrence graph (l_partkey < 10^6 holds through sf100). */
+  val PartOffset = 1000000L
+
+  /** Per-node starting rank mass (×10^6 fixed-point scale). */
+  val RankScale = 1000000L
+
+  /** PageRank over the supplier–part co-occurrence graph (an edge per
+    * distinct (l_suppkey, l_partkey) pair, both directions), damping
+    * 0.85, two rounds from a uniform start. All arithmetic is 64-bit
+    * integer floor division on the ×10^6 scale: contributions are
+    * `rank DIV degree`, the damped update is `150000 + (85·in) DIV 100`
+    * — identical in any engine, any partitioning, any execution order.
+    * Each round: one join of the edge list with the rank table on the
+    * source key, one hash aggregation on the destination key. The edge
+    * list is persisted once and reused across rounds. */
+  def q93(s: SparkSession, d: String): DataFrame = {
+    val ep = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + lit(PartOffset)).as("pk"))
+      .distinct()
+    val edges = ep.select(col("sk").as("src"), col("pk").as("dst"))
+      .union(ep.select(col("pk").as("src"), col("sk").as("dst")))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).persist()
+    // round 1 from the uniform start: contribution is a constant per
+    // source, so the rank join drops out entirely
+    def step(ranked: DataFrame): DataFrame = ranked
+      .groupBy(col("dst")).agg(sum(col("c")).as("in"))
+      .select(col("dst").as("id"),
+        (lit(150000L) + expr("(85 * in) DIV 100")).as("r"))
+    val r1 = step(withDeg.select(col("dst"),
+      expr(s"$RankScale DIV deg").as("c")))
+    val r2 = step(withDeg
+      .join(r1.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst"), expr("r DIV deg").as("c")))
+    val out = r2.orderBy(col("r").desc, col("id")).limit(20)
+      .select(col("id"), col("r"))
+    edges.unpersist(); withDeg.unpersist()
+    out
+  }
+
+  // q94: BPE-style adjacent character-pair statistics ---------------------
+
+  /** Frequency-weighted adjacent character-pair counts — the statistic
+    * one BPE merge round maximizes. Pairs are generated over the
+    * aggregated vocabulary (small) weighted by corpus counts, never over
+    * raw corpus tokens. */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    w.filter(length(col("w")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  // q95: collocation mining via integer lift ------------------------------
+
+  /** Minimum bigram support before a lift score is computed (tuned to
+    * the t2 gate's sf0.01 corpus, where bigram counts top out near 48 —
+    * the filter must actually pass data for the oracle row-compare to
+    * mean anything). */
+  val LiftMinCount = 25L
+
+  /** Top word bigrams by pointwise lift — P(xy)/(P(x)P(y)) — computed as
+    * `(c_xy · N · 1000) DIV (c_x · c_y)` in thousandths: monotone in PMI
+    * under a fixed support filter, and exactly portable (no log, no
+    * float division; products stay < 2^63 through sf10). Unigram counts
+    * are vocabulary-small, so both enrichment joins broadcast. */
+  def q95(s: SparkSession, d: String): DataFrame = {
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1")).persist()
+    val n = uni.agg(sum(col("c1")).as("n_tot"))
+    val bi = ws
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= LiftMinCount)
+    val out = bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("cw1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cw2"))), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cxy"),
+        expr("CAST((cxy * n_tot * 1000L) DIV (cw1 * cw2) AS BIGINT)").as("lift_m"))
+      .orderBy(col("lift_m").desc, col("w1"), col("w2"))
+      .limit(20)
+    out.localCheckpoint(true)
+    uni.unpersist()
+    out
+  }
+
+  // q96: PII-style redaction (portable regex, row-local) ------------------
+
+  /** Digit-run redaction over the events JSON payload: every [0-9]+ run
+    * becomes '#', with the run count kept for auditing. The regex is
+    * shared verbatim with the oracle (RE2 and java.util.regex agree on
+    * this class), and the whole operator is a row-local map — the
+    * cleaning pass costs one scan at any corpus size. */
+  def q96(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_red"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_runs"))
+      .orderBy(col("event_id"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_substring_dup"  -> q91 _,
+    "q92_inverted_index" -> q92 _,
+    "q93_pagerank"       -> q93 _,
+    "q94_bpe_pairs"      -> q94 _,
+    "q95_bigram_lift"    -> q95 _,
+    "q96_redact"         -> q96 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q91_substring_dup" -> """
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      shs AS (SELECT doc_id,
+                list_distinct([array_to_string(words[i:i+2], ' ')
+                               for i in generate_series(1, greatest(len(words)-2, 0))]) AS sh
+              FROM docs),
+      ex AS (SELECT doc_id, CAST(('0x' || substr(md5(sp), 1, 15)) AS BIGINT) AS h
+             FROM (SELECT doc_id, unnest(sh) AS sp FROM shs)),
+      shared AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2),
+      pd AS (SELECT doc_id, COUNT(*) AS n_shared FROM ex JOIN shared USING (h) GROUP BY doc_id)
+      SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_sh,
+             CAST(COALESCE(pd.n_shared, 0) AS BIGINT) AS n_shared,
+             CAST(CASE WHEN len(s.sh) > 0
+                  THEN (COALESCE(pd.n_shared, 0) * 10000) // len(s.sh)
+                  ELSE 0 END AS BIGINT) AS dup_bp
+      FROM shs s LEFT JOIN pd USING (doc_id) ORDER BY s.doc_id""",
+    "q92_inverted_index" -> s"""
+      WITH w AS (SELECT DISTINCT doc_id, word
+                 FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+                       FROM documents)),
+      dfs AS (SELECT word, COUNT(*) AS df FROM w GROUP BY word),
+      top AS (SELECT word, list(doc_id ORDER BY doc_id) AS postings
+              FROM (SELECT word, doc_id,
+                      row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+                    FROM w)
+              WHERE rn <= $PostingCap GROUP BY word)
+      SELECT word, CAST(df AS BIGINT) AS df, postings
+      FROM dfs JOIN top USING (word) ORDER BY word""",
+    "q93_pagerank" -> s"""
+      WITH ep AS (SELECT DISTINCT l_suppkey AS sk, l_partkey + $PartOffset AS pk FROM lineitem),
+      e AS (SELECT sk AS src, pk AS dst FROM ep UNION ALL SELECT pk, sk FROM ep),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r1 AS (SELECT e.dst AS id,
+                    150000 + (85 * SUM($RankScale // deg.deg)) // 100 AS r
+             FROM e JOIN deg ON e.src = deg.src GROUP BY e.dst),
+      r2 AS (SELECT e.dst AS id,
+                    150000 + (85 * SUM(r1.r // deg.deg)) // 100 AS r
+             FROM e JOIN deg ON e.src = deg.src
+                    JOIN r1 ON r1.id = e.src GROUP BY e.dst)
+      SELECT id, CAST(r AS BIGINT) AS r FROM r2 ORDER BY r DESC, id LIMIT 20""",
+    "q94_bpe_pairs" -> """
+      WITH w AS (SELECT word, COUNT(*) AS cnt
+                 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                 GROUP BY word),
+      p AS (SELECT cnt, unnest([substring(word, i, 2)
+                                for i in generate_series(1, length(word)-1)]) AS pair
+            FROM w WHERE length(word) >= 2)
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    "q95_bigram_lift" -> s"""
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      uni AS (SELECT w, COUNT(*) AS c1
+              FROM (SELECT unnest(ws) AS w FROM docs) GROUP BY w),
+      n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tot FROM uni),
+      bi AS (SELECT w1, w2, COUNT(*) AS cxy
+             FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+                   FROM docs, unnest(generate_series(1, greatest(len(ws)-1, 0))) AS t(i)
+                   WHERE len(ws) >= 2)
+             GROUP BY w1, w2 HAVING COUNT(*) >= $LiftMinCount)
+      SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy,
+             CAST((cxy * n_tot * 1000) // (u1.c1 * u2.c1) AS BIGINT) AS lift_m
+      FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, n
+      ORDER BY lift_m DESC, w1, w2 LIMIT 20""",
+    "q96_redact" -> """
+      SELECT event_id,
+             regexp_replace(props, '[0-9]+', '#', 'g') AS props_red,
+             CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_runs
+      FROM events ORDER BY event_id"""
+  )
+}

@@ -80,6 +80,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"shingle join must not sort-merge:\n$plan")
   }
 
+  test("q92 prunes posting lists before the shuffle (WindowGroupLimit) and never collects full lists") {
+    val plan = SparkEntry.queries("q92_inverted_index")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"posting-cap must plan as WindowGroupLimit (pre-shuffle prune):\n$plan")
+  }
+
+  test("q95 broadcasts the vocabulary enrichment joins") {
+    val plan = SparkEntry.queries("q95_bigram_lift")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"unigram joins must broadcast, not sort-merge:\n$plan")
+  }
+
   test("q71 packs with one hash exchange on source and no global sort before the map") {
     val plan = SparkEntry.queries("q71_seq_pack")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
