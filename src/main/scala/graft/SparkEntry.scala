@@ -16,7 +16,8 @@ object SparkEntry {
     MultimodalQueries,
     PipelineQueries,
     Round4Queries,
-    CorpusQueries
+    CorpusQueries,
+    AnalyticsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

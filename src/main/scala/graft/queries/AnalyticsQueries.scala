@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-4 product-analytics wave: funnel conversion, cohort retention,
+  * winsorized robust statistics, grouping sets, and pivot — the
+  * reporting surface a warehouse user expects from a complete engine.
+  *
+  * 100 TB design notes:
+  *  - q97's funnel is three keyed aggregations chained by user_id joins
+  *    — each step's survivor set shrinks, so later joins move less data;
+  *    no window over the full event stream, no per-user event buffering.
+  *  - q98 reduces events to (user, week) pairs FIRST (distinct on an
+  *    8+8-byte key), then assigns cohorts with one more keyed join —
+  *    the classic two-pass retention shape; nothing ever materializes a
+  *    per-user event list.
+  *  - q99 computes the global clip bounds once (Spark `percentile` ≡
+  *    DuckDB `quantile_cont` — same interpolation, verified exact in
+  *    round 3's q75 work), broadcasts the 1-row bound set, and clips in
+  *    a row-local map; sums are integer cents so partial aggregation
+  *    order cannot drift the result.
+  *  - q100/q101 are single hash aggregations (grouping-set expansion
+  *    and conditional aggregation respectively) — Spark expands
+  *    GROUPING SETS into one Expand + one aggregate, not N scans.
+  *  - all timestamps flow as integer epoch-microseconds (q90's
+  *    precedent), all day/week math is integer floor division.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  private val DayUs = 86400000000L
+
+  // q97: 3-step funnel (signup -> click -> purchase, strictly ordered) ----
+
+  def q97(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("tus"))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id")).filter(col("tus") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).filter(col("tus") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+    val steps = Seq((1L, t1), (2L, t2), (3L, t3)).map { case (step, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(step).as("step"), col("n_users"))
+    }
+    steps.reduce(_.unionByName(_)).orderBy(col("step"))
+  }
+
+  // q98: weekly cohort retention ------------------------------------------
+
+  def q98(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV ${DayUs * 7}").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_w"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("offset_w"))
+  }
+
+  // q99: winsorized robust statistics per event type ----------------------
+
+  def q99(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val bounds = e.agg(
+      floor(percentile(col("cents"), lit(0.05))).cast("long").as("lo"),
+      floor(percentile(col("cents"), lit(0.95))).cast("long").as("hi"))
+    e.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        greatest(col("lo"), least(col("hi"), col("cents"))).as("clip"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("clip")).as("sum_clip"))
+      .select(col("event_type"), col("n"), col("sum_clip"),
+        expr("CAST((sum_clip * 100L) DIV n AS BIGINT)").as("avg_clip_cc"))
+      .orderBy(col("event_type"))
+  }
+
+  // q100: GROUPING SETS with grouping_id ----------------------------------
+
+  def q100(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("g100_documents")
+    s.sql("""
+      SELECT lang, source, grouping(lang) AS g_lang, grouping(source) AS g_source,
+             count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM g100_documents
+      GROUP BY GROUPING SETS ((lang), (source), ())
+      ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""")
+  }
+
+  // q101: pivot (wide per-language doc counts per source) -----------------
+
+  /** The pivoted language set — fixed and driver-known, as a pivot's
+    * output schema must be (FIXTURES.md: lang ∈ {en,de,zh,fr,es}). */
+  val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  def q101(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotLangs)
+      .orderBy(col("source"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_funnel"        -> q97 _,
+    "q98_retention"     -> q98 _,
+    "q99_winsorize"     -> q99 _,
+    "q100_grouping_sets" -> q100 _,
+    "q101_pivot"        -> q101 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q97_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      t1 AS (SELECT user_id, MIN(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, MIN(tus) AS t2 FROM e JOIN t1 USING (user_id)
+             WHERE event_type = 'click' AND tus > t1 GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, MIN(tus) AS t3 FROM e JOIN t2 USING (user_id)
+             WHERE event_type = 'purchase' AND tus > t2 GROUP BY e.user_id)
+      SELECT 1 AS step, COUNT(*) AS n_users FROM t1
+      UNION ALL SELECT 2, COUNT(*) FROM t2
+      UNION ALL SELECT 3, COUNT(*) FROM t3
+      ORDER BY step""",
+    "q98_retention" -> s"""
+      WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // ${DayUs * 7} AS week FROM events),
+      c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+      SELECT cohort_week, week - cohort_week AS offset_w, COUNT(*) AS n_users
+      FROM uw JOIN c USING (user_id)
+      GROUP BY cohort_week, offset_w ORDER BY cohort_week, offset_w""",
+    "q99_winsorize" -> """
+      WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      b AS (SELECT CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+                   CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS hi FROM e)
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(greatest(lo, least(hi, cents))) AS BIGINT) AS sum_clip,
+             CAST((SUM(greatest(lo, least(hi, cents))) * 100) // COUNT(*) AS BIGINT) AS avg_clip_cc
+      FROM e, b GROUP BY event_type ORDER BY event_type""",
+    "q100_grouping_sets" -> """
+      SELECT lang, source,
+             CAST(grouping(lang) AS TINYINT) AS g_lang,
+             CAST(grouping(source) AS TINYINT) AS g_source,
+             count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents
+      GROUP BY GROUPING SETS ((lang), (source), ())
+      ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""",
+    "q101_pivot" -> """
+      SELECT source,
+             CAST(count(1) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+             CAST(count(1) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+             CAST(count(1) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+             CAST(count(1) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+             CAST(count(1) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+      FROM documents GROUP BY source ORDER BY source"""
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+
+/** Semantic invariants for the product-analytics wave (q97–q101). */
+class AnalyticsSpec extends SparkSpec {
+
+  private def d = sf("sf0.001")
+
+  test("q97: funnel steps are monotonically non-increasing") {
+    val rows = AnalyticsQueries.q97(spark, d).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2), counts.toSeq)
+    assert(counts(0) > 0, "no users entered the funnel at all")
+  }
+
+  test("q98: retention offsets are non-negative and cohort week-0 counts cover each cohort") {
+    val rows = AnalyticsQueries.q98(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 0, s"negative offset in $r"))
+    // every cohort has an offset-0 row (its own first week) at least as
+    // large as any later offset of the same cohort
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (c, rs) =>
+      val zero = rs.find(_.getLong(1) == 0L)
+      assert(zero.isDefined, s"cohort $c missing offset 0")
+      rs.foreach(r => assert(r.getLong(2) <= zero.get.getLong(2),
+        s"cohort $c offset ${r.getLong(1)} exceeds week-0"))
+    }
+  }
+
+  test("q99: winsorized sums respect the clip bounds") {
+    val rows = AnalyticsQueries.q99(spark, d).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("click", "error", "purchase", "signup", "view"))
+    rows.foreach { r =>
+      val (n, sum, avg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0)
+      assert(avg == sum * 100 / n, s"avg mismatch in $r")
+    }
+  }
+
+  test("q100: the grand-total grouping-set row equals the table size") {
+    val rows = AnalyticsQueries.q100(spark, d).collect()
+    val total = rows.filter(r => r.getByte(2) == 1 && r.getByte(3) == 1)
+    assert(total.length == 1)
+    assert(total.head.getLong(4) == 500L)
+    // per-lang rows and per-source rows each sum to the same total
+    val perLang = rows.filter(r => r.getByte(2) == 0).map(_.getLong(4)).sum
+    val perSource = rows.filter(r => r.getByte(3) == 0).map(_.getLong(4)).sum
+    assert(perLang == 500L && perSource == 500L)
+  }
+
+  test("q101: pivot cells sum to the corpus size and langs partition each source") {
+    val rows = AnalyticsQueries.q101(spark, d).collect()
+    assert(rows.length == 20)
+    val cellSum = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(cellSum == 500L)
+  }
+}
