@@ -116,8 +116,17 @@ object CorpusQueries extends QueryPack {
       .select(col("l_suppkey").as("sk"),
         (col("l_partkey") + lit(PartOffset)).as("pk"))
       .distinct()
-    val edges = ep.select(col("sk").as("src"), col("pk").as("dst"))
-      .union(ep.select(col("pk").as("src"), col("sk").as("dst")))
+    // both edge directions from ONE pass over the distinct pair set (an
+    // explode, not a self-union that would scan and re-shuffle lineitem
+    // twice); persisted because degree and the round joins both read it
+    val edges = ep.select(explode(array(
+        struct(col("sk").as("src"), col("pk").as("dst")),
+        struct(col("pk").as("src"), col("sk").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      // hash-partition by src ONCE: the degree aggregation, the
+      // degree join, and every round's rank join all cluster on src,
+      // so they inherit this partitioning instead of re-exchanging
+      .repartition(col("src"))
       .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).persist()

@@ -55,6 +55,26 @@ object WindowQueries extends QueryPack {
         col("n"), col("sum_value"))
       .orderBy(col("user_id"), col("s_start_us"))
 
+  /** Dynamic-gap session windows (Beam's Sessions with a per-element
+    * gap has no direct Beam-Python surface, but Spark's session_window
+    * accepts a gap EXPRESSION — a purchase holds the session open for
+    * 24 h, anything else 12 h). The batch oracle generalizes q23's
+    * gaps-and-islands: with per-event gaps the session end is the
+    * RUNNING MAX of ts+gap (not last ts + constant), so the island
+    * break tests against that running max; Spark's merge rule is
+    * "event joins the session iff ts < current end" ([start, end)
+    * half-open), hence the break on tus >= runmax. */
+  def q102(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("24 hours"))
+            .otherwise(lit("12 hours"))).as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start_us"))
+
   /** Hour-of-day profile (event-time scalar extraction). */
   def q24(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -66,7 +86,8 @@ object WindowQueries extends QueryPack {
     "q21_window_tumbling" -> q21 _,
     "q22_window_sliding"  -> q22 _,
     "q23_window_session"  -> q23 _,
-    "q24_hour_profile"    -> q24 _
+    "q24_hour_profile"    -> q24 _,
+    "q102_dynamic_session" -> q102 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -96,6 +117,23 @@ object WindowQueries extends QueryPack {
     "q24_hour_profile" -> """
       SELECT date_part('hour', CAST(ts AS TIMESTAMP)) AS hod, event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q102_dynamic_session" -> """
+      WITH e AS (SELECT user_id, event_id, value,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                        CASE WHEN event_type = 'purchase'
+                             THEN 86400000000 ELSE 43200000000 END AS gap
+                 FROM events),
+      m AS (SELECT *, MAX(tus + gap) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+            FROM e),
+      b AS (SELECT *, CASE WHEN runmax IS NOT NULL AND tus >= runmax
+                           THEN 1 ELSE 0 END AS brk FROM m),
+      s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+      SELECT user_id, MIN(tus) AS s_start_us, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"""
   )
 }

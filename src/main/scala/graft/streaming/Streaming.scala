@@ -67,6 +67,20 @@ object Streaming {
       .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"), col("n"))
   }
 
+  /** Dynamic-gap session windows — q102's shape: the gap is a per-event
+    * EXPRESSION (purchases hold the session open 24 h, everything else
+    * 12 h). Identical builder for batch and stream: on a stream the
+    * state store merges windows exactly as the batch plan does. */
+  def dynSessionCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", lit("24 hours"))
+          .otherwise(lit("12 hours"))).as("w"),
+      col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"), col("n"))
+  }
+
   case class UserCount(user_id: Long, n: Long)
   case class SessBuf(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n: Long)

@@ -226,6 +226,24 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("__corrupt"))
   }
 
+  test("HLL sketches merge across groups to the global estimate (mergeable approx-distinct)") {
+    // the 100 TB shape of ApproximateUnique: per-partition/per-group
+    // sketches (here: per language) are tiny mergeable buffers; the
+    // union of the group sketches must estimate the GLOBAL cardinality,
+    // not the sum of per-group ones — that is what makes the sketch
+    // re-aggregable across arbitrary repartitionings
+    val words = graft.Tables.documents(spark, sf("sf0.01"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val perLang = words.groupBy(col("lang"))
+      .agg(hll_sketch_agg(col("word")).as("sk"))
+    val merged = perLang
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val exact = words.select("word").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged HLL estimate $merged vs exact $exact")
+  }
+
   test("custom operators tolerate empty inputs (the production corner case)") {
     import spark.implicits._
     val emptyKv = spark.emptyDataset[(Long, Long)]

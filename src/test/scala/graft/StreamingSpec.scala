@@ -92,6 +92,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("dynamic-gap session windows: stream equals batch, purchase stretches the gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sess = Seq(
+      Ev(1, ts(1, 1), 1, "purchase", 1.0), // 24h gap holds the session open
+      Ev(2, ts(1, 20), 1, "click", 1.0),   // 19h later: inside the 24h purchase gap
+      Ev(3, ts(2, 21), 1, "click", 1.0),   // 25h after #2 (12h gap): new session
+      Ev(4, ts(1, 1), 2, "click", 1.0),
+      Ev(5, ts(1, 20), 2, "click", 1.0))   // 19h > 12h click gap: new session
+    val mem = MemoryStream[Ev]
+    val q = Streaming.dynSessionCounts(mem.toDF(), watermark = Some("1 day"))
+      .writeStream.format("memory").queryName("t_dsess")
+      .outputMode("append").start()
+    mem.addData(sess: _*)
+    q.processAllAvailable()
+    mem.addData(Ev(99, ts(30), 99, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_dsess").filter(col("user_id") < 99)
+      .orderBy("user_id", "s_start_us").collect().map(_.toSeq).toSeq
+    val batch = Streaming.dynSessionCounts(sess.toDF())
+      .orderBy("user_id", "s_start_us").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the purchase gap must have merged user 1's first two events while
+    // user 2's identical timings (no purchase) split
+    val u1 = batch.filter(_.head == 1L)
+    val u2 = batch.filter(_.head == 2L)
+    assert(u1.map(_(2)) == Seq(2L, 1L), s"user1 sessions: $u1")
+    assert(u2.map(_(2)) == Seq(1L, 1L), s"user2 sessions: $u2")
+  }
+
   test("event-time timer fires when the watermark passes last-event + gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
