@@ -33,7 +33,17 @@ object AnalyticsQueries extends QueryPack {
 
   // q97: 3-step funnel (signup -> click -> purchase, strictly ordered) ----
 
-  def q97(s: SparkSession, d: String): DataFrame = {
+  /** Production form: [[graft.functions.Funnel]] — one shuffle, one
+    * pass, O(steps) state. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    graft.functions.Funnel.funnelCounts(
+      Tables.events(s, d).withColumn("tus", unix_micros(col("ts"))),
+      "user_id", "event_type", "tus", Seq("signup", "click", "purchase"))
+
+  /** Join-chain reference implementation (the oracle SQL's literal
+    * shape) — kept for the AnalyticsSpec equivalence proof; N scans of
+    * the event table, so never the production path. */
+  private[graft] def q97JoinForm(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(col("user_id"),
       col("event_type"), unix_micros(col("ts")).as("tus"))
     val t1 = e.filter(col("event_type") === "signup")

@@ -15,6 +15,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(counts(0) > 0, "no users entered the funnel at all")
   }
 
+  test("q97: single-pass funnel sweep equals the join-chain reference") {
+    val fast = AnalyticsQueries.q97(spark, d).collect().map(_.toSeq).toSeq
+    val ref = AnalyticsQueries.q97JoinForm(spark, d).collect().map(_.toSeq).toSeq
+    assert(fast == ref, s"sweep=$fast joins=$ref")
+  }
+
+  test("funnel sweep: ties at equal ts never advance a step (strict ordering)") {
+    import spark.implicits._
+    // user 1: signup and click at the SAME microsecond -> click must not
+    // count; user 2: click strictly later -> counts; purchase before
+    // click never counts even though it is after signup
+    val ev = Seq(
+      (1L, "signup", 100L), (1L, "click", 100L),
+      (2L, "signup", 100L), (2L, "purchase", 150L), (2L, "click", 200L))
+      .toDF("user_id", "event_type", "tus")
+    val out = graft.functions.Funnel
+      .funnelCounts(ev, "user_id", "event_type", "tus",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 0L)), out)
+  }
+
   test("q98: retention offsets are non-negative and cohort week-0 counts cover each cohort") {
     val rows = AnalyticsQueries.q98(spark, d).collect()
     assert(rows.nonEmpty)
