@@ -56,6 +56,37 @@ object ExtQueries extends QueryPack {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("o_orderpriority"))
 
+  /** q103: PURE range join (no equi key) via interval bucketing — the
+    * shape Spark would otherwise plan as a BroadcastNestedLoopJoin.
+    * Windows are ±1 h around a deterministic sample of purchase events;
+    * the task: count ALL events (any user) inside each window.
+    *
+    * Scale design: both sides map to 1-hour buckets — intervals explode
+    * into the few buckets they overlap, events into exactly one — then
+    * an EQUI join on bucket plus the exact range as a residual filter.
+    * Each event lands in one bucket, so no dedup pass is needed. The
+    * nested loop's O(|events|·|windows|) becomes O(events + windows·
+    * span) shuffled on an 8-byte key; bucket granularity trades fan-out
+    * (span/granule per window) against per-bucket candidates, exactly
+    * like q33's LSH banding. */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val win = ev.filter(col("event_type") === "purchase" &&
+        col("event_id") % 200 === 0)
+      .select(col("event_id").as("win_id"),
+        (col("tus") - HourUs).as("ws"), (col("tus") + HourUs).as("we"))
+    val winB = win.withColumn("bucket",
+      explode(sequence(expr(s"ws DIV $HourUs"), expr(s"we DIV $HourUs"))))
+    val evB = ev.withColumn("bucket", expr(s"tus DIV $HourUs"))
+    winB.join(evB, Seq("bucket"))
+      .filter(col("tus") >= col("ws") && col("tus") <= col("we"))
+      .groupBy(col("win_id")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("win_id"))
+  }
+
   /** q27: WithKeys -> Reshuffle -> KvSwap -> ToString, then a count to
     * make the output deterministic. The repartition is a semantic no-op
     * (Beam Reshuffle); Catalyst keeps it as an exchange barrier. */
@@ -132,10 +163,19 @@ object ExtQueries extends QueryPack {
     "q27_kv_ops"     -> q27 _,
     "q28_join_right" -> q28 _,
     "q29_anti_nonempty" -> q29 _,
-    "q59_group_into_batches" -> q59 _
+    "q59_group_into_batches" -> q59 _,
+    "q103_bucketed_range_join" -> q103 _
   )
 
   override val oracle: Map[String, String] = Map(
+    "q103_bucketed_range_join" -> """
+      WITH ev AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type
+                  FROM events),
+      win AS (SELECT event_id AS win_id, tus - 3600000000 AS ws, tus + 3600000000 AS we
+              FROM ev WHERE event_type = 'purchase' AND event_id % 200 = 0)
+      SELECT win_id, COUNT(*) AS n_events
+      FROM win JOIN ev ON ev.tus >= win.ws AND ev.tus <= win.we
+      GROUP BY win_id ORDER BY win_id""",
     "q25_asof_join" -> """
       WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
                  FROM events WHERE event_type = 'purchase'),

@@ -87,6 +87,14 @@ class PlanGuardSpec extends SparkSpec {
       s"posting-cap must plan as WindowGroupLimit (pre-shuffle prune):\n$plan")
   }
 
+  test("q103 plans the pure range join as an equi join on buckets, not a nested loop") {
+    val plan = SparkEntry.queries("q103_bucketed_range_join")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("bucket"), s"bucket key missing from the join:\n$plan")
+  }
+
   test("q95 broadcasts the vocabulary enrichment joins") {
     val plan = SparkEntry.queries("q95_bigram_lift")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
