@@ -104,6 +104,28 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 5)
   }
 
+  test("foreachBatch idempotent sink: re-delivered batch overwrites instead of duplicating") {
+    // exactly-once file delivery under at-least-once foreachBatch: key
+    // the output by batch id and OVERWRITE that partition, so a batch
+    // replayed after a crash lands on top of its previous attempt. With
+    // partitionOverwriteMode=dynamic only the replayed batch's partition
+    // is touched — other batches' output survives.
+    import spark.implicits._
+    val dir = tmp()
+    def deliver(rows: Seq[Long], batchId: Long): Unit =
+      rows.toDF("v").withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/out")
+    deliver(Seq(1L, 2L, 3L), 0L)
+    deliver(Seq(4L, 5L), 1L)
+    deliver(Seq(4L, 5L), 1L) // crash-replay of batch 1
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 5, "replayed batch must not duplicate")
+    assert(out.filter(col("batch_id") === 0).count() == 3,
+      "dynamic overwrite must not clobber other batches")
+  }
+
   test("binary payload survives a parquet round-trip") {
     val dir = tmp() + "/b"
     val df = Tables.documents(spark, sf("sf0.001"))
