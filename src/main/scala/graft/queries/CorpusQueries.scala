@@ -185,14 +185,20 @@ object CorpusQueries extends QueryPack {
     val uni = ws.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1")).persist()
     val n = uni.agg(sum(col("c1")).as("n_tot"))
+    // one flat string per bigram (not a struct of two) — half the
+    // allocations in the hot explode, single-column hash in the partial
+    // aggregate that collapses corpus bigrams to the ~vocab² distinct
+    // ones before any shuffle; the string splits back into words only
+    // on the tiny aggregated table
     val bi = ws
       .filter(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("w1"),
-          element_at(col("ws"), i + 1).as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= LiftMinCount)
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("cxy"))
     val out = bi
       .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("cw1"))), Seq("w1"))
       .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cw2"))), Seq("w2"))

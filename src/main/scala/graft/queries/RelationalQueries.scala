@@ -154,14 +154,22 @@ object RelationalQueries extends QueryPack {
       .limit(10)
   }
 
-  /** Left join with a selective right side → null-producing rows. */
+  /** Left join with a selective right side → null-producing rows.
+    * The aggregate is pushed BELOW the join: the filtered lineitem side
+    * collapses to per-order partials first (map-side combined), so the
+    * left join matches 1.5 M orders against a small aggregated table —
+    * which also broadcasts — instead of re-grouping the 1.5 M-row join
+    * output. Unmatched orders surface as NULL partials → coalesce to 0,
+    * which is exactly the join-then-aggregate semantics. */
   def q12(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
-    Tables.orders(s, d)
-      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
-      .groupBy(col("o_orderkey"))
-      .agg(count(col("l_orderkey")).as("n_big_items"),
-        dsum(coalesce(col("l_quantity"), lit(0.0))).as("sum_big_qty"))
+    val liAgg = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ni"), dsum(col("l_quantity")).as("sq"))
+    Tables.orders(s, d).select(col("o_orderkey"))
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("ni"), lit(0L)).as("n_big_items"),
+        coalesce(col("sq"), lit(0.0)).as("sum_big_qty"))
       .orderBy(col("o_orderkey"))
   }
 
