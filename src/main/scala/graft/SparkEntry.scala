@@ -17,7 +17,9 @@ object SparkEntry {
     PipelineQueries,
     Round4Queries,
     CorpusQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    GovernanceQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextOps
+
+/** Similarity/linkage operators beyond the MinHash-LSH family:
+  * an EXACT set-similarity join (AllPairs/PPJoin prefix filtering),
+  * sorted-neighborhood record linkage, degree-capped triangle
+  * counting, and a bigram-LM surprise gate.
+  *
+  * 100 TB design notes:
+  *  - q108 is the prefix-filter set-similarity join (Bayardo et al.
+  *    2007, "Scaling Up All Pairs Similarity Search"): tokens are
+  *    canonically ordered by (global df ASC, digest) and only each
+  *    set's PREFIX (|x| − ⌈τ|x|⌉ + 1 rarest tokens) is exploded into
+  *    the candidate join — lossless for J ≥ τ, and candidate volume is
+  *    driven by RARE-token collisions, not set size. Shuffles carry
+  *    60-bit md5 digests, never shingle text. Unlike q33 (MinHash LSH,
+  *    probabilistic recall) this join is exact: every J ≥ 0.8 pair is
+  *    returned with its exact Jaccard.
+  *  - q109 is sorted-neighborhood linkage (Hernández & Stolfo 1995):
+  *    ONE window pass — sort within blocking key, compare each record
+  *    to its w=3 successors — so candidate count is w·n instead of the
+  *    Σ block² of naive blocking; edit distance runs on n·w pairs.
+  *  - q110 counts triangles on a degree-capped co-supply graph: each
+  *    node keeps its 8 smallest neighbors (WindowGroupLimit prunes
+  *    pre-shuffle — q92's discipline), bounding wedge work to C(8,2)·n
+  *    regardless of hub skew. The cap is the documented recall
+  *    trade-off (same contract as q33's BandCap); all three triangle
+  *    legs are then keyed equi-joins.
+  *  - q111 scores documents by mean bigram surprise — floor(1000·
+  *    c(w1)/c(w1,w2)) summed per doc — the conditional-probability
+  *    form of a perplexity gate (q88 is the unigram-rank form). Both
+  *    enrichment tables are Heaps'-law small and broadcast; integer
+  *    floor division keeps both engines bit-identical.
+  */
+object SimilarityQueries extends QueryPack {
+
+  // q108: exact set-similarity join via prefix filtering ------------------
+
+  /** Jaccard threshold τ = 0.8 over distinct 3-shingle sets.
+    * Integer forms: prefix length = sz − ⌈0.8·sz⌉ + 1 with
+    * ⌈4s/5⌉ = (4s+4) DIV 5; the size filter 0.8·sx ≤ sy ≤ sx/0.8 is
+    * 4·sx ≤ 5·sy ∧ 4·sy ≤ 5·sx; the final test J ≥ 0.8 is 5·∩ ≥ 4·∪. */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        array_distinct(call_function("shingles3", col("ws"))).as("shs"))
+      .select(col("doc_id"), transform(col("shs"),
+        sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long")).as("hs"))
+    val ex = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // canonical per-doc token order: (df asc, digest asc) — a fixed
+    // global total order, so the prefix-filter lemma applies
+    val ordered = ex.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), t => t.getField("h")).as("toks"),
+        size(col("ts")).as("sz"))
+    val pre = ordered.select(col("doc_id"), col("sz"),
+      explode(expr("slice(toks, 1, sz - (4*sz + 4) DIV 5 + 1)")).as("h"))
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.sz") * 4 <= col("y.sz") * 5 && col("y.sz") * 4 <= col("x.sz") * 5)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cand
+      .join(ordered.select(col("doc_id").as("a"), col("toks").as("ta"), col("sz").as("sa")), Seq("a"))
+      .join(ordered.select(col("doc_id").as("b"), col("toks").as("tb"), col("sz").as("sb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("un", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * 5 >= col("un") * 4)
+      .select(col("a"), col("b"), expr("(10000 * inter) DIV un").as("jac_bp"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // q109: sorted-neighborhood record linkage ------------------------------
+
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_name"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("a"), col("c_name").as("an"),
+        array((1 to 3).map(i => struct(
+          lead(col("c_custkey"), i).over(w).as("b"),
+          lead(col("c_name"), i).over(w).as("bn"))): _*).as("nbs"))
+      .select(col("a"), col("an"), explode(col("nbs")).as("nb"))
+      .filter(col("nb.b").isNotNull)
+      .withColumn("dist", levenshtein(col("an"), col("nb.bn")))
+      .filter(col("dist") <= 2)
+      .select(col("a"), col("nb.b").as("b"), col("dist"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // q110: degree-capped triangle counting ---------------------------------
+
+  /** Neighbor cap: each node keeps its 8 smallest co-supply neighbors. */
+  val TriCap = 8
+
+  def q110(s: SparkSession, d: String): DataFrame = {
+    val lo = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    // id-oriented edges (a < b): suppliers appearing in the same order
+    val e0 = lo.as("x").join(lo.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+    val capped = e0
+      .withColumn("rn", row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))))
+      .filter(col("rn") <= TriCap).drop("rn")
+    val e1 = capped
+    val e2 = capped.select(col("a").as("b"), col("b").as("c"))
+    val e3 = capped.select(col("a").as("a3"), col("b").as("c3"))
+    e1.join(e2, Seq("b"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .groupBy(col("a")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("a"))
+  }
+
+  // q111: bigram-LM surprise gate -----------------------------------------
+
+  /** Keep threshold: mean bigram surprise ≤ 31.000 (thousandths). */
+  val SurpriseKeep = 31000L
+
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(element_at(col("ws"), i).as("w1"),
+                        element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bg.join(broadcast(uni), Seq("w1"))
+      .join(broadcast(big), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"),
+        sum(expr("(1000 * c1) DIV c2")).as("ssum"))
+      .select(col("doc_id"), col("n_bg"),
+        expr("ssum DIV n_bg").as("surp_avg"))
+      .withColumn("kept", (col("surp_avg") <= lit(SurpriseKeep)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_setsim_join"     -> q108 _,
+    "q109_sorted_neighbor" -> q109 _,
+    "q110_triangles"       -> q110 _,
+    "q111_bigram_surprise" -> q111 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q108_setsim_join" -> """
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      shs AS (SELECT doc_id,
+                list_distinct([array_to_string(words[i:i+2], ' ')
+                               for i in generate_series(1, greatest(len(words)-2, 0))]) AS sh
+              FROM docs),
+      ex AS (SELECT doc_id, CAST(('0x' || substr(md5(sp), 1, 15)) AS BIGINT) AS h
+             FROM (SELECT doc_id, unnest(sh) AS sp FROM shs)),
+      dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+      t AS (SELECT doc_id, list(ex.h ORDER BY df, ex.h) AS toks, COUNT(*) AS sz
+            FROM ex JOIN dfreq USING (h) GROUP BY doc_id),
+      pre AS (SELECT doc_id, sz, unnest(toks[1 : sz - (4*sz + 4) // 5 + 1]) AS h FROM t),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM pre x JOIN pre y ON x.h = y.h AND x.doc_id < y.doc_id
+                AND 4*x.sz <= 5*y.sz AND 4*y.sz <= 5*x.sz),
+      j AS (SELECT a, b,
+              len(list_intersect(ta.toks, tb.toks)) AS inter,
+              ta.sz + tb.sz - len(list_intersect(ta.toks, tb.toks)) AS un
+            FROM cand JOIN t ta ON ta.doc_id = a JOIN t tb ON tb.doc_id = b)
+      SELECT a, b, (10000 * inter) // un AS jac_bp
+      FROM j WHERE 5 * inter >= 4 * un ORDER BY a, b""",
+    "q109_sorted_neighbor" -> """
+      WITH l AS (SELECT c_custkey AS a, c_name AS an,
+                   lead(c_custkey, 1) OVER w AS b1, lead(c_name, 1) OVER w AS n1,
+                   lead(c_custkey, 2) OVER w AS b2, lead(c_name, 2) OVER w AS n2,
+                   lead(c_custkey, 3) OVER w AS b3, lead(c_name, 3) OVER w AS n3
+                 FROM customer
+                 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_name, c_custkey))
+      SELECT a, b, dist FROM (
+        SELECT a, b1 AS b, levenshtein(an, n1) AS dist FROM l WHERE b1 IS NOT NULL
+        UNION ALL
+        SELECT a, b2, levenshtein(an, n2) FROM l WHERE b2 IS NOT NULL
+        UNION ALL
+        SELECT a, b3, levenshtein(an, n3) FROM l WHERE b3 IS NOT NULL)
+      WHERE dist <= 2 ORDER BY a, b""",
+    "q110_triangles" -> s"""
+      WITH lo AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+             FROM lo x JOIN lo y ON x.ok = y.ok AND x.sk < y.sk),
+      capped AS (SELECT a, b FROM e0
+                 QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) <= $TriCap)
+      SELECT e1.a, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM capped e1
+      JOIN capped e2 ON e1.b = e2.a
+      JOIN capped e3 ON e3.a = e1.a AND e3.b = e2.b
+      GROUP BY e1.a ORDER BY e1.a""",
+    "q111_bigram_surprise" -> s"""
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      bg AS (SELECT doc_id, unnest([struct_pack(w1 := words[i], w2 := words[i+1])
+                                    for i in generate_series(1, len(words)-1)],
+                                   recursive := true) FROM docs),
+      uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      big AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM((1000 * c1) // c2) AS BIGINT) // COUNT(*) AS surp_avg,
+             CAST(CAST(SUM((1000 * c1) // c2) AS BIGINT) // COUNT(*) <= $SurpriseKeep AS INT) AS kept
+      FROM bg JOIN uni USING (w1) JOIN big USING (w1, w2)
+      GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

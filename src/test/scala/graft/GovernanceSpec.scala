@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{GovernanceQueries, SimilarityQueries}
+
+/** Property tests for the governance + similarity packs (q104–q111).
+  * The oracle hash-compare is the primary gate; these specs assert the
+  * properties the hash can't see — prefix-filter losslessness, cap
+  * bounds, and derivation invariants. */
+class GovernanceSpec extends SparkSpec {
+
+  test("q108 prefix filtering is lossless: equals brute-force all-pairs J >= 0.8") {
+    import graft.functions.TextOps
+    graft.GraftFunctions.ensure(spark)
+    val sets = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        array_distinct(call_function("shingles3", TextOps.words(col("text")))).as("shs"))
+    val brute = sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.shs"), col("y.shs"))))
+      .withColumn("un", size(col("x.shs")) + size(col("y.shs")) - col("inter"))
+      .filter(col("inter") * 5 >= col("un") * 4)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("(10000 * inter) DIV un").as("jac_bp"))
+    val fast = SimilarityQueries.q108(spark, sf("sf0.001"))
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      "prefix-filtered join must return exactly the brute-force pair set")
+    assert(fast.count() > 0, "fixture should contain at least one J>=0.8 pair")
+  }
+
+  test("q110 capped adjacency never exceeds TriCap neighbors per node") {
+    // rebuild the capped edge list the query uses and check the bound
+    val lo = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val e0 = lo.as("x").join(lo.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+    val capped = e0.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(col("b"))))
+      .filter(col("rn") <= SimilarityQueries.TriCap)
+    val maxDeg = capped.groupBy(col("a")).count().agg(max("count")).head.getLong(0)
+    assert(maxDeg <= SimilarityQueries.TriCap)
+    assert(SimilarityQueries.q110(spark, sf("sf0.001")).count() > 0)
+  }
+
+  test("q107 diff statuses obey the snapshot derivation rules") {
+    val out = GovernanceQueries.q107(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, st) = (r.getLong(0), r.getString(1))
+      st match {
+        case "added"   => assert(id >= 10000000L && (id - 10000000L) % 13 == 0)
+        case "removed" => assert(id % 10 == 0)
+        case "changed" => assert(id % 7 == 0 && id % 10 != 0)
+        case other     => fail(s"unexpected status $other")
+      }
+    }
+    // every class must be represented
+    assert(out.map(_.getString(1)).toSet == Set("added", "removed", "changed"))
+  }
+
+  test("q106 2-sigma outliers exist and stay a small fraction per group") {
+    GovernanceQueries.q106(spark, sf("sf0.001")).collect().foreach { r =>
+      val (n, nOut) = (r.getLong(1), r.getLong(2))
+      assert(nOut > 0, s"${r.getString(0)}: expected some outliers")
+      assert(nOut * 5 < n, s"${r.getString(0)}: 2-sigma flags must stay below 20%")
+    }
+  }
+
+  test("q109 emits only within-nation neighbor pairs at edit distance <= 2") {
+    val cust = Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val byKey = cust.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val out = SimilarityQueries.q109(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, d) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val ((an, anat), (bn, bnat)) = (byKey(a), byKey(b))
+      assert(anat == bnat, s"pair ($a,$b) crosses nations")
+      assert(d <= 2)
+      // recompute the edit distance independently
+      val dp = Array.tabulate(an.length + 1, bn.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to an.length; j <- 1 to bn.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (an(i - 1) == bn(j - 1)) 0 else 1))
+      assert(dp(an.length)(bn.length) == d, s"levenshtein mismatch for ($a,$b)")
+    }
+  }
+
+  test("q105 all fixture assertions pass with zero violations") {
+    val rows = GovernanceQueries.q105(spark, sf("sf0.001")).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getInt(2) == 1 && r.getLong(1) == 0L,
+      s"${r.getString(0)} unexpectedly failed"))
+  }
+}

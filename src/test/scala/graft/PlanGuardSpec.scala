@@ -113,6 +113,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(rangeExchanges <= 1, s"packing introduced a global sort:\n$plan")
   }
 
+  test("q106 broadcasts the 5-row stats table back; no window over event_type") {
+    val plan = SparkEntry.queries("q106_outliers")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats must broadcast back to the scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"outlier join must not shuffle the event table:\n$plan")
+  }
+
+  test("q110 caps neighbor lists via WindowGroupLimit before the triangle joins") {
+    val plan = SparkEntry.queries("q110_triangles")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"degree cap must plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("q111 broadcasts both LM enrichment tables") {
+    val plan = SparkEntry.queries("q111_bigram_surprise")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"unigram/bigram enrichment joins must broadcast:\n$plan")
+  }
+
   test("dimension joins broadcast (no shuffle of the fact table for enrichment)") {
     val plan = SparkEntry.queries("q16_broadcast_dims")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
