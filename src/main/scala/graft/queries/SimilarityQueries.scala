@@ -102,9 +102,9 @@ object SimilarityQueries extends QueryPack {
   val TriCap = 8
 
   def q110(s: SparkSession, d: String): DataFrame = {
+    // id-oriented edges (a < b): suppliers appearing in the same order
     val lo = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-    // id-oriented edges (a < b): suppliers appearing in the same order
     val e0 = lo.as("x").join(lo.as("y"),
         col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
       .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
@@ -148,14 +148,115 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q112: incremental cross-corpus near-dup (new drop vs corpus) ----------
+
+  /** Incremental-ingest near-dup: an ASYMMETRIC LSH band join of a new
+    * document batch B against the existing corpus A — the operator an
+    * ingest pipeline runs on every drop, instead of re-running q33's
+    * self-join over A ∪ B. B is derived deterministically (ids %3 = 0
+    * re-ingested under id + 2·10^7; %6 = 0 keep their text and are true
+    * dups, the rest re-ingest with reversed word order — disjoint
+    * shingles, so genuinely new). Band keys and minhash signatures are
+    * exactly q33's; the band-size cap applies to the CORPUS side, where
+    * the degenerate buckets live. At 100 TB, A's signature/band table
+    * is the persisted artifact — each drop computes only B's signatures
+    * (|B| ≪ |A|) and probes the band index. */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val bSrc = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        when(col("doc_id") % 6 === 0, col("text"))
+          .otherwise(concat_ws(" ", reverse(TextOps.words(col("text"))))).as("text"))
+    def sigTable(src: DataFrame): DataFrame = src
+      .select(col("doc_id"),
+        array_distinct(call_function("shingles3", TextOps.words(col("text")))).as("shs"))
+      .select(col("doc_id"), col("shs"),
+        call_function("minhash_sigs", col("shs")).as("sg"))
+      .select(col("doc_id"), col("shs"),
+        md5(concat(element_at(col("sg"), 1).cast("string"),
+          element_at(col("sg"), 2).cast("string"))).as("b0"),
+        md5(concat(element_at(col("sg"), 3).cast("string"),
+          element_at(col("sg"), 4).cast("string"))).as("b1"))
+    val sa = sigTable(docs)
+    val sb = sigTable(bSrc)
+    val bandsA = sa.select(col("doc_id").as("a"),
+      explode(array(col("b0"), col("b1"))).as("band"))
+    val bandsB = sb.select(col("doc_id").as("b"),
+      explode(array(col("b0"), col("b1"))).as("band"))
+    val okBands = bandsA.groupBy(col("band"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= LlmQueries.BandCap)
+      .select(col("band"))
+    val cand = bandsB.join(okBands, Seq("band"))
+      .join(bandsA, Seq("band"))
+      .select(col("b"), col("a")).distinct()
+    val matches = cand
+      .join(sa.select(col("doc_id").as("a"), col("shs").as("sha")), Seq("a"))
+      .join(sb.select(col("doc_id").as("b"), col("shs").as("shb")), Seq("b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("common"))
+      .filter(col("common") * 2 >= col("union_sz"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nm"))
+    bSrc.select(col("doc_id"))
+      .join(matches.withColumnRenamed("b", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nm"), lit(0L)).as("n_matches"),
+        (col("nm").isNull).cast("int").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q108_setsim_join"     -> q108 _,
-    "q109_sorted_neighbor" -> q109 _,
-    "q110_triangles"       -> q110 _,
-    "q111_bigram_surprise" -> q111 _
+    "q108_setsim_join"         -> q108 _,
+    "q109_sorted_neighbor"     -> q109 _,
+    "q110_triangles"           -> q110 _,
+    "q111_bigram_surprise"     -> q111 _,
+    "q112_incremental_neardup" -> q112 _
   )
 
+  /** DuckDB CTE chain computing shingles, q33-compatible minhash
+    * signatures, band keys, and distinct shingle sets for source
+    * relation `src`, name-prefixed with `p`. */
+  private def sigCtes(src: String, p: String): String = {
+    def sig(k: Int) =
+      s"list_min([xor(CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT), " +
+        s"${graft.expressions.MinHashSigs.SeedConsts(k)}) for x in sh]) AS sig$k"
+    s"""${p}docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
+      ${p}shs AS (SELECT doc_id,
+                [array_to_string(words[i:i+2], ' ')
+                 for i in generate_series(1, greatest(len(words)-2, 0))] AS sh
+              FROM ${p}docs),
+      ${p}sigs AS (SELECT doc_id, ${sig(0)}, ${sig(1)}, ${sig(2)}, ${sig(3)} FROM ${p}shs),
+      ${p}bands AS (SELECT doc_id,
+                unnest([md5(CAST(sig0 AS VARCHAR) || CAST(sig1 AS VARCHAR)),
+                        md5(CAST(sig2 AS VARCHAR) || CAST(sig3 AS VARCHAR))]) AS band
+              FROM ${p}sigs),
+      ${p}sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM ${p}shs),
+      ${p}sz AS (SELECT doc_id, COUNT(*) AS c FROM ${p}sh GROUP BY doc_id)"""
+  }
+
   override val oracle: Map[String, String] = Map(
+    "q112_incremental_neardup" -> s"""
+      WITH bsrc AS (SELECT doc_id + 20000000 AS doc_id,
+                           CASE WHEN doc_id % 6 = 0 THEN text
+                                ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                           END AS text
+                    FROM documents WHERE doc_id % 3 = 0),
+      ${sigCtes("documents", "a")},
+      ${sigCtes("bsrc", "b")},
+      okb AS (SELECT band FROM abands GROUP BY band HAVING COUNT(*) <= ${LlmQueries.BandCap}),
+      cand AS (SELECT DISTINCT bb.doc_id AS b, ab.doc_id AS a
+               FROM bbands bb JOIN okb ON bb.band = okb.band
+                              JOIN abands ab ON ab.band = bb.band),
+      com AS (SELECT b, a, COUNT(*) AS common
+              FROM cand JOIN ash xa ON xa.doc_id = a
+                        JOIN bsh xb ON xb.doc_id = b AND xa.s = xb.s
+              GROUP BY b, a),
+      m AS (SELECT com.b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM com JOIN asz ON asz.doc_id = com.a JOIN bsz ON bsz.doc_id = com.b
+            WHERE common * 2 >= asz.c + bsz.c - common
+            GROUP BY com.b)
+      SELECT bs.doc_id, COALESCE(m.n, 0) AS n_matches, CAST(m.n IS NULL AS INT) AS kept
+      FROM bsrc bs LEFT JOIN m ON m.b = bs.doc_id
+      ORDER BY bs.doc_id""",
     "q108_setsim_join" -> """
       WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       shs AS (SELECT doc_id,

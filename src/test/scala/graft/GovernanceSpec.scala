@@ -88,6 +88,18 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q112 drops every re-ingested true dup and keeps every reversed doc") {
+    val out = SimilarityQueries.q112(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, n, kept) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val wasDup = (id - 20000000L) % 6 == 0
+      assert(kept == (if (wasDup) 0 else 1),
+        s"doc $id: wasDup=$wasDup but kept=$kept (n_matches=$n)")
+      if (wasDup) assert(n >= 1)
+    }
+  }
+
   test("q105 all fixture assertions pass with zero violations") {
     val rows = GovernanceQueries.q105(spark, sf("sf0.001")).collect()
     assert(rows.length == 5)
