@@ -119,15 +119,61 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("source"))
   }
 
+  // q113: time-series gap fill (daily resample + forward fill) ------------
+
+  /** Regularize each user's event stream onto a daily grid and
+    * forward-fill missing days — the resample/imputation primitive
+    * (pandas `resample().ffill()`, Flink windowed fill) every
+    * time-series consumer expects.
+    *
+    * Scale shape: the grid is a row-local `sequence` explode per user
+    * (span-bounded, no calendar-table join, no cross join); the fill is
+    * ONE window over (user, day) — the same single shuffle the daily
+    * aggregation already needs, and per-user state during the fill is
+    * one running value. Day ids and cents are integer floor division —
+    * exact in both engines. */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"),
+        floor(col("value") * 100).as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents"),
+        col("cents").isNotNull.cast("int").as("observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_funnel"        -> q97 _,
     "q98_retention"     -> q98 _,
     "q99_winsorize"     -> q99 _,
     "q100_grouping_sets" -> q100 _,
-    "q101_pivot"        -> q101 _
+    "q101_pivot"        -> q101 _,
+    "q113_gapfill"      -> q113 _
   )
 
   override val oracle: Map[String, String] = Map(
+    "q113_gapfill" -> s"""
+      WITH daily AS (SELECT user_id, epoch_us(ts) // $DayUs AS day,
+                            SUM(CAST(floor(value*100) AS BIGINT)) AS cents
+                     FROM events GROUP BY 1, 2),
+      grid AS (SELECT user_id, unnest(generate_series(MIN(day), MAX(day))) AS day
+               FROM daily GROUP BY user_id),
+      j AS (SELECT g.user_id, g.day, d.cents
+            FROM grid g LEFT JOIN daily d USING (user_id, day))
+      SELECT user_id, day,
+             CAST(last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents,
+             CAST(cents IS NOT NULL AS INT) AS observed
+      FROM j ORDER BY user_id, day""",
     "q97_funnel" -> """
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
       t1 AS (SELECT user_id, MIN(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),

@@ -80,4 +80,27 @@ class AnalyticsSpec extends SparkSpec {
     val cellSum = rows.map(r => (1 to 5).map(r.getLong).sum).sum
     assert(cellSum == 500L)
   }
+
+  test("q113: grid is contiguous per user and fills carry the last observed value") {
+    val rows = AnalyticsQueries.q113(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous daily grid, first day observed
+      assert(sorted.head._4 == 1, s"user $user first grid day must be observed")
+      sorted.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b == a + 1, s"user $user gap between $a and $b")
+        case _           =>
+      }
+      // forward fill: an unobserved day carries the previous day's value
+      sorted.sliding(2).foreach {
+        case Array((_, _, prev, _), (_, _, v, obs)) if obs == 0 =>
+          assert(v == prev, s"user $user fill must carry the previous value")
+        case _ =>
+      }
+    }
+    // at least one genuinely filled row exists in the fixture
+    assert(rows.exists(_._4 == 0), "fixture should contain gaps to fill")
+  }
 }
