@@ -44,29 +44,36 @@ object CorpusQueries extends QueryPack {
     * fraction in basis points (integer division, engine-portable). */
   def q91(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"),
-        array_distinct(call_function("shingles3", TextOps.words(col("text")))).as("shs"))
     // 60-bit portable hash per span: the shuffle key is 8 bytes however
     // long the span text is ('0x'||substr(md5) — same derivation as the
-    // MinHash base hash, mirrored exactly in the oracle SQL)
-    val ex = base.select(col("doc_id"), explode(col("shs")).as("sp"))
+    // MinHash base hash, mirrored exactly in the oracle SQL). The
+    // digest table feeds THREE aggregations (shared spans, per-doc
+    // shared counts, per-doc sizes) — persisted so the shingle+md5 pass
+    // runs once, released after the tiny per-doc result materializes
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(call_function("shingles3", TextOps.words(col("text"))))).as("sp"))
       .select(col("doc_id"),
         conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("h"))
+      .persist()
     // spans present in >= 2 docs; rows are distinct per (doc, span) so
     // a plain count(*) counts documents
     val shared = ex.groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
     val perDoc = ex.join(shared, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_shared"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val out = Tables.documents(s, d).select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left").na.fill(0L, Seq("n_sh"))
+      .join(perDoc, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared"))
       .select(col("doc_id"), col("n_sh"), col("n_shared"),
         when(col("n_sh") > 0,
           expr("CAST((n_shared * 10000L) DIV n_sh AS BIGINT)"))
           .otherwise(lit(0L)).as("dup_bp"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    ex.unpersist()
+    out
   }
 
   // q92: inverted index with pre-shuffle-pruned posting lists -------------
