@@ -49,6 +49,30 @@ object Streaming {
         expr("CAST((CAST(n_distinct AS BIGINT) * (n_words - n_stop) * 10000L) " +
           "DIV (CAST(n_words AS BIGINT) * n_words) AS BIGINT)"))
 
+  case class EvP(event_id: Long, user_id: java.lang.Long, value: Double, props: String)
+
+  /** q105's data-quality assertions as a shared batch/stream builder:
+    * each record gains an array naming every rule it breaks plus an
+    * `ok` flag — a STATELESS row-local map, so dirty records can be
+    * dead-lettered in flight (route on `ok`, q20's tagged-output
+    * shape) instead of after the batch lands. Violation COUNTERS are
+    * then one streaming aggregation over the exploded rule names
+    * (update/complete mode) — StreamingSpec asserts both stream ≡
+    * batch. */
+  def validated(events: DataFrame): DataFrame = events
+    .withColumn("violations", array_compact(array(
+      when(col("value") <= 0, lit("value_nonpositive")),
+      when(col("user_id").isNull, lit("user_id_null")),
+      when(get_json_object(col("props"), "$.k").isNull, lit("props_malformed")))))
+    .withColumn("ok", (size(col("violations")) === 0).cast("int"))
+
+  /** Running violation counters over [[validated]] — the streaming
+    * governance dashboard aggregate. */
+  def violationCounts(events: DataFrame): DataFrame =
+    validated(events)
+      .select(explode(col("violations")).as("rule"))
+      .groupBy(col("rule")).count()
+
   /** Tumbling 1-day counts per event_type — q21's shape. Pass
     * `watermark=Some("1 day")` on a streaming input. */
   def tumblingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {

@@ -342,4 +342,41 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch && batch.size == 3)
   }
+
+  test("governance validation flags and violation counters run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = Seq(
+      Streaming.EvP(1, 10L, 5.0, """{"k": 1}"""),        // clean
+      Streaming.EvP(2, 11L, -3.0, """{"k": 2}"""),       // value_nonpositive
+      Streaming.EvP(3, null, 2.0, """{"k": 3}"""),       // user_id_null
+      Streaming.EvP(4, 12L, 0.0, "not json"),            // value + props
+      Streaming.EvP(5, 13L, 1.5, """{"other": 9}"""))    // props_malformed
+    // stateless per-record flags: stream (append) ≡ batch
+    val mem = MemoryStream[Streaming.EvP]
+    val q = Streaming.validated(mem.toDF())
+      .select(col("event_id"), col("ok"), concat_ws(",", col("violations")).as("v"))
+      .writeStream.format("memory").queryName("t_validated")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_validated").orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streaming.validated(evs.toDF())
+      .select(col("event_id"), col("ok"), concat_ws(",", col("violations")).as("v"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.size == 5)
+    assert(batch.count(_(1) == 1) == 1, "only the clean record passes")
+    // violation counters: one streaming aggregation, complete mode
+    val mem2 = MemoryStream[Streaming.EvP]
+    val q2 = Streaming.violationCounts(mem2.toDF())
+      .writeStream.format("memory").queryName("t_violations")
+      .outputMode("complete").start()
+    mem2.addData(evs: _*)
+    q2.processAllAvailable(); q2.stop()
+    val counts = spark.table("t_violations").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("value_nonpositive" -> 2L, "user_id_null" -> 1L,
+      "props_malformed" -> 2L))
+  }
 }
