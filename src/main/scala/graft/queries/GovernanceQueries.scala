@@ -44,7 +44,7 @@ object GovernanceQueries extends QueryPack {
     * The string column profiles in its OWN slim aggregate: a min/max
     * over strings carries an immutable buffer field, which forces the
     * whole aggregate — including the ×3 distinct-count Expand — out of
-    * HashAggregate into SortAggregate (measured 5.7 s → 0.6 s at sf0.1
+    * HashAggregate into SortAggregate (measured 5.7 s → 1.6 s at sf0.1
     * for this split). Both scans are column-pruned, so the extra pass
     * reads one string column, not the table. */
   def q104(s: SparkSession, d: String): DataFrame = {
