@@ -100,6 +100,49 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("the round-4 wave tolerates empty inputs (the production corner case)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    def writeEmpty(name: String, schema: StructType): Unit =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    writeEmpty("documents", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    writeEmpty("events", StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))))
+    writeEmpty("lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))))
+    writeEmpty("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType))))
+    writeEmpty("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))))
+    // report queries keep their report shape; everything else is empty
+    assert(GovernanceQueries.q104(spark, dir).count() == 4)
+    val checks = GovernanceQueries.q105(spark, dir).collect()
+    assert(checks.length == 5 && checks.forall(_.getInt(2) == 1))
+    assert(GovernanceQueries.q106(spark, dir).count() == 0)
+    assert(GovernanceQueries.q107(spark, dir).count() == 0)
+    assert(SimilarityQueries.q108(spark, dir).count() == 0)
+    assert(SimilarityQueries.q109(spark, dir).count() == 0)
+    assert(SimilarityQueries.q110(spark, dir).count() == 0)
+    assert(SimilarityQueries.q111(spark, dir).count() == 0)
+    assert(SimilarityQueries.q112(spark, dir).count() == 0)
+    assert(graft.queries.AnalyticsQueries.q113(spark, dir).count() == 0)
+  }
+
   test("q105 all fixture assertions pass with zero violations") {
     val rows = GovernanceQueries.q105(spark, sf("sf0.001")).collect()
     assert(rows.length == 5)
