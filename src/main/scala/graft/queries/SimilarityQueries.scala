@@ -222,12 +222,74 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q114: span-level quote detection (chunk containment join) -------------
+
+  /** For every 40-word/stride-30 chunk (q67's windows): which OTHER
+    * documents contain ≥ 80% of its distinct shingles — quote /
+    * plagiarism attribution at span granularity (q91 counts duplicated
+    * spans; this names the counterpart document). The containment join
+    * is asymmetric: only the chunk side explodes a prefix (by
+    * pigeonhole, ANY sz−⌈0.8·sz⌉+1 of its shingles must hit a true
+    * container, so the rarest ones — fewest candidates — are chosen);
+    * the container side is the full doc shingle index. Shuffles carry
+    * 60-bit digests; verification is one array_intersect per surviving
+    * (chunk, container) pair. */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val (size40, stride) = (40, 30)
+    def dig(shs: org.apache.spark.sql.Column) =
+      transform(array_distinct(shs), sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .withColumn("n_words", size(col("ws")))
+    // container index: per-doc distinct shingle digests (two consumers)
+    val dsh = docs.select(col("doc_id"),
+        dig(call_function("shingles3", col("ws"))).as("ds"))
+      .persist()
+    val dx = dsh.select(col("doc_id"), explode(col("ds")).as("h"))
+    // chunk side: q67's windows → digest sets (two consumers)
+    val starts = sequence(lit(1),
+      greatest(col("n_words") - (size40 - stride), lit(1)), lit(stride))
+    val csh = docs
+      .select(col("doc_id").as("cdoc"), col("ws"), col("n_words"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .withColumn("len", least(lit(size40), col("n_words") - col("start") + 1))
+      .select(col("cdoc"), col("chunk_idx").cast("long").as("chunk_idx"),
+        dig(call_function("shingles3", expr("slice(ws, start, len)"))).as("cs"))
+      .withColumn("sz", size(col("cs")))
+      .filter(col("sz") > 0)
+      .persist()
+    val dfreq = dx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val cx = csh.select(col("cdoc"), col("chunk_idx"), col("sz"), explode(col("cs")).as("h"))
+    val cpre = cx.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cdoc"), col("chunk_idx")).orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
+      .select(col("cdoc"), col("chunk_idx"), col("h"))
+    val cand = cpre.join(dx.withColumnRenamed("doc_id", "container"), Seq("h"))
+      .filter(col("container") =!= col("cdoc"))
+      .select(col("cdoc"), col("chunk_idx"), col("container")).distinct()
+    val out = cand
+      .join(csh.select(col("cdoc"), col("chunk_idx"), col("cs"), col("sz")),
+        Seq("cdoc", "chunk_idx"))
+      .join(dsh.select(col("doc_id").as("container"), col("ds")), Seq("container"))
+      .withColumn("inter", size(array_intersect(col("cs"), col("ds"))))
+      .filter(col("inter") * 5 >= col("sz") * 4)
+      .select(col("cdoc"), col("chunk_idx"), col("container"),
+        expr("(10000 * inter) DIV sz").as("cont_bp"))
+      .orderBy(col("cdoc"), col("chunk_idx"), col("container"))
+      .localCheckpoint(true)
+    dsh.unpersist(); csh.unpersist()
+    out
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_setsim_join"         -> q108 _,
     "q109_sorted_neighbor"     -> q109 _,
     "q110_triangles"           -> q110 _,
     "q111_bigram_surprise"     -> q111 _,
-    "q112_incremental_neardup" -> q112 _
+    "q112_incremental_neardup" -> q112 _,
+    "q114_quote_detection"     -> q114 _
   )
 
   /** DuckDB CTE chain computing shingles, q33-compatible minhash
@@ -252,6 +314,44 @@ object SimilarityQueries extends QueryPack {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q114_quote_detection" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                        len(string_split(text, ' ')) AS n_words FROM documents),
+      dsh AS (SELECT doc_id,
+                list_distinct([CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15)) AS BIGINT)
+                               for i in generate_series(1, greatest(len(ws)-2, 0))]) AS ds
+              FROM d),
+      dx AS (SELECT doc_id, unnest(ds) AS h FROM dsh),
+      dfreq AS (SELECT h, COUNT(*) AS df FROM dx GROUP BY h),
+      ch AS (SELECT doc_id AS cdoc, ws, n_words, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                    CAST(1 + chunk_idx * 30 AS BIGINT) AS start_word
+             FROM (SELECT doc_id, ws, n_words,
+                          unnest(range(greatest((n_words - 10 - 1) // 30 + 1, 1))) AS chunk_idx
+                   FROM d)),
+      csl AS (SELECT cdoc, chunk_idx,
+                     ws[start_word : start_word + least(40, n_words - start_word + 1) - 1] AS cws
+              FROM ch),
+      cshs AS (SELECT cdoc, chunk_idx, cs, len(cs) AS sz FROM (
+                SELECT cdoc, chunk_idx,
+                  list_distinct([CAST(('0x' || substr(md5(array_to_string(cws[i:i+2], ' ')), 1, 15)) AS BIGINT)
+                                 for i in generate_series(1, greatest(len(cws)-2, 0))]) AS cs
+                FROM csl)
+               WHERE len(cs) > 0),
+      cx AS (SELECT cdoc, chunk_idx, sz, unnest(cs) AS h FROM cshs),
+      cpre AS (SELECT cdoc, chunk_idx, h FROM (
+                SELECT cdoc, chunk_idx, cx.h AS h, sz,
+                       row_number() OVER (PARTITION BY cdoc, chunk_idx ORDER BY df, cx.h) AS rn
+                FROM cx JOIN dfreq USING (h))
+               WHERE rn <= sz - (4*sz + 4) // 5 + 1),
+      cand AS (SELECT DISTINCT cdoc, chunk_idx, dx.doc_id AS container
+               FROM cpre JOIN dx USING (h) WHERE dx.doc_id <> cdoc),
+      v AS (SELECT cand.cdoc, cand.chunk_idx, container,
+                   len(list_intersect(cshs.cs, dsh.ds)) AS inter, cshs.sz
+            FROM cand JOIN cshs ON cshs.cdoc = cand.cdoc AND cshs.chunk_idx = cand.chunk_idx
+                      JOIN dsh ON dsh.doc_id = container)
+      SELECT cdoc, chunk_idx, container, (10000 * inter) // sz AS cont_bp
+      FROM v WHERE inter * 5 >= sz * 4
+      ORDER BY cdoc, chunk_idx, container""",
     "q112_incremental_neardup" -> s"""
       WITH bsrc AS (SELECT doc_id + 20000000 AS doc_id,
                            CASE WHEN doc_id % 6 = 0 THEN text

@@ -88,6 +88,33 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q114 prefix candidates are lossless: equals brute-force chunk containment") {
+    import graft.functions.TextOps
+    graft.GraftFunctions.ensure(spark)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .withColumn("n_words", size(col("ws")))
+    val dsh = docs.select(col("doc_id").as("container"),
+      array_distinct(call_function("shingles3", col("ws"))).as("ds"))
+    val starts = sequence(lit(1), greatest(col("n_words") - 10, lit(1)), lit(30))
+    val csh = docs
+      .select(col("doc_id").as("cdoc"), col("ws"), col("n_words"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .withColumn("len", least(lit(40), col("n_words") - col("start") + 1))
+      .select(col("cdoc"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_distinct(call_function("shingles3", expr("slice(ws, start, len)"))).as("cs"))
+      .withColumn("sz", size(col("cs"))).filter(col("sz") > 0)
+    val brute = csh.crossJoin(dsh).filter(col("container") =!= col("cdoc"))
+      .withColumn("inter", size(array_intersect(col("cs"), col("ds"))))
+      .filter(col("inter") * 5 >= col("sz") * 4)
+      .select(col("cdoc"), col("chunk_idx"), col("container"),
+        expr("(10000 * inter) DIV sz").as("cont_bp"))
+    val fast = SimilarityQueries.q114(spark, sf("sf0.001"))
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      "prefix-filtered containment must equal the brute-force pair set")
+    assert(fast.count() > 0, "fixture should contain quoted chunks")
+  }
+
   test("q112 drops every re-ingested true dup and keeps every reversed doc") {
     val out = SimilarityQueries.q112(spark, sf("sf0.001")).collect()
     assert(out.nonEmpty)
