@@ -204,12 +204,29 @@ object Round4Queries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  // q115: dense global row ids --------------------------------------------
+
+  /** Stable dense record ids over the corpus in doc_id order via
+    * [[graft.functions.Ids.denseIds]] — the scalable form of the
+    * single-reducer `row_number() OVER (ORDER BY ...)` every lineage /
+    * shard-addressing pipeline eventually needs. The ids depend only
+    * on the total key order, so the operator's approximate bucket
+    * cuts can never change the answer — which is exactly what the
+    * oracle (DuckDB's global row_number) verifies. */
+  def q115(s: SparkSession, d: String): DataFrame =
+    graft.functions.Ids.denseIds(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"), "rid")
+      .select(col("doc_id"), col("lang"), col("rid"))
+      .orderBy(col("rid"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_salted_join" -> q86 _,
     "q87_semdedup"    -> q87 _,
     "q88_rank_filter" -> q88 _,
     "q89_kmeans"      -> q89 _,
-    "q90_trailing_3d" -> q90 _
+    "q90_trailing_3d" -> q90 _,
+    "q115_dense_ids"  -> q115 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -278,6 +295,10 @@ object Round4Queries extends QueryPack {
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY tus
                    RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
-      ORDER BY event_id"""
+      ORDER BY event_id""",
+    "q115_dense_ids" -> """
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rid
+      FROM documents ORDER BY rid"""
   )
 }

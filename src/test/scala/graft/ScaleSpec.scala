@@ -158,4 +158,30 @@ class ScaleSpec extends SparkSpec {
     assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("coalesced"),
       s"expected AQE coalesced read in:\n$finalPlan")
   }
+
+  test("denseIds equals the single-reducer global row_number, without its plan") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("user_id"))
+    val got = functions.Ids.denseIds(ev, col("event_id"), "rid", buckets = 8)
+    // the reference everyone writes first: one global window
+    val want = ev.withColumn("rid",
+      row_number().over(Window.orderBy(col("event_id"))).cast("long") - 1L)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "denseIds must reproduce the global row_number assignment exactly")
+    // ids are dense 0..n-1
+    val n = ev.count()
+    val stats = got.agg(min("rid"), max("rid"), countDistinct("rid")).collect()(0)
+    assert(stats.getLong(0) == 0L && stats.getLong(1) == n - 1 &&
+      stats.getLong(2) == n)
+    // and the operator's window shuffles on the bucket — never through
+    // the Exchange SinglePartition the reference form needs (the final
+    // presentation ORDER BY is the query's, not the operator's, so
+    // check the id-assignment plan itself)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bucket"),
+      s"denseIds must partition its window on the bucket:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"denseIds must not plan a single-partition exchange:\n$plan")
+  }
 }
