@@ -89,10 +89,36 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** q116: frame sampling over the binary payload — the multimodal verb
+    * set's missing member (assemble → features → decode → SAMPLE). A
+    * video/audio pipeline reads every Kth fixed-stride frame, not the
+    * whole stream; here: 16-byte frames at stride 12, every 4th slot
+    * kept, each emitted as (slot, md5, byte length). Pure row-local
+    * generator arithmetic — `sequence` + HOF filter + explode, zero
+    * shuffle before the presentation sort, and the payload is sliced
+    * lazily per frame (the full payload never leaves its task). Swap
+    * the md5 stand-in for a codec call per q56's decode contract. */
+  def q116(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val nf = greatest(
+      floor((octet_length(col("payload")) - 16).cast("double") / 12.0).cast("long") + 1L,
+      lit(1L))
+    doc.select(col("doc_id"), col("payload"), nf.as("nf"))
+      .select(col("doc_id"), col("payload"),
+        explode(filter(sequence(lit(0L), col("nf") - 1L),
+          i => i % 4 === 0)).as("slot"))
+      .select(col("doc_id"), col("slot"),
+        expr("md5(substring(payload, cast(slot*12+1 as int), 16))").as("frame_md5"),
+        expr("cast(length(substring(payload, cast(slot*12+1 as int), 16)) as int)").as("frame_len"))
+      .orderBy(col("doc_id"), col("slot"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_multimodal_assemble" -> q54 _,
     "q55_binary_features"     -> q55 _,
-    "q56_mappartitions_decode"-> q56 _
+    "q56_mappartitions_decode"-> q56 _,
+    "q116_frame_sample"       -> q116 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -111,6 +137,16 @@ object MultimodalQueries extends QueryPack {
       SELECT doc_id, octet_length(encode(text)) AS byte_len,
              substr(md5(text), 1, 8) AS checksum,
              (octet_length(encode(text)) + 15) // 16 AS n_frames
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    "q116_frame_sample" -> """
+      WITH d AS (SELECT doc_id, text,
+                   GREATEST(CAST(floor((length(text) - 16.0) / 12.0) AS BIGINT) + 1, 1) AS nf
+                 FROM documents),
+      slots AS (SELECT doc_id, text, unnest(range(0, nf)) AS slot FROM d)
+      SELECT doc_id, slot,
+             md5(substring(text, CAST(slot * 12 + 1 AS INT), 16)) AS frame_md5,
+             CAST(length(substring(text, CAST(slot * 12 + 1 AS INT), 16)) AS INT) AS frame_len
+      FROM slots WHERE slot % 4 = 0
+      ORDER BY doc_id, slot"""
   )
 }

@@ -169,6 +169,7 @@ class GovernanceSpec extends SparkSpec {
     assert(SimilarityQueries.q112(spark, dir).count() == 0)
     assert(graft.queries.AnalyticsQueries.q113(spark, dir).count() == 0)
     assert(graft.queries.Round4Queries.q115(spark, dir).count() == 0)
+    assert(graft.queries.MultimodalQueries.q116(spark, dir).count() == 0)
   }
 
   test("q105 all fixture assertions pass with zero violations") {
