@@ -73,6 +73,19 @@ object Streaming {
       .select(explode(col("violations")).as("rule"))
       .groupBy(col("rule")).count()
 
+  /** Stream-static broadcast enrichment — Beam's dict side input on an
+    * unbounded PCollection (`ParDo(fn, AsDict(dim))`). The static dim
+    * broadcasts into every micro-batch; stateless, no watermark, and
+    * the same builder runs unchanged on a batch DataFrame (stream ≡
+    * batch spec). Left join + default keeps unknown keys flowing —
+    * dropping them silently is the classic side-input bug. At scale
+    * the dim re-broadcasts per micro-batch, so it must stay
+    * dimension-sized — exactly the Beam side-input contract. */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+
   /** Tumbling 1-day counts per event_type — q21's shape. Pass
     * `watermark=Some("1 day")` on a streaming input. */
   def tumblingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {

@@ -343,6 +343,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("stream-static broadcast enrichment: dict side input on an unbounded stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("click", 10L), ("view", 20L)).toDF("event_type", "weight")
+    // include a key the dim does not know: the null->default path
+    val data = rows :+ Ev(6, ts(3, 4), 12, "purchase", 6.0)
+    val mem = MemoryStream[Ev]
+    val q = Streaming.enriched(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode("append").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_enrich")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val batch = Streaming.enriched(data.toDF(), dim)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.find(_.head == 6L).get.last == 0L, "unknown key must default, not drop")
+    // the plan must broadcast the dim — never shuffle the stream side
+    val plan = Streaming.enriched(data.toDF(), dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("governance validation flags and violation counters run unchanged on a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
