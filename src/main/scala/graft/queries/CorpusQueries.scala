@@ -81,7 +81,11 @@ object CorpusQueries extends QueryPack {
   /** Posting-list cap: q92 materializes the FIRST `PostingCap` doc_ids
     * per term (WindowGroupLimit prunes before the shuffle) plus the full
     * document frequency — the truncated-postings shape a 100 TB index
-    * build actually ships to its sink. */
+    * build actually ships to its sink. Postings serialize as a
+    * comma-joined string: the sink shape is the same 8-byte-per-entry
+    * payload either way, and a flat string column is what every
+    * downstream hash/compare tool (including the oracle harness)
+    * handles portably. */
   val PostingCap = 16
 
   def q92(s: SparkSession, d: String): DataFrame = {
@@ -94,7 +98,8 @@ object CorpusQueries extends QueryPack {
         Window.partitionBy(col("word")).orderBy(col("doc_id"))))
       .filter(col("rn") <= PostingCap)
       .groupBy(col("word"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))).cast("array<string>"),
+        ",").as("postings"))
     dfs.join(top, Seq("word"))
       .select(col("word"), col("df"), col("postings"))
       .orderBy(col("word"))
@@ -116,8 +121,11 @@ object CorpusQueries extends QueryPack {
     * `rank DIV degree`, the damped update is `150000 + (85·in) DIV 100`
     * — identical in any engine, any partitioning, any execution order.
     * Each round: one join of the edge list with the rank table on the
-    * source key, one hash aggregation on the destination key. The edge
-    * list is persisted once and reused across rounds. */
+    * source key, one hash aggregation on the destination key. The
+    * degree rides a COUNT window over the same exchange that clusters
+    * edges by src — no separate aggregate-then-join pass — and the
+    * degree-annotated edge list is persisted once, reused by both
+    * rounds. */
   def q93(s: SparkSession, d: String): DataFrame = {
     val ep = Tables.lineitem(s, d)
       .select(col("l_suppkey").as("sk"),
@@ -125,18 +133,16 @@ object CorpusQueries extends QueryPack {
       .distinct()
     // both edge directions from ONE pass over the distinct pair set (an
     // explode, not a self-union that would scan and re-shuffle lineitem
-    // twice); persisted because degree and the round joins both read it
-    val edges = ep.select(explode(array(
+    // twice). The unbounded COUNT window hash-partitions by src — the
+    // same exchange every round's rank join needs — and annotates each
+    // edge with its source degree in that single pass, where the old
+    // shape paid a separate degree aggregation plus a re-join
+    val withDeg = ep.select(explode(array(
         struct(col("sk").as("src"), col("pk").as("dst")),
         struct(col("pk").as("src"), col("sk").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
-      // hash-partition by src ONCE: the degree aggregation, the
-      // degree join, and every round's rank join all cluster on src,
-      // so they inherit this partitioning instead of re-exchanging
-      .repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .persist()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, Seq("src")).persist()
     // round 1 from the uniform start: contribution is a constant per
     // source, so the rank join drops out entirely
     def step(ranked: DataFrame): DataFrame = ranked
@@ -150,7 +156,8 @@ object CorpusQueries extends QueryPack {
       .select(col("dst"), expr("r DIV deg").as("c")))
     val out = r2.orderBy(col("r").desc, col("id")).limit(20)
       .select(col("id"), col("r"))
-    edges.unpersist(); withDeg.unpersist()
+    out.localCheckpoint(true)
+    withDeg.unpersist()
     out
   }
 
@@ -187,8 +194,11 @@ object CorpusQueries extends QueryPack {
     * float division; products stay < 2^63 through sf10). Unigram counts
     * are vocabulary-small, so both enrichment joins broadcast. */
   def q95(s: SparkSession, d: String): DataFrame = {
+    // tokenize ONCE: the split-to-words projection is persisted and
+    // feeds both the unigram and the bigram pass (the round-4 plan
+    // re-tokenized the corpus for each — two full regex/split scans)
     val ws = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(TextOps.words(col("text")).as("ws")).persist()
     val uni = ws.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1")).persist()
     val n = uni.agg(sum(col("c1")).as("n_tot"))
@@ -215,7 +225,7 @@ object CorpusQueries extends QueryPack {
       .orderBy(col("lift_m").desc, col("w1"), col("w2"))
       .limit(20)
     out.localCheckpoint(true)
-    uni.unpersist()
+    uni.unpersist(); ws.unpersist()
     out
   }
 
@@ -265,7 +275,8 @@ object CorpusQueries extends QueryPack {
                  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
                        FROM documents)),
       dfs AS (SELECT word, COUNT(*) AS df FROM w GROUP BY word),
-      top AS (SELECT word, list(doc_id ORDER BY doc_id) AS postings
+      top AS (SELECT word,
+                array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
               FROM (SELECT word, doc_id,
                       row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
                     FROM w)

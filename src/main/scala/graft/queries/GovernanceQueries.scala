@@ -105,7 +105,17 @@ object GovernanceQueries extends QueryPack {
   /** Per-event-type 2σ outlier counts via exact integer moments.
     * |x−μ| > 2σ (population σ) is evaluated as
     * (x·n − s)² > 4·(n·ss − s²) — pure DECIMAL(38,0) products, exact and
-    * order-independent, mirrored by DuckDB HUGEINT. */
+    * order-independent, mirrored by DuckDB HUGEINT.
+    *
+    * MAGNITUDE CONTRACT: the squared products fit DECIMAL(38,0) only
+    * while |x·n − s| < 10^19, i.e. max|cents| · group_rows ≲ 10^18 (the
+    * fixture: cents < 10^5, rows < 10^9 at sf100 → 10^14, five orders
+    * of margin). Past that bound non-ANSI Spark nulls the product
+    * silently (row counts as non-outlier) while DuckDB HUGEINT errors;
+    * deployments beyond it must enable spark.sql.ansi.enabled so
+    * overflow raises instead of biasing the flag, or switch the moment
+    * columns to DECIMAL(38,0)-pairs (hi/lo split). GovernanceSpec
+    * pins the in-bound behavior. */
   def q106(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"),
       expr("CAST(FLOOR(value * 100) AS DECIMAL(38,0))").as("c"))
@@ -179,13 +189,13 @@ object GovernanceQueries extends QueryPack {
       SELECT * FROM (
         SELECT 'lineitem_orderkey_fk' AS check_name, CAST(COUNT(*) AS BIGINT) AS violations,
                CAST(COUNT(*) = 0 AS INT) AS passed
-        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         UNION ALL
         SELECT 'lineitem_qty_range', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) = 0 AS INT)
         FROM lineitem WHERE l_quantity NOT BETWEEN 1 AND 50
         UNION ALL
         SELECT 'orders_custkey_fk', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) = 0 AS INT)
-        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        FROM orders r WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)
         UNION ALL
         SELECT 'orders_pk_unique',
                CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),

@@ -138,14 +138,21 @@ object MultimodalQueries extends QueryPack {
              substr(md5(text), 1, 8) AS checksum,
              (octet_length(encode(text)) + 15) // 16 AS n_frames
       FROM documents ORDER BY doc_id""",
+    // Byte semantics wherever DuckDB can express them: nf and frame_len
+    // derive from octet_length(encode(text)) — matching Spark's binary
+    // payload exactly for ANY input. frame_md5 must stay char-based
+    // (this DuckDB build has no BLOB substring/md5), which coincides
+    // with Spark's byte slicing only for single-byte text — the
+    // MultimodalSpec "fixture corpus is pure ASCII" test pins that
+    // precondition instead of leaving it implicit.
     "q116_frame_sample" -> """
-      WITH d AS (SELECT doc_id, text,
-                   GREATEST(CAST(floor((length(text) - 16.0) / 12.0) AS BIGINT) + 1, 1) AS nf
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS blen,
+                   GREATEST(CAST(floor((octet_length(encode(text)) - 16.0) / 12.0) AS BIGINT) + 1, 1) AS nf
                  FROM documents),
-      slots AS (SELECT doc_id, text, unnest(range(0, nf)) AS slot FROM d)
+      slots AS (SELECT doc_id, text, blen, unnest(range(0, nf)) AS slot FROM d)
       SELECT doc_id, slot,
              md5(substring(text, CAST(slot * 12 + 1 AS INT), 16)) AS frame_md5,
-             CAST(length(substring(text, CAST(slot * 12 + 1 AS INT), 16)) AS INT) AS frame_len
+             CAST(GREATEST(LEAST(16, blen - slot * 12), 0) AS INT) AS frame_len
       FROM slots WHERE slot % 4 = 0
       ORDER BY doc_id, slot"""
   )

@@ -35,17 +35,30 @@ object Round4Queries extends QueryPack {
 
   // q86: salted skew join -------------------------------------------------
 
-  /** Brand revenue through [[Skew.saltedJoin]]: lineitem (big, possibly
-    * hot-keyed) ⋈ part (small, over-broadcast-threshold stand-in) on
-    * l_partkey with fanout 8, then the per-brand merge. */
+  /** Brand revenue through [[Skew.saltedJoin]]: lineitem ⋈ part (small,
+    * over-broadcast-threshold stand-in) on l_partkey with fanout 8,
+    * then the per-brand merge.
+    *
+    * The aggregate is algebraic (count / decimal sum), so the partial
+    * per-partkey aggregate is pushed BELOW the join (q12's discipline):
+    * the join input shrinks from |lineitem| rows to |part| rows, the
+    * map-side combine absorbs any hot partkey before it can skew a
+    * reducer, and the salted join then guards the residual case the
+    * pre-aggregate can't fix — a partkey domain so hot that even one
+    * row per key skews the key distribution itself. The payload that
+    * genuinely CANNOT pre-aggregate (per-row enrichment) is
+    * [[Skew.saltedJoin]]'s spec-covered territory (ScaleSpec). */
   def q86(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("pn"),
+        sum(graft.util.Det.dec2(col("l_quantity"))).as("pq"))
     val p = Tables.part(s, d)
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
     Skew.saltedJoin(li, p, Seq("l_partkey"), 8)
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n"), graft.util.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
       .orderBy(col("p_brand"))
   }
 
@@ -55,7 +68,18 @@ object Round4Queries extends QueryPack {
     * uses ~0.95 on real text embeddings; the synthetic fixture vectors
     * are near-orthogonal (max within-cell cosine ≈ 0.49), so the demo
     * threshold sits where the fixture has actual duplicates to decide
-    * about. The operator is threshold-agnostic. */
+    * about. The operator is threshold-agnostic.
+    *
+    * CELL-COUNT SCALING CONTRACT: within-cell work is O(Σ cell_i²), so
+    * `cells` must grow WITH the corpus — hold N/cells (expected cell
+    * population) roughly constant and the total pairwise cost stays
+    * O(N²/cells) ≈ O(N · cell_size), linear in the corpus at fixed
+    * cell size. The 16 here is a fixture-scale instance of that rule
+    * (≈31 vectors/cell at sf0.001), not a constant: at 100 TB a
+    * k-means-trained quantizer (q89 is the training loop) with
+    * cells ≈ N / 10⁴ keeps every cell's pair block executor-sized.
+    * ScaleSpec pins the balanced-bound consequence (Σ cell² within 4×
+    * of N²/cells), mirroring q33's BandCap contract. */
   val SemThresholdBp = 3500L
 
   def q87(s: SparkSession, d: String): DataFrame = {
@@ -99,21 +123,33 @@ object Round4Queries extends QueryPack {
   val RankKeepCentirank = 1600L
 
   def q88(s: SparkSession, d: String): DataFrame = {
-    val w = Tables.documents(s, d)
+    // single tokenize pass: the corpus reduces to (doc_id, word, count)
+    // ONCE, and both consumers — the vocab rank and the per-doc rank
+    // sum — read the persisted reduction instead of re-exploding the
+    // corpus (the round-4 plan tokenized twice). The reduction is also
+    // the smaller join input: distinct words per doc, weighted by `c`,
+    // rather than one row per token occurrence.
+    val dw = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .persist()
     // corpus vocabulary with dense frequency ranks (1 = most common);
     // the rank window is global but runs over the aggregated vocab —
     // Heaps'-law small — never over corpus rows (q80's discipline)
-    val ranked = w.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val ranked = dw.groupBy(col("word")).agg(sum(col("c")).as("cnt"))
       .select(col("word"),
         row_number().over(Window.orderBy(col("cnt").desc, col("word"))).as("rank"))
-    w.join(broadcast(ranked), Seq("word"))
+    val out = dw.join(broadcast(ranked), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("rank")).as("rank_sum"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("rank") * col("c")).as("rank_sum"))
       .select(col("doc_id"), col("n_words"), col("rank_sum"),
         expr("CAST((rank_sum * 100L) DIV n_words AS BIGINT)").as("avg_rank_c"))
       .withColumn("kept", (col("avg_rank_c") <= lit(RankKeepCentirank)).cast("int"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    dw.unpersist()
+    out
   }
 
   // q89: distributed k-means (Lloyd's), 2 rounds, exactly oracle-checked

@@ -155,8 +155,13 @@ object SimilarityQueries extends QueryPack {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // uni is Heaps'-law small (unigram vocab) → broadcast; big is the
+    // bigram TYPE table, which grows near-linearly with corpus size, so
+    // at the 100 TB design point it must NOT broadcast — the (w1,w2)
+    // join shuffles instead, co-partitioned with big's own groupBy key
+    // (one exchange of bg on (w1,w2), reused by AQE for the join)
     bg.join(broadcast(uni), Seq("w1"))
-      .join(broadcast(big), Seq("w1", "w2"))
+      .join(big, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bg"),
         sum(expr("(1000 * c1) DIV c2")).as("ssum"))

@@ -30,7 +30,7 @@ class CorpusSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getLong(1)
-      val postings = r.getSeq[Long](2)
+      val postings = r.getString(2).split(",").map(_.toLong).toSeq
       assert(postings.nonEmpty && postings.size <= CorpusQueries.PostingCap, s"row $r")
       assert(postings == postings.sorted, s"unsorted postings in $r")
       assert(df >= postings.size, s"df below emitted postings in $r")

@@ -172,6 +172,30 @@ class GovernanceSpec extends SparkSpec {
     assert(graft.queries.MultimodalQueries.q116(spark, dir).count() == 0)
   }
 
+  test("fixture corpus is pure ASCII — the q55/q116 byte-vs-char oracle precondition") {
+    // the DuckDB oracle slices text by CHARACTER (no BLOB substring in
+    // this build) while the engine slices the binary payload by BYTE;
+    // they coincide iff every char is single-byte. Pin it rather than
+    // assume it: a future multi-byte fixture must switch the oracle.
+    Seq("sf0.001", "sf0.01").foreach { s =>
+      val nonAscii = Tables.documents(spark, sf(s))
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii == 0, s"$s: $nonAscii non-ASCII documents break the byte/char oracle twin")
+    }
+  }
+
+  test("q106 moment products stay inside the DECIMAL(38,0) magnitude bound") {
+    // (x·n − s)² fits DECIMAL(38,0) while max|cents|·n ≲ 10^18; past it
+    // non-ANSI Spark nulls silently. Assert the fixture sits orders of
+    // magnitude inside the documented contract.
+    val worst = Tables.events(spark, sf("sf0.01"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(abs(floor(col("value") * 100))).cast("long").as("mx"))
+      .select(max(col("n") * col("mx")).as("w")).head.getLong(0)
+    assert(worst < 1e15.toLong, s"max|cents|·group_rows = $worst approaches the 10^18 overflow bound")
+  }
+
   test("q105 all fixture assertions pass with zero violations") {
     val rows = GovernanceQueries.q105(spark, sf("sf0.001")).collect()
     assert(rows.length == 5)

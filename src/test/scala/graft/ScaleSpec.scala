@@ -159,6 +159,22 @@ class ScaleSpec extends SparkSpec {
       s"expected AQE coalesced read in:\n$finalPlan")
   }
 
+  test("q87 SemDeDup within-cell candidate pairs stay near the balanced N²/cells bound") {
+    // the cell-count CONTRACT (see Round4Queries.q87): pairwise work is
+    // O(Σ cell_i²), tractable only while cells grow with the corpus so
+    // N/cells stays bounded. A perfectly balanced quantizer does
+    // N²/(2·cells) comparisons; pin that the fixture quantizer stays
+    // within 4× of it — a collapsed quantizer (most vectors in one
+    // cell) would blow through this and silently reintroduce O(N²).
+    val out = queries.Round4Queries.q87(spark, sf("sf0.001"))
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    val n = out.sum
+    val cells = out.length.toLong
+    val pairs = out.map(s => s * (s - 1) / 2).sum
+    assert(pairs <= 2L * n * n / cells,
+      s"per-cell pair count $pairs exceeds 4x the balanced bound (n=$n, cells=$cells)")
+  }
+
   test("denseIds equals the single-reducer global row_number, without its plan") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf("sf0.001"))
