@@ -154,9 +154,12 @@ object CorpusQueries extends QueryPack {
     val r2 = step(withDeg
       .join(r1.withColumnRenamed("id", "src"), Seq("src"))
       .select(col("dst"), expr("r DIV deg").as("c")))
+    // capture the CHECKPOINTED frame: materialize while the persist is
+    // live, then release it — returning the pre-checkpoint plan here
+    // would silently recompute the whole pipeline cache-less
     val out = r2.orderBy(col("r").desc, col("id")).limit(20)
       .select(col("id"), col("r"))
-    out.localCheckpoint(true)
+      .localCheckpoint(true)
     withDeg.unpersist()
     out
   }
@@ -216,6 +219,10 @@ object CorpusQueries extends QueryPack {
       .filter(col("cxy") >= LiftMinCount)
       .select(substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"), col("cxy"))
+    // materialize through localCheckpoint BEFORE dropping the persists —
+    // the checkpointed frame is what must be returned (the round-4 code
+    // checkpointed into a discarded value and returned the raw plan,
+    // which re-ran the whole query cache-less at action time)
     val out = bi
       .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("cw1"))), Seq("w1"))
       .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cw2"))), Seq("w2"))
@@ -224,7 +231,7 @@ object CorpusQueries extends QueryPack {
         expr("CAST((cxy * n_tot * 1000L) DIV (cw1 * cw2) AS BIGINT)").as("lift_m"))
       .orderBy(col("lift_m").desc, col("w1"), col("w2"))
       .limit(20)
-    out.localCheckpoint(true)
+      .localCheckpoint(true)
     uni.unpersist(); ws.unpersist()
     out
   }
