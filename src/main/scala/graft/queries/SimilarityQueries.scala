@@ -191,39 +191,11 @@ object SimilarityQueries extends QueryPack {
       .select((col("doc_id") + 20000000L).as("doc_id"),
         when(col("doc_id") % 6 === 0, col("text"))
           .otherwise(concat_ws(" ", reverse(TextOps.words(col("text"))))).as("text"))
-    def sigTable(src: DataFrame): DataFrame = src
-      .select(col("doc_id"),
-        array_distinct(call_function("shingles3", TextOps.words(col("text")))).as("shs"))
-      .select(col("doc_id"), col("shs"),
-        call_function("minhash_sigs", col("shs")).as("sg"))
-      .select(col("doc_id"), col("shs"),
-        md5(concat(element_at(col("sg"), 1).cast("string"),
-          element_at(col("sg"), 2).cast("string"))).as("b0"),
-        md5(concat(element_at(col("sg"), 3).cast("string"),
-          element_at(col("sg"), 4).cast("string"))).as("b1"))
-    val sa = sigTable(docs)
-    val sb = sigTable(bSrc)
-    val bandsA = sa.select(col("doc_id").as("a"),
-      explode(array(col("b0"), col("b1"))).as("band"))
-    val bandsB = sb.select(col("doc_id").as("b"),
-      explode(array(col("b0"), col("b1"))).as("band"))
-    val okBands = bandsA.groupBy(col("band"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= LlmQueries.BandCap)
-      .select(col("band"))
-    val cand = bandsB.join(okBands, Seq("band"))
-      .join(bandsA, Seq("band"))
-      .select(col("b"), col("a")).distinct()
-    val matches = cand
-      .join(sa.select(col("doc_id").as("a"), col("shs").as("sha")), Seq("a"))
-      .join(sb.select(col("doc_id").as("b"), col("shs").as("shb")), Seq("b"))
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("common"))
-      .filter(col("common") * 2 >= col("union_sz"))
-      .groupBy(col("b")).agg(count(lit(1)).as("nm"))
-    bSrc.select(col("doc_id"))
-      .join(matches.withColumnRenamed("b", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("nm"), lit(0L)).as("n_matches"),
-        (col("nm").isNull).cast("int").as("kept"))
+    // index construction + per-drop probe live in Streaming (shared by
+    // this batch query and the foreachBatch streaming gate — one core,
+    // stream ≡ batch by construction, spec'd in StreamingSpec)
+    val idx = graft.streaming.Streaming.buildNearDupIndex(docs, LlmQueries.BandCap)
+    graft.streaming.Streaming.nearDupProbe(idx, bSrc)
       .orderBy(col("doc_id"))
   }
 

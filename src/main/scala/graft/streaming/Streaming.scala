@@ -231,4 +231,90 @@ object Streaming {
       .transformWithState(new RunningCountProcessor,
         TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[UserCount]])
   }
+
+  // ---- streaming LSH near-dup (Tier-L × streams) ------------------------
+
+  /** Persisted LSH index over a bounded corpus — the static side of the
+    * streaming near-dup probe. Signature/band construction is exactly
+    * q112's (SimilarityQueries.scala): 3-shingles → minhash_sigs → two
+    * 2-row bands; `okBands` drops degenerate buckets (band frequency >
+    * cap) on the CORPUS side, where they live. At 100 TB this index is
+    * the artifact an ingest pipeline maintains between drops — built
+    * once per corpus version, probed by every arriving batch. */
+  case class NearDupIndex(sigs: DataFrame, bands: DataFrame, okBands: DataFrame) {
+    def persist(): NearDupIndex = { sigs.persist(); bands.persist(); okBands.persist(); this }
+    def unpersist(): Unit = { sigs.unpersist(); bands.unpersist(); okBands.unpersist() }
+  }
+
+  private def sigTable(docs: DataFrame): DataFrame = {
+    graft.GraftFunctions.ensure(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        array_distinct(call_function("shingles3",
+          graft.functions.TextOps.words(col("text")))).as("shs"))
+      .select(col("doc_id"), col("shs"),
+        call_function("minhash_sigs", col("shs")).as("sg"))
+      .select(col("doc_id"), col("shs"),
+        md5(concat(element_at(col("sg"), 1).cast("string"),
+          element_at(col("sg"), 2).cast("string"))).as("b0"),
+        md5(concat(element_at(col("sg"), 3).cast("string"),
+          element_at(col("sg"), 4).cast("string"))).as("b1"))
+  }
+
+  def buildNearDupIndex(corpus: DataFrame, bandCap: Int): NearDupIndex = {
+    val sigs = sigTable(corpus)
+    val bands = sigs.select(col("doc_id").as("a"),
+      explode(array(col("b0"), col("b1"))).as("band"))
+    val okBands = bands.groupBy(col("band"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= bandCap)
+      .select(col("band"))
+    NearDupIndex(sigs, bands, okBands)
+  }
+
+  /** Asymmetric near-dup probe of one document batch against a
+    * [[NearDupIndex]] — q112's per-drop core, shared verbatim by the
+    * batch query and the streaming sink below. Returns one row per
+    * probed doc: `(doc_id, n_matches, kept)`. Only the BATCH side
+    * computes signatures here (|B| ≪ |A|); candidate generation is a
+    * band-bucket join against the index and verification is one exact
+    * array_intersect per surviving candidate pair. */
+  def nearDupProbe(index: NearDupIndex, batch: DataFrame): DataFrame = {
+    val sb = sigTable(batch)
+    val bandsB = sb.select(col("doc_id").as("b"),
+      explode(array(col("b0"), col("b1"))).as("band"))
+    val cand = bandsB.join(index.okBands, Seq("band"))
+      .join(index.bands, Seq("band"))
+      .select(col("b"), col("a")).distinct()
+    val matches = cand
+      .join(index.sigs.select(col("doc_id").as("a"), col("shs").as("sha")), Seq("a"))
+      .join(sb.select(col("doc_id").as("b"), col("shs").as("shb")), Seq("b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("common"))
+      .filter(col("common") * 2 >= col("union_sz"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nm"))
+    batch.select(col("doc_id"))
+      .join(matches.withColumnRenamed("b", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nm"), lit(0L)).as("n_matches"),
+        (col("nm").isNull).cast("int").as("kept"))
+  }
+
+  /** Streaming near-dup gate: every arriving micro-batch of documents
+    * probes the static corpus index and lands with its match count and
+    * keep/drop flag. `foreachBatch` is the honest Spark shape for this
+    * operator — the probe aggregates only WITHIN a drop (candidates for
+    * a doc all come from its own batch joined to the static index), so
+    * no cross-batch state store is needed, and each batch runs the
+    * exact batch plan (broadcast of B's bands when small, AQE, the
+    * works) that `nearDupProbe` compiles to. Beam parity: windowed
+    * batch join against a slowly-changing side input. At 100 TB the
+    * index persists across drops; the stream side never re-reads the
+    * corpus. */
+  def nearDupStream(docs: DataFrame, index: NearDupIndex,
+                    sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(nearDupProbe(index, batch.toDF()))
+      }
+      .start()
 }

@@ -404,4 +404,35 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Map("value_nonpositive" -> 2L, "user_id_null" -> 1L,
       "props_malformed" -> 2L))
   }
+
+  test("streaming LSH near-dup: per-drop probe of the static corpus index equals batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.GraftFunctions.ensure(spark)
+    val corpus = Seq(
+      Streaming.Doc(1, "the quick brown fox jumps over the lazy dog tonight"),
+      Streaming.Doc(2, "pack my box with five dozen liquor jugs right now"),
+      Streaming.Doc(3, "sphinx of black quartz judge my vow immediately today")).toDF()
+    val idx = Streaming.buildNearDupIndex(corpus, 64).persist()
+    // drop 1 carries a verbatim dup of corpus doc 1; drop 2 is fresh text
+    val b1 = Seq(Streaming.Doc(11, "the quick brown fox jumps over the lazy dog tonight"))
+    val b2 = Seq(Streaming.Doc(12, "completely different words appear in this new document body"))
+    val mem = MemoryStream[Streaming.Doc]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = Streaming.nearDupStream(mem.toDF(), idx,
+      out => got.synchronized { got ++= out.collect().map(_.toSeq) })
+    // two separate micro-batches: the probe must be correct PER DROP,
+    // with no dependence on what arrived in earlier batches
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = got.sortBy(_.head.toString).toSeq
+    val batch = Streaming.nearDupProbe(idx, (b1 ++ b2).toDF())
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    val byId = streamed.map(r => r.head -> (r(1), r(2))).toMap
+    assert(byId(11L) == ((1L, 0)), s"verbatim dup must match corpus doc: $byId")
+    assert(byId(12L) == ((0L, 1)), s"fresh doc must be kept: $byId")
+    idx.unpersist()
+  }
 }
