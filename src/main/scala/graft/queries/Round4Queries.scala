@@ -36,35 +36,29 @@ object Round4Queries extends QueryPack {
   // q86: skew-safe brand rollup (the pushed-down plan) ---------------------
 
   /** Brand revenue: lineitem ⋈ part on l_partkey, per-brand merge —
-    * carried by the scale-right plan for an ALGEBRAIC aggregate over a
-    * skewable FK join: partial per-partkey aggregate BELOW the join
-    * (q12's discipline), then a broadcast join against the dimension.
-    * The map-side combine absorbs any hot partkey before it can skew a
-    * reducer, so no salt is needed here by construction. */
+    * carried by the skew-IMMUNE plan for an algebraic aggregate over a
+    * skewable FK join: a broadcast join never partitions by the FK, so
+    * a hot partkey cannot skew it, and the brand aggregate's map-side
+    * combine collapses each partition to |brands| (25) partial rows
+    * before the only shuffle — which therefore moves ~25 rows per
+    * partition regardless of skew. ONE pass over lineitem, one
+    * broadcast, one tiny exchange. */
   def q86(s: SparkSession, d: String): DataFrame = {
     // quantities are integral doubles (1..50, FIXTURES.md), so the
-    // money-exact sum runs ×100 in LONG — the decimal accumulator the
-    // old plan paid per row was ~30% of its runtime — and converts to
-    // the oracle's decimal-cast-to-double only once per output row.
-    // The partial per-partkey aggregate below the join absorbs any hot
-    // partkey before it can skew anything; after it, the join input is
-    // |part|-sized on BOTH sides and part is a dimension table, so the
-    // scale-right join is a plain broadcast — salting a pre-aggregated
-    // unique-key join guards nothing. [[Skew.saltedJoin]] remains the
-    // operator for the payload that genuinely cannot pre-aggregate
-    // (per-row enrichment under a skewed FK), exercised at 10^6-row
-    // hot-key scale by ScaleSpec.
+    // money-exact sum runs ×100 in LONG — a decimal accumulator per row
+    // measured ~30% of runtime — converting to the oracle's double form
+    // once per output row. [[Skew.saltedJoin]] remains the operator for
+    // the case this plan can't cover: a payload that genuinely cannot
+    // pre-aggregate under a join too big to broadcast — exercised at
+    // 10^6-row hot-key scale by ScaleSpec.
     val li = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_quantity"))
-      .groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("pn"),
-        sum((col("l_quantity") * 100).cast("long")).as("pq100"))
+      .select(col("l_partkey"), (col("l_quantity") * 100).cast("long").as("q100"))
     val p = Tables.part(s, d)
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
     li.join(broadcast(p), Seq("l_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(col("pn")).as("n"),
-        (sum(col("pq100")).cast("double") / 100.0).as("sum_qty"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("q100")).cast("double") / 100.0).as("sum_qty"))
       .orderBy(col("p_brand"))
   }
 
