@@ -78,9 +78,17 @@ object Tables {
       name: String, key: String, path: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     val rg = rowGroups(spark, path)
+    // size floors: the exchange costs a fixed ~0.2 s locally, so it
+    // must buy back more serial decode/compute than that. Measured at
+    // sf0.1 (narrow tables 0.3-1 MB) widening REGRESSED the suite
+    // 53->78 s — every query paid the exchange, none recovered it —
+    // while at sf1 (documents 5.8 MB, events 12 MB) it wins 2-5x on
+    // the tokenize/vector-math queries. 2 MB (narrow-heavy) / 32 MB
+    // (fact, near-serial scans only) puts the cutover between those
+    // two measured points.
     val worthIt =
-      if (narrowHeavy(name)) rg < par && fileBytes(spark, path) >= 64L * 1024
-      else rg <= 2 && fileBytes(spark, path) >= 8L * 1024 * 1024
+      if (narrowHeavy(name)) rg < par && fileBytes(spark, path) >= 2L * 1024 * 1024
+      else rg <= 2 && fileBytes(spark, path) >= 32L * 1024 * 1024
     if (worthIt) df.repartition(par, col(key)) else df
   }
 
