@@ -108,7 +108,13 @@ object CorpusQueries extends QueryPack {
   // q93: PageRank, 2 rounds, integer-exact --------------------------------
 
   /** Node-id offset separating part nodes from supplier nodes in the
-    * co-occurrence graph (l_partkey < 10^6 holds through sf100). */
+    * co-occurrence graph. Holds exactly for the base TPC-H domains
+    * (partkey < 10^6 through sf100); the SCALED fixtures clone key
+    * domains shifted by multiples of 10^9, where a few supplier and
+    * part node ids overlap — the oracle SQL applies the identical
+    * offset, so the overlap is cross-engine consistent (same graph on
+    * both sides), and rank arithmetic stays far below Long range
+    * either way. */
   val PartOffset = 1000000L
 
   /** Per-node starting rank mass (×10^6 fixed-point scale). */
@@ -127,15 +133,15 @@ object CorpusQueries extends QueryPack {
     * degree-annotated edge list is persisted once, reused by both
     * rounds. */
   def q93(s: SparkSession, d: String): DataFrame = {
-    // the distinct runs over ONE packed 64-bit key (suppkey<<32 |
-    // partkey — both well under 2^31 through sf100), not a 2-column
-    // row: single-long hash dedup measures ~30% faster than the
-    // row-based distinct at sf1, and the pair unpacks for free after
+    // two-column distinct, NOT a packed single long: scaled fixtures
+    // shift clone key domains by multiples of 10^9 (sf3 suppkey max
+    // 2.9e9), so suppkey·2^32 overflows Long at sf3+ — measured as a
+    // hard ARITHMETIC_OVERFLOW failure in the round-5 sf3 sweep. The
+    // packed form's ~0.5 s sf1 win is not worth a domain-bounded trap.
     val ep = Tables.lineitem(s, d)
-      .select((col("l_suppkey") * lit(4294967296L) + col("l_partkey")).as("sp"))
+      .select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + lit(PartOffset)).as("pk"))
       .distinct()
-      .select(shiftright(col("sp"), 32).as("sk"),
-        (col("sp").bitwiseAND(lit(4294967295L)) + lit(PartOffset)).as("pk"))
     // both edge directions from ONE pass over the distinct pair set (an
     // explode, not a self-union that would scan and re-shuffle lineitem
     // twice)
