@@ -298,6 +298,25 @@ object Streaming {
         (col("nm").isNull).cast("int").as("kept"))
   }
 
+  /** Index maintenance: fold an accepted drop INTO the index so later
+    * drops dedup against it too — the other half of the incremental-
+    * ingest contract (probe, keep the fresh docs, append them). The
+    * union is lazy and cheap (the drop is |B| ≪ |A|); callers persist
+    * the returned index and unpersist the old one on their compaction
+    * cadence — at 100 TB this is exactly the periodic rewrite of the
+    * signature/band artifact, and `okBands` is recomputed over the
+    * merged band table so a bucket that crosses the cap only via
+    * appended docs still gets dropped. */
+  def appendToIndex(index: NearDupIndex, accepted: DataFrame, bandCap: Int): NearDupIndex = {
+    val sigs = index.sigs.unionByName(sigTable(accepted))
+    val bands = sigs.select(col("doc_id").as("a"),
+      explode(array(col("b0"), col("b1"))).as("band"))
+    val okBands = bands.groupBy(col("band"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= bandCap)
+      .select(col("band"))
+    NearDupIndex(sigs, bands, okBands)
+  }
+
   /** Streaming near-dup gate: every arriving micro-batch of documents
     * probes the static corpus index and lands with its match count and
     * keep/drop flag. `foreachBatch` is the honest Spark shape for this

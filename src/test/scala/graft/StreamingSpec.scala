@@ -433,6 +433,17 @@ class StreamingSpec extends SparkSpec {
     val byId = streamed.map(r => r.head -> (r(1), r(2))).toMap
     assert(byId(11L) == ((1L, 0)), s"verbatim dup must match corpus doc: $byId")
     assert(byId(12L) == ((0L, 1)), s"fresh doc must be kept: $byId")
-    idx.unpersist()
+    // index maintenance: fold the accepted fresh doc in; a later drop
+    // repeating it must now be flagged against the APPENDED doc, and a
+    // probe of the original corpus must behave exactly as before
+    val idx2 = Streaming.appendToIndex(idx, b2.toDF(), 64).persist()
+    val b3 = Seq(Streaming.Doc(13, "completely different words appear in this new document body"))
+    val after = Streaming.nearDupProbe(idx2, b3.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(after == Seq((13L, 1L, 0)), s"repeat of an appended doc must be flagged: $after")
+    val still = Streaming.nearDupProbe(idx2, b1.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(still == Seq((11L, 1L, 0)), s"original corpus probe unchanged: $still")
+    idx2.unpersist(); idx.unpersist()
   }
 }
