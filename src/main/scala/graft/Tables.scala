@@ -108,11 +108,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as raw INT64 nanos via an explicit schema
-    * (no session conf needed), then floor to microseconds — the same
-    * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies, so both engines
-    * see identical µs values. */
+  /** events.ts unit detection. Fixture vintages differ: early rounds
+    * shipped parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read as
+    * a timestamp), later ones TIMESTAMP(MICROS) (native). A hard-coded
+    * assumption either way silently stretches or collapses the event
+    * timeline 1000×, so the reader asks the footer which unit the file
+    * actually stores and converts only when it must. A directory (the
+    * 100 TB many-file shape) fails the single-file footer read and is
+    * assumed native — Spark errors loudly there if a nanos file sneaks
+    * in, which beats silently wrong timestamps. */
+  private val tsUnitCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def eventsTsUnit(spark: SparkSession, path: String): String =
+    tsUnitCache.getOrElseUpdate(path,
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          val schema = r.getFooter.getFileMetaData.getSchema
+          val field = schema.getType(schema.getFieldIndex("ts"))
+          field.asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit.toString // NANOS | MICROS | MILLIS
+            case _ => "NONE" // bare INT64: treat as nanos (round-1 vintage)
+          }
+        } finally r.close()
+      } catch { case _: Exception => "NATIVE" })
+
+  /** Raw-INT64 schema for the nanos vintage, where Spark can't read the
+    * annotated column at all; floor to microseconds — the same
+    * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies, so both
+    * engines see identical µs values. */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -120,8 +148,18 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    val raw = s.read.schema(eventsSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsTsUnit(s, path) match {
+      case "NANOS" | "NONE" =>
+        s.read.schema(eventsSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // MICROS/MILLIS/dir: Spark-native read. The fixtures annotate
+        // isAdjustedToUTC=false so Spark yields TIMESTAMP_NTZ; cast to
+        // TimestampType for a uniform downstream schema — the session
+        // timezone is pinned to UTC everywhere, so the µs values are
+        // bit-identical to DuckDB's naive reading.
+        s.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+    }
     widen(s, raw, "events", "user_id", path)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
