@@ -37,7 +37,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => Shingles3(children.head): Expression),
     (new FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
-      (children: Seq[Expression]) => NearestCells(children(0), children(1)): Expression),
+      (children: Seq[Expression]) => (children match {
+        case Seq(v, cents) => new NearestCells(v, cents)
+        case Seq(v, cents, m) => NearestCells(v, cents, m)
+        case _ => throw new IllegalArgumentException(
+          "nearest_cells expects 2 or 3 arguments")
+      }): Expression),
     (new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
       (children: Seq[Expression]) =>

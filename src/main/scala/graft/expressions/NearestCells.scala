@@ -1,42 +1,51 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 
 /** Coarse-quantizer cell ranking for IVF ANN: given a vector and a
-  * LITERAL centroid matrix (right child must be a foldable
+  * LITERAL centroid matrix (second child must be a foldable
   * array<array<double>> — the driver-known trained model), returns the
   * centroid indices ordered by ascending L2 distance, ties on the lower
-  * index.
+  * index. An optional third argument `m` (foldable int) bounds the
+  * ranking to the top-m indices: assignment needs m=1, an nprobe search
+  * needs m=nprobe, and the partial selection keeps per-row cost at
+  * O(cells·(dim+m)) instead of the O(cells²) full sort — the difference
+  * between a 4096-cell quantizer being usable and not.
   *
   * Semantics contract (must stay bit-identical to the HOF/oracle form):
   * dist_c = (dot(v,v) - 2*dot(v,c)) + dot(c,c), every dot a sequential
-  * left fold in element order. CodegenFallback by the same argument as
-  * [[Md5Helper]]'s expressions: the cost is the O(cells*dim) arithmetic,
-  * which runs here as primitive JVM loops over a pre-extracted
-  * double[][] instead of cells*dim interpreted Catalyst HOF steps per
-  * row (measured ~25x on the sf1 bench).
+  * left fold in element order; the m-bounded result is a PREFIX of the
+  * full ranking (ExpressionSpec pins this). CodegenFallback by the same
+  * argument as [[Md5Helper]]'s expressions: the cost is the
+  * O(cells*dim) arithmetic, which runs here as primitive JVM loops over
+  * a pre-extracted double[][] instead of cells*dim interpreted Catalyst
+  * HOF steps per row (measured ~25x on the sf1 bench).
   */
-case class NearestCells(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class NearestCells(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with CodegenFallback {
+
+  def this(left: Expression, right: Expression) =
+    this(left, right, Literal(Int.MaxValue))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) if right.foldable =>
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _), IntegerType)
+          if second.foldable && third.foldable =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "nearest_cells expects (array<double>, foldable array<array<double>>)")
+        "nearest_cells expects (array<double>, foldable array<array<double>>[, foldable int])")
     }
 
   // centroid matrix and its norms, extracted from the literal once per
   // task (not per row)
   @transient private lazy val cents: Array[Array[Double]] = {
-    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val arr = second.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(arr.numElements())(i =>
       arr.getArray(i).toDoubleArray())
   }
@@ -46,8 +55,9 @@ case class NearestCells(left: Expression, right: Expression)
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     }
+  @transient private lazy val topM: Int = third.eval(null).asInstanceOf[Int]
 
-  override def nullSafeEval(v: Any, ignoredCents: Any): Any = {
+  override def nullSafeEval(v: Any, ignoredCents: Any, ignoredM: Any): Any = {
     val vec = v.asInstanceOf[ArrayData].toDoubleArray()
     val n = vec.length
     var vv = 0.0
@@ -68,11 +78,14 @@ case class NearestCells(left: Expression, right: Expression)
       dist(c) = (vv - 2.0 * dp) + centNorms(c)
       c += 1
     }
-    // rank indices by (dist, index): k is small (a quantizer has tens of
-    // cells), so a simple selection sort is branch-cheap and allocation-free
+    // partial selection sort by (dist, index): after `out` outer
+    // rounds the first `out` slots hold the ranking prefix — O(k·m),
+    // which for the common m ∈ {1, nprobe} is linear in the cell count
+    val out = math.min(k, topM)
     val idx = Array.tabulate(k)(identity)
     var a = 0
-    while (a < k - 1) {
+    val limit = math.min(out, k - 1)
+    while (a < limit) {
       var best = a
       var b = a + 1
       while (b < k) {
@@ -83,10 +96,11 @@ case class NearestCells(left: Expression, right: Expression)
       val t = idx(a); idx(a) = idx(best); idx(best) = t
       a += 1
     }
-    new GenericArrayData(idx.map(_.toLong))
+    new GenericArrayData(Array.tabulate(out)(j => idx(j).toLong))
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): NearestCells =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): NearestCells =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

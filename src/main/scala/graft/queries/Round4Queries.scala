@@ -68,38 +68,80 @@ object Round4Queries extends QueryPack {
     * uses ~0.95 on real text embeddings; the synthetic fixture vectors
     * are near-orthogonal (max within-cell cosine ≈ 0.49), so the demo
     * threshold sits where the fixture has actual duplicates to decide
-    * about. The operator is threshold-agnostic.
-    *
-    * CELL-COUNT SCALING CONTRACT: within-cell work is O(Σ cell_i²), so
+    * about. The operator is threshold-agnostic. */
+  val SemThresholdBp = 3500L
+
+  /** CELL-COUNT SCALING CONTRACT: within-cell work is O(Σ cell_i²), so
     * `cells` must grow WITH the corpus — hold N/cells (expected cell
     * population) roughly constant and the total pairwise cost stays
     * O(N²/cells) ≈ O(N · cell_size), linear in the corpus at fixed
-    * cell size. The 16 here is a fixture-scale instance of that rule
-    * (≈31 vectors/cell at sf0.001), not a constant: at 100 TB a
-    * k-means-trained quantizer (q89 is the training loop) with
-    * cells ≈ N / 10⁴ keeps every cell's pair block executor-sized.
-    * ScaleSpec pins the balanced-bound consequence (Σ cell² within 4×
-    * of N²/cells), mirroring q33's BandCap contract. */
-  val SemThresholdBp = 3500L
+    * cell size. `semCells` implements that rule: cells = max(16,
+    * N / 128), i.e. ≈128 vectors per cell beyond the fixture floor
+    * (the floor keeps fixture-scale results identical to the fixed-16
+    * vintage and hash-stable against the oracle). ScaleSpec pins the
+    * balanced-bound consequence (Σ cell² within 4× of N²/cells),
+    * mirroring q33's BandCap contract, and pins that the r5 "8.9× work
+    * on 3× data" growth mode is gone: candidate pairs now grow
+    * linearly with N at fixed cell size. */
+  val SemTargetCellSize = 128L
+  def semCells(n: Long): Long = math.max(16L, n / SemTargetCellSize)
+
+  /** Nearest-centroid cell assignment for SemDeDup, two physical
+    * strategies behind one semantics (nearest by L2, ties to the
+    * lowest cid — exactly the oracle's `row_number ORDER BY l2sq,
+    * cid`):
+    *
+    *  - `cells` ≤ 4096: centroids are a driver artifact embedded as
+    *    literals (ConstantFolding collapses the array into ONE Literal
+    *    before execution), assignment is a ZERO-SHUFFLE map over the
+    *    scan via `nearest_cells(v, cents, 1)` — the m=1 bound keeps the
+    *    native expression's per-row cost at O(cells·dim) argmin, no
+    *    O(cells²) ranking sort (measured: the 468-cell sf3 quantizer is
+    *    12× faster here than the broadcast join below).
+    *  - beyond that (the 100 TB shape, where the centroid matrix stops
+    *    being literal-sized): centroids stay a DataFrame end-to-end —
+    *    never collected — and assignment is a broadcast nested-loop
+    *    amplify + per-vector min_by argmin. The join preserves the
+    *    scan's partitioning, so partial aggregation collapses the
+    *    ×cells amplification map-side and the one shuffle carries N
+    *    rows, not N×cells.
+    *
+    * OpsSpec proves the two paths produce identical assignments. */
+  private[graft] def semAssign(e: DataFrame, cells: Long,
+      forceBroadcast: Boolean = false): DataFrame = {
+    if (cells <= 4096 && !forceBroadcast) {
+      val cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < cells)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .toIndexedSeq.sortBy(_._1)
+      val centsLit = array(cents.map(c => VectorOps.litArr(c._2)): _*)
+      val cidLit = array(cents.map(c => lit(c._1)): _*)
+      e.withColumn("cells",
+          call_function("nearest_cells", col("v"), centsLit, lit(1)))
+        .select(col("vec_id"), col("v"),
+          element_at(cidLit, element_at(col("cells"), 1).cast("int") + 1).as("cell"))
+    } else {
+      val centsDf = e.filter(col("vec_id") < cells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      e.join(broadcast(centsDf))
+        .select(col("vec_id"), col("v"), col("cid"),
+          VectorOps.l2sq(col("v"), col("cv")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("cell"))
+    }
+  }
 
   def q87(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
-    val cells = 16
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
-    // first-`cells` vectors as the coarse quantizer — the deterministic
-    // k-means stand-in q57 uses (the oracle reproduces it exactly);
-    // collected once on the driver (a few KB) and embedded as literals
-    // so cell assignment is a zero-shuffle map over the scan
-    val cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < cells)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-      .toIndexedSeq.sortBy(_._1)
-    val centsLit = array(cents.map(c => VectorOps.litArr(c._2)): _*)
-    val cidLit = array(cents.map(c => lit(c._1)): _*)
-    val asg = e
-      .withColumn("cells", call_function("nearest_cells", col("v"), centsLit))
-      .select(col("vec_id"), col("v"),
-        element_at(cidLit, element_at(col("cells"), 1).cast("int") + 1).as("cell"))
+    // one count pass (parquet footer-stat cheap) sizes the quantizer;
+    // first-`cells` vectors as the coarse centroids — the deterministic
+    // k-means stand-in q57 uses (the oracle reproduces both the count
+    // and the centroid choice exactly)
+    val cells = semCells(e.count())
+    val asg = semAssign(e, cells)
       .persist() // three consumers below; Verify/Bench clearCache() reclaims
     // a vector is dropped iff it near-duplicates a LOWER vec_id in its
     // cell — keep-the-first, deterministic, and exactly SQL-mirrorable
@@ -273,7 +315,8 @@ object Round4Queries extends QueryPack {
       GROUP BY p_brand ORDER BY p_brand""",
     "q87_semdedup" -> s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      cents AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM e
+                WHERE vec_id < GREATEST(16, (SELECT COUNT(*) FROM e) // $SemTargetCellSize)),
       ranked AS (SELECT e.vec_id, cid,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${VectorOps.l2sqSql("e.embedding", "cents.cv")}, cid) AS rnk

@@ -140,6 +140,24 @@ class ExpressionSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("nearest_cells top-m bound returns a prefix of the full ranking") {
+    GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
+      .sortBy(_._1)
+    val centsLit = array(cents.map(c => VectorOps.litArr(c._2)): _*)
+    for (m <- Seq(1, 2, 5, 16, 100)) {
+      val diff = e.select(
+          slice(call_function("nearest_cells", col("v"), centsLit),
+            1, math.min(m, cents.size)).as("full_prefix"),
+          call_function("nearest_cells", col("v"), centsLit, lit(m)).as("bounded"))
+        .filter(col("full_prefix") =!= col("bounded")).count()
+      assert(diff == 0, s"m=$m bounded ranking is not a prefix of the full ranking")
+    }
+  }
+
   test("shingles3 is empty (not a crash) for docs under 3 words") {
     GraftFunctions.ensure(spark)
     import graft.functions.TextOps

@@ -7,6 +7,32 @@ import graft.functions.{TextOps, VectorOps}
   * bounds, and typed cogroup (SURVEY.md §5.2 items 2–3). */
 class OpsSpec extends SparkSpec {
 
+  test("q87 semAssign: broadcast argmin path equals the literal zero-shuffle path") {
+    // the two physical strategies behind SemDeDup cell assignment must
+    // agree exactly (nearest by L2, ties to lowest cid) — the literal
+    // path is the fixture-scale default, the broadcast argmin is what
+    // runs when the centroid matrix outgrows literals at 100 TB
+    graft.GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+    val litPath = queries.Round4Queries.semAssign(e, 16)
+      .select(col("vec_id"), col("cell"))
+    val bcPath = queries.Round4Queries.semAssign(e, 16, forceBroadcast = true)
+      .select(col("vec_id"), col("cell"))
+    assert(litPath.exceptAll(bcPath).isEmpty && bcPath.exceptAll(litPath).isEmpty,
+      "broadcast and literal cell assignments diverge")
+  }
+
+  test("q87 semCells grows linearly with the corpus beyond the fixture floor") {
+    import queries.Round4Queries.{semCells, SemTargetCellSize}
+    assert(semCells(500L) === 16L)      // fixture scale: floor applies, hash-stable
+    assert(semCells(5000L) === 39L)     // sf1-ish: scaling active
+    assert(semCells(128L * 1000) === 1000L)
+    // expected cell population is bounded by the target once scaling kicks in
+    for (n <- Seq(10000L, 1000000L, 100000000L))
+      assert(n.toDouble / semCells(n) <= SemTargetCellSize + 1)
+  }
+
   test("dedup is idempotent") {
     import spark.implicits._
     val df = Seq("a", "b", "a", "c", "b").toDF("x")
