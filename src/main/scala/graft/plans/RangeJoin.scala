@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.{Partitioner, RangePartitioner}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** Pure range (interval) join as a FIRST-CLASS operator — the second
+  * (c)-class rung of the custom-operator ladder (SURVEY §7.2, after
+  * [[AsOfJoin]]): custom `LogicalPlan` + `Strategy` + `SparkPlan`
+  * registered through `spark.experimental.extraStrategies`.
+  *
+  * Semantics: every (left, right) pair with
+  * `right.lo <= left.ts <= right.hi` — the no-equi-key interval join of
+  * window attribution, sensor enrichment, and q103's ±1 h event count.
+  *
+  * Why a physical operator: with no equality predicate Spark plans this
+  * join as BroadcastNestedLoopJoin — O(n·m) and only viable while one
+  * side broadcasts. The compositional alternative (q103's bucketing)
+  * works but hard-codes a granule: too coarse and every bucket pays a
+  * wide residual scan, too fine and intervals explode. This operator
+  * instead samples the POINT side to build equi-depth range bounds
+  * (`RangePartitioner` — the same sampling machinery `ORDER BY` uses),
+  * ships each point to its one range, duplicates each interval to just
+  * the ranges it overlaps, and runs an O(n log a) sweep per partition
+  * (a = max concurrently-open intervals): points stream in ts order,
+  * intervals enter a min-heap on `hi` when `lo` passes, leave when `hi`
+  * expires. No granule to tune — bounds adapt to the observed ts
+  * distribution; skewed point clusters get narrow ranges, so interval
+  * duplication tracks actual overlap density, not a fixed calendar.
+  *
+  * At 100 TB: one sampling pass over the point side (bounded sketch,
+  * driver artifact = p cut points), one shuffle per side through
+  * `repartitionAndSortWithinPartitions` (spill-safe sort inside the
+  * shuffle machinery, never in operator memory), sweep state = the
+  * open-interval heap only — the operator's memory bound is the
+  * interval overlap degree, the same contract as a stream-stream
+  * interval join's state store.
+  */
+case class RangeJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftTs: Attribute, rightLo: Attribute, rightHi: Attribute)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+private[plans] class PidPartitioner(n: Int) extends Partitioner {
+  override def numPartitions: Int = n
+  override def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
+}
+
+case class RangeJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftTs: Attribute, rightLo: Attribute, rightHi: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lts = BindReferences.bindReference(
+      leftTs: org.apache.spark.sql.catalyst.expressions.Expression, lOut)
+    val rlo = BindReferences.bindReference(
+      rightLo: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
+    val rhi = BindReferences.bindReference(
+      rightHi: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
+
+    // Equi-depth bounds from the point side (sketch sample; the
+    // partitioner object is the bounded driver artifact). Monotone
+    // getPartition means an interval's overlapped ranges are exactly
+    // the contiguous span [getPartition(lo), getPartition(hi)].
+    val targetP = math.max(1, conf.numShufflePartitions)
+    val tsKeyed: RDD[(Long, Null)] = left.execute().mapPartitions(_.flatMap { r =>
+      val t = lts.eval(r)
+      if (t == null) None else Some((t.asInstanceOf[Long], null))
+    })
+    val ranger = new RangePartitioner[Long, Null](targetP, tsKeyed)
+    val p = math.max(1, ranger.numPartitions) // collapses on tiny/empty input
+
+    val lKeyed: RDD[((Int, Long), UnsafeRow)] =
+      left.execute().mapPartitions(_.flatMap { r =>
+        val t = lts.eval(r)
+        if (t == null) None // inner semantics: null ts matches nothing
+        else {
+          val ts = t.asInstanceOf[Long]
+          Some(((ranger.getPartition(ts), ts), r.asInstanceOf[UnsafeRow].copy()))
+        }
+      })
+    val rKeyed: RDD[((Int, Long), UnsafeRow)] =
+      right.execute().mapPartitions(_.flatMap { r =>
+        val loAny = rlo.eval(r); val hiAny = rhi.eval(r)
+        if (loAny == null || hiAny == null) Iterator.empty
+        else {
+          val lo = loAny.asInstanceOf[Long]; val hi = hiAny.asInstanceOf[Long]
+          if (lo > hi) Iterator.empty
+          else {
+            val row = r.asInstanceOf[UnsafeRow].copy()
+            (ranger.getPartition(lo) to ranger.getPartition(hi)).iterator
+              .map(pid => ((pid, lo), row))
+          }
+        }
+      })
+
+    val part = new PidPartitioner(p)
+    import org.apache.spark.rdd.RDD.rddToOrderedRDDFunctions
+    val lSorted = lKeyed.repartitionAndSortWithinPartitions(part)
+    val rSorted = rKeyed.repartitionAndSortWithinPartitions(part)
+
+    val outSchema = output
+    lSorted.zipPartitions(rSorted) { (li, ri) =>
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(outSchema, lOut ++ rOut)
+      val rBuf = ri.buffered
+      // open intervals, min-heap on hi so expiry pops are O(log a)
+      val active = scala.collection.mutable.PriorityQueue
+        .empty[(Long, UnsafeRow)](Ordering.by[(Long, UnsafeRow), Long](_._1).reverse)
+      val rhiLocal = BindReferences.bindReference(
+        rightHi: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
+      li.flatMap { case ((_, ts), lrow) =>
+        // admit intervals whose lo has passed; those already expired
+        // (hi < ts) never enter
+        while (rBuf.hasNext && rBuf.head._1._2 <= ts) {
+          val (_, rrow) = rBuf.next()
+          val hi = rhiLocal.eval(rrow).asInstanceOf[Long]
+          if (hi >= ts) active.enqueue((hi, rrow))
+        }
+        while (active.nonEmpty && active.head._1 < ts) active.dequeue()
+        active.iterator.map { case (_, rrow) => outProj(joined(lrow, rrow)).copy() }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: logical range join → the partitioned-sweep physical form. */
+object RangeJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeJoinPlan(l, r, ts, lo, hi) =>
+      RangeJoinExec(planLater(l), planLater(r), ts, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+object RangeJoin {
+
+  def ensure(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RangeJoinStrategy
+    }
+
+  /** Inner interval join: all (left, right) pairs with
+    * `lo <= left.ts <= hi`. The ts/lo/hi columns must be BIGINT; null
+    * bounds and lo > hi intervals match nothing. */
+  def joinRange(left: DataFrame, right: DataFrame,
+                ts: String, lo: String, hi: String): DataFrame = {
+    val spark = left.sparkSession
+    ensure(spark)
+    def attr(df: DataFrame, name: String): Attribute = {
+      val a = df.queryExecution.analyzed.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
+      require(a.dataType == LongType, s"$name must be BIGINT, got ${a.dataType.simpleString}")
+      a
+    }
+    // same self-join guard as AsOfJoin: re-alias the right side to
+    // fresh exprIds so a shared scan can't collide
+    val rightFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
+    GraftSqlBridge.ofRows(spark,
+      RangeJoinPlan(
+        left.queryExecution.analyzed, rightFresh.queryExecution.analyzed,
+        attr(left, ts), attr(rightFresh, lo), attr(rightFresh, hi)))
+  }
+}

@@ -87,6 +87,31 @@ object ExtQueries extends QueryPack {
       .orderBy(col("win_id"))
   }
 
+  /** q117: the SAME pure range join as q103, through the native
+    * [[graft.plans.RangeJoin]] physical operator instead of the
+    * compositional bucket join — no granule to tune: the exec samples
+    * the event-time distribution for equi-depth ranges and sweeps each
+    * partition with an open-interval heap (see RangeJoin.scala for the
+    * 100 TB contract). Adds a distinct-user count over the joined pairs
+    * to exercise the exec's output feeding a normal aggregation. */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+    val win = ev.filter(col("event_type") === "purchase" &&
+        col("event_id") % 200 === 0)
+      .select(col("event_id").as("win_id"),
+        (col("tus") - HourUs).as("ws"), (col("tus") + HourUs).as("we"))
+    graft.plans.RangeJoin.joinRange(
+        ev.select(col("event_id"), col("user_id"), col("tus")),
+        win, "tus", "ws", "we")
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("win_id"))
+  }
+
   /** q27: WithKeys -> Reshuffle -> KvSwap -> ToString, then a count to
     * make the output deterministic. The repartition is a semantic no-op
     * (Beam Reshuffle); Catalyst keeps it as an exchange barrier. */
@@ -164,7 +189,8 @@ object ExtQueries extends QueryPack {
     "q28_join_right" -> q28 _,
     "q29_anti_nonempty" -> q29 _,
     "q59_group_into_batches" -> q59 _,
-    "q103_bucketed_range_join" -> q103 _
+    "q103_bucketed_range_join" -> q103 _,
+    "q117_interval_join_exec" -> q117 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -174,6 +200,15 @@ object ExtQueries extends QueryPack {
       win AS (SELECT event_id AS win_id, tus - 3600000000 AS ws, tus + 3600000000 AS we
               FROM ev WHERE event_type = 'purchase' AND event_id % 200 = 0)
       SELECT win_id, COUNT(*) AS n_events
+      FROM win JOIN ev ON ev.tus >= win.ws AND ev.tus <= win.we
+      GROUP BY win_id ORDER BY win_id""",
+    "q117_interval_join_exec" -> """
+      WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                         event_type
+                  FROM events),
+      win AS (SELECT event_id AS win_id, tus - 3600000000 AS ws, tus + 3600000000 AS we
+              FROM ev WHERE event_type = 'purchase' AND event_id % 200 = 0)
+      SELECT win_id, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
       FROM win JOIN ev ON ev.tus >= win.ws AND ev.tus <= win.we
       GROUP BY win_id ORDER BY win_id""",
     "q25_asof_join" -> """

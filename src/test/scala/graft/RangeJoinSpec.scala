@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{RangeJoin, RangeJoinExec}
+
+/** The native interval-join physical operator (plans/RangeJoin.scala):
+  * correctness vs brute force, edge semantics, plan shape. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points(rows: (Long, String)*) = rows.toDF("ts", "tag")
+  private def ivals(rows: (Long, Long, Long)*) = rows.toDF("iid", "lo", "hi")
+
+  test("matches the brute-force cross-join filter on fixture events") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+    val win = ev.filter(col("event_type") === "purchase" && col("event_id") % 100 === 0)
+      .select(col("event_id").as("win_id"),
+        (col("tus") - 3600000000L).as("ws"), (col("tus") + 3600000000L).as("we"))
+    val fast = RangeJoin.joinRange(ev.select(col("event_id"), col("tus")), win,
+        "tus", "ws", "we")
+      .select(col("event_id"), col("win_id"))
+    val brute = ev.select(col("event_id"), col("tus")).crossJoin(win)
+      .filter(col("tus") >= col("ws") && col("tus") <= col("we"))
+      .select(col("event_id"), col("win_id"))
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      "native interval join must equal the brute-force pair set")
+    assert(fast.count() > 0)
+  }
+
+  test("q117 equals q103's compositional bucket join on the shared columns") {
+    val native = queries.ExtQueries.q117(spark, sf("sf0.001"))
+      .select(col("win_id"), col("n_events"))
+    val bucketed = queries.ExtQueries.q103(spark, sf("sf0.001"))
+    assert(native.exceptAll(bucketed).isEmpty && bucketed.exceptAll(native).isEmpty)
+  }
+
+  test("an interval spanning every partition range matches each point exactly once") {
+    // one wide interval duplicates into all ranges; each point lives in
+    // one range, so no output duplication is possible by construction —
+    // assert it anyway
+    val p = points((1L to 1000L).map(i => (i, s"p$i")): _*)
+    val i = ivals((7L, Long.MinValue / 4, Long.MaxValue / 4))
+    val out = RangeJoin.joinRange(p, i, "ts", "lo", "hi")
+    assert(out.count() === 1000)
+    assert(out.groupBy(col("ts")).count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("null ts / null bounds / inverted intervals match nothing") {
+    val p = Seq((Some(5L), "a"), (None, "null-ts")).toDF("ts", "tag")
+    val i = Seq(
+      (1L, Some(0L), Some(10L)),   // matches ts=5
+      (2L, None, Some(10L)),       // null lo: never matches
+      (3L, Some(0L), None),        // null hi: never matches
+      (4L, Some(10L), Some(0L)))   // inverted: never matches
+      .toDF("iid", "lo", "hi")
+    val out = RangeJoin.joinRange(p, i, "ts", "lo", "hi").select(col("tag"), col("iid"))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L)))
+  }
+
+  test("empty sides produce empty output, not a crash") {
+    val p = points((1L, "a"))
+    val none = ivals()
+    assert(RangeJoin.joinRange(p, none, "ts", "lo", "hi").count() === 0)
+    assert(RangeJoin.joinRange(points(), ivals((1L, 0L, 10L)), "ts", "lo", "hi").count() === 0)
+  }
+
+  test("boundary inclusivity: lo and hi both match") {
+    val p = points((0L, "at-lo"), (10L, "at-hi"), (11L, "past-hi"))
+    val i = ivals((1L, 0L, 10L))
+    val got = RangeJoin.joinRange(p, i, "ts", "lo", "hi")
+      .select(col("tag")).as[String].collect().toSet
+    assert(got === Set("at-lo", "at-hi"))
+  }
+
+  test("identical-ts skew (degenerate single range) still joins correctly") {
+    val p = points((1L to 500L).map(_ => (42L, "x")): _*)
+    val i = ivals((1L, 40L, 44L), (2L, 100L, 200L))
+    val out = RangeJoin.joinRange(p, i, "ts", "lo", "hi")
+    assert(out.count() === 500)
+  }
+
+  test("plan uses RangeJoinExec, never BroadcastNestedLoopJoin") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+    val win = ivals((1L, 0L, Long.MaxValue / 2))
+    val df = RangeJoin.joinRange(ev, win, "tus", "lo", "hi")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.exists(_.isInstanceOf[RangeJoinExec]), plan.toString)
+    assert(!plan.toString.contains("BroadcastNestedLoop"), plan.toString)
+  }
+
+  test("self-join on a shared scan does not collide exprIds") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+    val win = ev.select(col("event_id").as("iid"),
+      (col("tus") - 1000000L).as("lo"), (col("tus") + 1000000L).as("hi"))
+    // every event matches at least its own ±1s window
+    val out = RangeJoin.joinRange(ev, win, "tus", "lo", "hi")
+    assert(out.filter(col("event_id") === col("iid")).count() === ev.count())
+  }
+}

@@ -110,6 +110,48 @@ def main(sf_dir, out_dir, timeout=None):
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
+def main_isolated(sf_dir, out_dir, timeout):
+    """Per-query subprocess isolation for sf3+ sweeps: the in-process
+    loop accumulates DuckDB buffer-pool + pandas memory across 116
+    corpus-scale queries and eventually OOMs on queries that pass
+    easily in a fresh process. Each subprocess runs exactly one
+    query's compare via main() with a single-entry oracle file."""
+    import subprocess, tempfile
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    timeouts, failures = [], []
+    for name in sorted(oracle):
+        with tempfile.TemporaryDirectory() as td:
+            os.symlink(os.path.abspath(f"{out_dir}/{name}"), f"{td}/{name}")
+            json.dump({name: oracle[name]}, open(f"{td}/oracle_sql.json", "w"))
+            cmd = [sys.executable, os.path.abspath(__file__), sf_dir, td]
+            if timeout:
+                cmd.append(str(timeout))
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=(timeout * 2 if timeout else None))
+                out = (r.stdout or "").strip().splitlines()
+                line = next((l for l in out if l.startswith(("PASS", "FAIL", "ORACLE_TIMEOUT"))),
+                            f"FAIL {name}: no output rc={r.returncode}")
+            except subprocess.TimeoutExpired:
+                line = f"ORACLE_TIMEOUT {name} (hard kill >{timeout * 2}s)"
+            print(line, flush=True)
+            if line.startswith("PASS"):
+                n_pass += 1
+            elif line.startswith("ORACLE_TIMEOUT"):
+                timeouts.append(name)
+            else:
+                n_fail += 1
+                failures.append(line)
+    if timeouts:
+        print(f"NOTE oracle timeouts (not engine failures): {timeouts}")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
 if __name__ == "__main__":
+    if "--isolate" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--isolate"]
+        sys.exit(main_isolated(args[0], args[1],
+                               float(args[2]) if len(args) > 2 else None))
     sys.exit(main(sys.argv[1], sys.argv[2],
                   float(sys.argv[3]) if len(sys.argv) > 3 else None))
