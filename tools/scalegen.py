@@ -12,8 +12,10 @@ i's orders, etc). Non-key payloads (texts, embeddings, timestamps,
 prices) are replicated verbatim: documents become a 1/K-unique corpus —
 a dedup-heavy workload by construction — and every embedding gains K-1
 exact clones. region/nation are TPC-H-style fixed dimensions and are
-copied once. pyarrow preserves physical types exactly (events.ts stays
-TIMESTAMP(NANOS), which the Scala loader and DuckDB both special-case).
+copied once. pyarrow preserves physical types exactly — events.ts keeps
+whatever timestamp unit the source fixture has (ns in early rounds, µs
+since round 5); the Scala loader self-describes via the parquet footer
+(Tables.eventsTsUnit) so either vintage reads correctly.
 """
 import os
 import sys
