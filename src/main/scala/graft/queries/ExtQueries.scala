@@ -103,8 +103,11 @@ object ExtQueries extends QueryPack {
         col("event_id") % 200 === 0)
       .select(col("event_id").as("win_id"),
         (col("tus") - HourUs).as("ws"), (col("tus") + HourUs).as("we"))
+    // project the point side to ONLY what the aggregation needs before
+    // the custom plan boundary — Catalyst can't column-prune through a
+    // hand-built LogicalPlan, so the operator's input is the contract
     graft.plans.RangeJoin.joinRange(
-        ev.select(col("event_id"), col("user_id"), col("tus")),
+        ev.select(col("user_id"), col("tus")),
         win, "tus", "ws", "we")
       .groupBy(col("win_id"))
       .agg(count(lit(1)).as("n_events"),

@@ -224,7 +224,11 @@ object SimilarityQueries extends QueryPack {
     * to the fan-out, where member identity exists). Work above the
     * fan-out drops from O((N·K)²-ish) to O(N²-ish); the fan-out and
     * write are sized by the true result, which no plan can shrink.
-    * Measured: sf3 q114 186.8 s → see BENCH_SCALING round6. */
+    * Measured: sf1 18.3→5.6 s, sf3 186.8→7.7 s (24×); on the
+    * dup-LIGHT sf0.1 the collapse costs ~1 s of set-digest/group
+    * overhead (2.6→3.5 s) — accepted unconditionally here because the
+    * asymmetry is extreme (q108 measured the opposite trade and keeps
+    * its direct pipeline; see BASELINE.md round-6 negative result). */
   def q114(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
     val (size40, stride) = (40, 30)

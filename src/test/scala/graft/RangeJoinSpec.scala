@@ -80,6 +80,41 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.count() === 500)
   }
 
+  test("randomized: equals brute force on seeded adversarial distributions") {
+    // three seeded shapes: uniform, heavy ts clusters (many equal keys
+    // straddling range bounds), and mixed-width intervals (point-width
+    // through corpus-width) — the configurations where a partition-edge
+    // or duplication bug would hide
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val pts = (1 to 2000).map { i =>
+        val ts = seed match {
+          case 1 => rnd.nextLong() % 100000
+          case 2 => (rnd.nextInt(20) * 5000).toLong // 20 hot values
+          case _ => rnd.nextLong() % 1000
+        }
+        (ts, s"p$i")
+      }
+      val ivs = (1 to 300).map { i =>
+        val lo = rnd.nextLong() % 100000
+        val width = seed match {
+          case 3 => math.abs(rnd.nextLong()) % 200000 // corpus-spanning
+          case _ => math.abs(rnd.nextLong()) % 10000
+        }
+        (i.toLong, lo, lo + width)
+      }
+      val p = points(pts: _*)
+      val i = ivals(ivs: _*)
+      val fast = RangeJoin.joinRange(p, i, "ts", "lo", "hi")
+        .select(col("tag"), col("iid"))
+      val brute = p.crossJoin(i)
+        .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select(col("tag"), col("iid"))
+      assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+        s"seed=$seed: native interval join diverges from brute force")
+    }
+  }
+
   test("plan uses RangeJoinExec, never BroadcastNestedLoopJoin") {
     val ev = Tables.events(spark, sf("sf0.001"))
       .select(col("event_id"), unix_micros(col("ts")).as("tus"))
