@@ -137,4 +137,16 @@ object VectorOps {
   /** DuckDB SQL twin of [[l2sq]]. */
   def l2sqSql(a: String, b: String): String =
     s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)})"
+
+  /** DuckDB dot product restricted to SUBSPACE `j` (a 0-based SQL
+    * expression) of width `ds`: folds x[j*ds+1 .. j*ds+ds] in element
+    * order — the same sequential left fold as [[dot]] over
+    * `slice(v, j*ds+1, ds)` on the Spark side. */
+  def subDotSql(x: String, y: String, j: String, ds: Int): String =
+    s"list_sum([CAST($x[($j)*$ds+i] AS DOUBLE) * CAST($y[($j)*$ds+i] AS DOUBLE) for i in generate_series(1, $ds)])"
+
+  /** DuckDB SQL twin of [[l2sq]] over subspace `j` — term order matches
+    * NearestCells' (dot(v,v) - 2*dot(v,c)) + dot(c,c) exactly. */
+  def subL2sqSql(a: String, b: String, j: String, ds: Int): String =
+    s"(${subDotSql(a, a, j, ds)} - 2.0 * ${subDotSql(a, b, j, ds)} + ${subDotSql(b, b, j, ds)})"
 }

@@ -151,7 +151,46 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("user_id"), col("day"))
   }
 
+  // q121: SCD2 dimension build (validity intervals from an event log) ----
+
+  /** Type-2 slowly-changing-dimension compaction (Kimball's SCD2): per
+    * user, collapse consecutive events with the same state
+    * (event_type) into one row with [valid_from, valid_to) validity
+    * and an is_current flag — the standard islands-and-gaps build of a
+    * versioned dimension from a CDC/event stream. Ties on ts break by
+    * event_id, giving both engines a total event order.
+    *
+    * Scale shape: one shuffle on user_id feeds every window (lag,
+    * running change-count, lead) and the interval aggregate — Catalyst
+    * reuses the single sort (user_id, tus, event_id) across all three;
+    * state rides as a dictionary-encoded short string, and output rows
+    * are one per RUN of equal states, typically ≪ event count. */
+  def q121(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byEv = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byEv))
+      .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(byEv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("event_type")).as("state"), min(col("tus")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    // state breaks (valid_from) ties: two adjacent intervals share their
+    // start when a user has same-µs events of different types — rare but
+    // real at corpus scale, and without the tiebreak the lead() pairing
+    // and the total ORDER BY would be engine-dependent
+    val byIv = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"), col("state"))
+    iv.withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byIv))
+      .select(col("user_id"), col("state"), col("valid_from_us"), col("valid_to_us"),
+        col("n_events"),
+        when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("state"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_scd2_intervals" -> q121 _,
     "q97_funnel"        -> q97 _,
     "q98_retention"     -> q98 _,
     "q99_winsorize"     -> q99 _,
@@ -161,6 +200,24 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q121_scd2_intervals" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, event_id FROM events),
+      m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+            FROM e),
+      g AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS UNBOUNDED PRECEDING) AS grp
+            FROM m),
+      iv AS (SELECT user_id, grp, MIN(event_type) AS state,
+                    MIN(tus) AS valid_from_us, COUNT(*) AS n_events
+             FROM g GROUP BY user_id, grp),
+      f AS (SELECT user_id, state, valid_from_us, n_events,
+              lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, state) AS valid_to_us
+            FROM iv)
+      SELECT user_id, state, valid_from_us, valid_to_us,
+             CAST(n_events AS BIGINT) AS n_events,
+             CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      FROM f ORDER BY user_id, valid_from_us, state""",
     "q113_gapfill" -> s"""
       WITH daily AS (SELECT user_id, epoch_us(ts) // $DayUs AS day,
                             SUM(CAST(floor(value*100) AS BIGINT)) AS cents

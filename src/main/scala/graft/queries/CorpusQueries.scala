@@ -265,7 +265,52 @@ object CorpusQueries extends QueryPack {
           .cast("long").as("n_runs"))
       .orderBy(col("event_id"))
 
+  // q122: paragraph-level dedup with reassembly (CCNet line dedup) -------
+
+  /** Paragraph/line-level deduplication in the style of CCNet
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): split each document into
+    * fixed-size 10-word chunks (the fixtures have no newlines — the
+    * chunk stands in for a paragraph), drop every chunk whose text has
+    * already appeared anywhere in the corpus (global first occurrence
+    * by (doc_id, idx) wins), and reassemble the surviving chunks in
+    * order. Unlike q30/q31 (whole-document) or q91 (span DETECTION),
+    * this REWRITES documents — the boilerplate-removal transform of a
+    * web-crawl pipeline.
+    *
+    * Scale shape: the dedup decision groups on a 60-bit md5-derived
+    * digest (q91's discipline) — the window shuffle is the one
+    * unavoidable text movement (the survivor's text must reach the
+    * winner decision), and reassembly is one more doc_id-keyed
+    * aggregation. Per-chunk rows carry ~10 words; nothing holds a
+    * whole document in one task until the final ordered array_join,
+    * which is O(doc length), not O(corpus). */
+  def q122(s: SparkSession, d: String): DataFrame =
+    paragraphDedup(Tables.documents(s, d), cs = 10)
+
+  /** The dedup-and-reassemble core over any (doc_id, text) frame. */
+  private[graft] def paragraphDedup(docs: DataFrame, cs: Int): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .withColumn("nch", ceil(size(col("ws")) / lit(cs.toDouble)).cast("int"))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), col("nch") - 1),
+        i => array_join(slice(col("ws"), i * cs + lit(1), lit(cs)), " "))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      .withColumn("dg", conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long"))
+    val firstSeen = Window.partitionBy(col("dg")).orderBy(col("doc_id"), col("idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("chunk"))))),
+          _.getField("chunk")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_paragraph_dedup" -> q122 _,
     "q91_substring_dup"  -> q91 _,
     "q92_inverted_index" -> q92 _,
     "q93_pagerank"       -> q93 _,
@@ -275,6 +320,23 @@ object CorpusQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q122_paragraph_dedup" -> """
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ch0 AS (SELECT doc_id, w,
+                unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS idx
+              FROM ws),
+      ch AS (SELECT doc_id, idx,
+               array_to_string(w[CAST(idx*10+1 AS BIGINT):CAST(idx*10+10 AS BIGINT)], ' ') AS chunk
+             FROM ch0),
+      k AS (SELECT doc_id, idx, chunk,
+              row_number() OVER (
+                PARTITION BY CAST(('0x' || substr(md5(chunk), 1, 15)) AS BIGINT)
+                ORDER BY doc_id, idx) AS rn
+            FROM ch)
+      SELECT doc_id, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '') AS clean_text
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
     "q91_substring_dup" -> """
       WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       shs AS (SELECT doc_id,

@@ -426,7 +426,95 @@ object LlmQueries extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  // q118/q119: product quantization (PQ) encode + ADC search -------------
+
+  /** Product quantization (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI): split the
+    * 64-dim embedding into PqM=8 contiguous 8-dim subspaces; a
+    * PqK=16-entry codebook per subspace turns each sub-vector into a
+    * 4-bit code, compressing 256 bytes of float32 to 8 one-byte codes
+    * while ADC (asymmetric distance computation) still ranks candidates
+    * by summed per-subspace L2 between the RAW query sub-vector and the
+    * candidate's RECONSTRUCTED centroid. Codebooks here are the
+    * sub-vectors of the first PqK corpus vectors — the same
+    * deterministic k-means stand-in as q57's coarse quantizer, so the
+    * oracle reproduces them exactly; [[pqEncode]] takes ANY codebook
+    * (OpsSpec drives it with trained centroids).
+    *
+    * Scale shape: the codebook is a bounded driver artifact (PqK×64
+    * doubles — the trained-model file of any PQ index) embedded as
+    * literals, so ENCODE is a ZERO-SHUFFLE map over the scan: 8
+    * nearest_cells calls per row against a 16×8 literal matrix,
+    * primitive JVM loops. ADC broadcast-joins the small query set
+    * against the encoded corpus — the corpus never shuffles before the
+    * WindowGroupLimit-pruned top-k, and at 100 TB the ADC scan reads 8
+    * code bytes per vector instead of the 256-byte float payload. */
+  private val PqM = 8; private val PqDs = 8; private val PqK = 16
+
+  /** First-PqK vectors as the deterministic codebook (sorted by vec_id
+    * so codebook index ≡ vec_id, which the oracle relies on). */
+  private def pqCodebook(e: DataFrame): IndexedSeq[IndexedSeq[Double]] =
+    e.filter(col("vec_id") < PqK).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+
+  /** The 16-entry sub-codebook of subspace j as a foldable literal. */
+  private def pqSubCents(cb: IndexedSeq[IndexedSeq[Double]], j: Int): Column =
+    array(cb.map(c => litArr(c.slice(j * PqDs, (j + 1) * PqDs))): _*)
+
+  /** Adds `codes` (array<int>, length PqM): codes(j) = argmin over the
+    * sub-codebook of subspace-j L2, ties to the lower code — exactly
+    * nearest_cells' contract per subspace. */
+  private[graft] def pqEncode(e: DataFrame, cb: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val codes = array((0 until PqM).map { j =>
+      element_at(call_function("nearest_cells",
+        slice(col("v"), j * PqDs + 1, PqDs), pqSubCents(cb, j), lit(1)), 1).cast("int")
+    }: _*)
+    e.withColumn("codes", codes)
+  }
+
+  def q118(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
+    pqEncode(e, pqCodebook(e))
+      .select(col("vec_id"), array_join(col("codes"), ",").as("pq_csv"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ADC top-3 for queries vec_id < 5: rank by the QUANTIZED distance
+    * (floor(adist·10⁴) as BIGINT, ties on vec_id) so the ordering
+    * compares integers, bit-identical across engines by construction. */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
+    pqAdc(e, pqCodebook(e), nQueries = 5, k = 3)
+  }
+
+  /** The ADC search path over an arbitrary (trained) codebook — takes
+    * queries vec_id < nQueries, scans the ENCODED corpus, ranks by
+    * Σ_j L2²(q_sub_j, codebook_j[code_j]) (a left-assoc j-ascending
+    * sum, mirrored by the oracle's list_sum(list(dist ORDER BY j))). */
+  private[graft] def pqAdc(e: DataFrame, cb: IndexedSeq[IndexedSeq[Double]],
+      nQueries: Int, k: Int): DataFrame = {
+    val enc = pqEncode(e, cb).select(col("vec_id"), col("codes"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val adist = (0 until PqM).map { j =>
+      VectorOps.l2sq(slice(col("qv"), j * PqDs + 1, PqDs),
+        element_at(pqSubCents(cb, j), element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_q"), col("vec_id"))
+    enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), floor(adist * 10000).cast("long").as("adist_q"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("adist_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_pq_encode"       -> q118 _,
+    "q119_pq_adc"          -> q119 _,
     "q30_dedup_exact"      -> q30 _,
     "q31_dedup_hash"       -> q31 _,
     "q32_minhash_sig"      -> q32 _,
@@ -451,7 +539,34 @@ object LlmQueries extends QueryPack {
                  THEN 1 ELSE -1 END for w in words]) > 0 THEN $m ELSE 0 END)"""
     }.mkString("(", " + ", ")")
 
+  /** Shared PQ-encode CTEs: per (vector, subspace) the argmin codebook
+    * entry, distance term order identical to NearestCells. */
+  private val pqCodesCtes: String = s"""
+      e AS (SELECT vec_id, embedding AS v FROM embeddings),
+      cb AS (SELECT vec_id AS k, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      sub AS (SELECT e.vec_id, g.j, cb.k,
+                row_number() OVER (PARTITION BY e.vec_id, g.j
+                  ORDER BY ${VectorOps.subL2sqSql("e.v", "cb.cv", "g.j", 8)}, cb.k) AS rnk
+              FROM e, cb, generate_series(0, 7) AS g(j)),
+      codes AS (SELECT vec_id, j, k FROM sub WHERE rnk = 1)"""
+
   override val oracle: Map[String, String] = Map(
+    "q118_pq_encode" -> s"""
+      WITH $pqCodesCtes
+      SELECT vec_id, string_agg(CAST(k AS VARCHAR), ',' ORDER BY j) AS pq_csv
+      FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    "q119_pq_adc" -> s"""
+      WITH $pqCodesCtes,
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+      part AS (SELECT q.q_id, c.vec_id, c.j,
+                 ${VectorOps.subL2sqSql("q.qv", "cb.cv", "c.j", 8)} AS dist
+               FROM codes c, cb, q
+               WHERE cb.k = c.k AND c.vec_id <> q.q_id),
+      adc AS (SELECT q_id, vec_id,
+                CAST(floor(list_sum(list(dist ORDER BY j)) * 10000) AS BIGINT) AS adist_q
+              FROM part GROUP BY q_id, vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist_q, vec_id) AS rn FROM adc)
+      SELECT q_id, rn, vec_id, adist_q FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
     "q30_dedup_exact" -> """
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       FROM documents GROUP BY text ORDER BY doc_id""",

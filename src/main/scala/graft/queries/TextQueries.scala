@@ -257,7 +257,50 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** q120: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its tokens are under a
+    * TARGET (curated) distribution than under the RAW corpus
+    * distribution, over HASHED n-gram features — here unigrams hashed
+    * into 64 md5-derived buckets, target = the src0–src3 slice. The
+    * canonical weight is Σ log p_t(b)/p_r(b); this implementation uses
+    * the monotone log-free form Σ floor(10⁴·p̂_t(b)/p̂_r(b)) with
+    * Laplace (+1 / +B) smoothing, so every per-token contribution is an
+    * integer and the per-doc sum is order-independent — exact across
+    * engines with no libm in the hot path.
+    *
+    * Scale shape: the feature table is FIXED-SIZE (64 buckets) no
+    * matter the corpus — one map-combined groupBy produces it, a
+    * 64-row broadcast joins it back, and the per-doc sum shuffles
+    * (doc_id, partial-sum) pairs. Nothing corpus-sized crosses the
+    * wire twice; the hashed-feature trick is exactly why DSIR runs at
+    * pretraining scale. */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(words(col("text"))).as("word"))
+      .withColumn("b", conv(substring(md5(col("word")), 1, 6), 16, 10).cast("long") % 64)
+    val isT = col("source").isin("src0", "src1", "src2", "src3")
+    val stats = toks.groupBy(col("b")).agg(
+      sum(when(isT, 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+    // totals over the 64-row stats frame: a window, not a driver trip
+    val wAll = Window.partitionBy()
+    val weights = stats
+      .withColumn("tot_t", sum("cnt_t").over(wAll))
+      .withColumn("tot_r", sum("cnt_r").over(wAll))
+      .withColumn("contrib", floor(lit(10000.0) *
+        ((col("cnt_t") + 1).cast("double") * (col("tot_r") + 64).cast("double")) /
+        ((col("cnt_r") + 1).cast("double") * (col("tot_t") + 64).cast("double"))).cast("long"))
+      .select(col("b"), col("contrib"))
+    toks.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum("contrib").as("dsir_score"))
+      .withColumn("per_tok", expr("dsir_score div n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_dsir_weight"    -> q120 _,
     "q62_e2e_pipeline"    -> q62 _,
     "q67_chunking"        -> q67 _,
     "q63_tfidf"           -> q63 _,
@@ -272,6 +315,27 @@ object TextQueries extends QueryPack {
   private val stopSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   override val oracle: Map[String, String] = Map(
+    "q120_dsir_weight" -> """
+      WITH toks AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents)),
+      stats AS (SELECT b,
+          SUM(CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END) AS cnt_t,
+          COUNT(*) AS cnt_r
+        FROM toks GROUP BY b),
+      tot AS (SELECT SUM(cnt_t) AS tot_t, SUM(cnt_r) AS tot_r FROM stats),
+      wt AS (SELECT b,
+          CAST(floor(10000.0 *
+            (CAST(cnt_t + 1 AS DOUBLE) * CAST(tot_r + 64 AS DOUBLE)) /
+            (CAST(cnt_r + 1 AS DOUBLE) * CAST(tot_t + 64 AS DOUBLE))) AS BIGINT) AS contrib
+        FROM stats, tot)
+      SELECT doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(contrib) AS BIGINT) AS dsir_score,
+             CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS per_tok
+      FROM toks JOIN wt USING (b)
+      GROUP BY doc_id ORDER BY doc_id""",
     "q67_chunking" -> """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n_words
                  FROM documents),

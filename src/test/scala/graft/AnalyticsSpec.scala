@@ -103,4 +103,26 @@ class AnalyticsSpec extends SparkSpec {
     // at least one genuinely filled row exists in the fixture
     assert(rows.exists(_._4 == 0), "fixture should contain gaps to fill")
   }
+
+  test("q121: SCD2 intervals tile each user's history and compact state runs") {
+    val rows = AnalyticsQueries.q121(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    val events = Tables.events(spark, d).count()
+    assert(rows.map(_._5).sum == events, "interval event counts must cover every event")
+    rows.groupBy(_._1).foreach { case (user, ivs0) =>
+      val ivs = ivs0.sortBy(iv => (iv._3, iv._2)).toSeq
+      // exactly one open (current) interval per user, and it is the last
+      assert(ivs.count(_._4.isEmpty) == 1, s"user $user open intervals")
+      assert(ivs.last._4.isEmpty && ivs.last._6 == 1)
+      // closed intervals chain: valid_to == next valid_from
+      ivs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.contains(b._3), s"user $user: interval chain broken")
+          assert(a._2 != b._2, s"user $user: adjacent intervals share state ${a._2}")
+        case _ => ()
+      }
+    }
+  }
 }

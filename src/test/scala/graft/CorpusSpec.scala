@@ -92,4 +92,54 @@ class CorpusSpec extends SparkSpec {
     // the fixture props are JSON like {"k": 87} — runs must exist
     assert(rows.exists(_.getLong(2) > 0))
   }
+
+  test("q122: constructed duplicate chunks drop globally, first occurrence wins") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val aTail = (1 to 10).map(i => s"a$i").mkString(" ")
+    val bTail = (1 to 10).map(i => s"b$i").mkString(" ")
+    // doc 1: shared + own tail; doc 2: shared twice + own tail
+    val docs = Seq(
+      (1L, s"$shared $aTail"),
+      (2L, s"$shared $shared $bTail")).toDF("doc_id", "text")
+    val out = CorpusQueries.paragraphDedup(docs, cs = 10)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 saw the chunk first: keeps everything
+    assert(byId(1L) == ((2L, 0L, s"$shared $aTail")))
+    // doc 2 loses BOTH copies (global dedup), keeps its own tail
+    assert(byId(2L) == ((3L, 2L, bTail)))
+  }
+
+  test("q122: fixture reassembly never grows a document and drop counts add up") {
+    val out = CorpusQueries.q122(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, dropped, clean) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(dropped >= 0 && dropped <= n)
+      val keptChunks = n - dropped
+      val words = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(words <= keptChunks * 10, s"doc ${r.getLong(0)}: $words words from $keptChunks chunks")
+    }
+  }
+
+  test("q120: DSIR per-token weight centers near 1x and favors target-source docs") {
+    val res = graft.queries.TextQueries.q120(spark, d)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val rows = res.join(docs, "doc_id")
+      .select(col("doc_id"), col("per_tok"),
+        col("source").isin("src0", "src1", "src2", "src3").as("is_t"))
+      .collect()
+    // smoothing keeps every ratio finite and positive
+    assert(rows.forall(_.getLong(1) > 0L))
+    def mean(t: Boolean) = {
+      val xs = rows.filter(_.getBoolean(2) == t).map(_.getLong(1).toDouble)
+      xs.sum / xs.length
+    }
+    val (mt, mr) = (mean(true), mean(false))
+    info(f"mean per-token weight: target=$mt%.0f other=$mr%.0f (10000 = ratio 1.0)")
+    // the importance weight must upweight docs drawn from the target slice
+    assert(mt > mr, f"target docs must score higher: $mt%.0f vs $mr%.0f")
+  }
 }

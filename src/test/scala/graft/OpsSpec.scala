@@ -303,4 +303,83 @@ class OpsSpec extends SparkSpec {
     assert(ok.select("n").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 12L))
     assert(dead.collect().map(_.getString(0)).sorted.toSeq == Seq("", "x"))
   }
+
+  test("PQ: codebook members encode to their own code in every subspace") {
+    GraftFunctions.ensure(spark)
+    val enc = SparkEntry.queries("q118_pq_encode")(spark, sf("sf0.001"))
+      .filter(col("vec_id") < 16).collect()
+    assert(enc.length == 16)
+    enc.foreach { r =>
+      val id = r.getLong(0)
+      val expect = Seq.fill(8)(id).mkString(",")
+      assert(r.getString(1) == expect,
+        s"codebook vector $id encoded to ${r.getString(1)}, not itself")
+    }
+  }
+
+  test("PQ ADC recalls exact-L2 top-k; per-subspace KMeans training lifts it") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.ensure(spark)
+    val d = sf("sf0.01")
+    // Jégou et al.'s recall@R: fraction of queries whose TRUE nearest
+    // neighbor appears in the first R ADC results. (Plain top-k overlap
+    // is noise-dominated here: the fixture embeddings are isotropic
+    // Gaussian, so exact neighbor distances concentrate and 32x-lossy
+    // codes cannot rank within the bulk — the paper's metric asks the
+    // right question: does ADC SHORTLIST the true neighbor?)
+    val nq = 20; val shortlist = 50
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+      .persist()
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val trueNn: Map[Long, Long] = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.l2sq(col("qv"), col("v")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallAtR(cb: IndexedSeq[IndexedSeq[Double]]): Double = {
+      val adc = graft.queries.LlmQueries.pqAdc(e, cb, nQueries = nq, k = shortlist)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      trueNn.count { case (qid, nn) => adc.getOrElse(qid, Set.empty).contains(nn) }
+        .toDouble / trueNn.size
+    }
+    def recall = recallAtR _
+    // q118/q119's oracle-reproducible first-16-vectors stand-in ...
+    val untrained = e.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    // ... vs the production path: per-subspace KMeans codebooks,
+    // reassembled into 16 full vectors whose subspace-j slice is
+    // centroid (j, k) — the train-then-embed-as-literals flow
+    val subCents: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until 8).map { j =>
+        val km = new KMeans().setK(16).setSeed(7L + j).setMaxIter(5)
+          .fit(e.select(array_to_vector(slice(col("v"), j * 8 + 1, 8)).as("features")))
+        km.clusterCenters.map(_.toArray.toIndexedSeq: IndexedSeq[Double]).toIndexedSeq
+      }
+    val trained = (0 until 16).map(c => (0 until 8).flatMap(j => subCents(j)(c)))
+    val (ru, rt) = (recall(untrained), recall(trained))
+    info(f"PQ ADC true-NN recall@$shortlist untrained=$ru%.3f trained=$rt%.3f "
+      + f"(16 codes x 8 subspaces, shortlist = ${shortlist * 100 / 5000}%% of corpus)")
+    assert(ru >= 0.4, f"untrained ADC shortlist recall collapsed: $ru%.3f")
+    assert(rt >= 0.6, f"trained ADC shortlist recall collapsed: $rt%.3f")
+    assert(rt >= ru, "codebook training must not lose shortlist recall")
+    e.unpersist()
+  }
+
+  test("pqEncode accepts an arbitrary (trained) codebook") {
+    GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+    // 2-entry codebook: near-zero fixture vectors must all pick entry 0
+    val cb = IndexedSeq(IndexedSeq.fill(64)(0.0), IndexedSeq.fill(64)(5.0))
+    val codes = graft.queries.LlmQueries.pqEncode(e, cb).select(col("codes")).collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall(_.getSeq[Int](0) == Seq.fill(8)(0)),
+      "a vector quantized away from the nearest codebook entry")
+  }
 }

@@ -49,6 +49,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "probe join must broadcast the query side")
   }
 
+  test("q118/q119 PQ: literal-codebook encode, broadcast ADC probe") {
+    graft.GraftFunctions.ensure(spark)
+    val enc = SparkEntry.queries("q118_pq_encode")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!requiredCorpusExchange(enc, "vec_id"),
+      s"corpus-wide exchange on vec_id in q118:\n$enc")
+    assert(enc.contains("nearestcells"), "encode must use the native expression")
+    val adc = SparkEntry.queries("q119_pq_adc")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!requiredCorpusExchange(adc, "vec_id"),
+      s"corpus-wide exchange on vec_id in q119:\n$adc")
+    assert(adc.contains("BroadcastNestedLoopJoin") || adc.contains("BroadcastHashJoin"),
+      s"ADC scan must broadcast the query side:\n$adc")
+  }
+
   test("q89 k-means assigns cells as a literal map and never shuffles the corpus on vec_id") {
     val plan = SparkEntry.queries("q89_kmeans")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
