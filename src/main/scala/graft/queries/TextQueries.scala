@@ -299,7 +299,74 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Class labels of the supervised classifier, in tie-break order
+    * (alphabetical — the CASE argmax prefers the earlier class on
+    * equal scores, mirrored literally by the oracle's CASE). */
+  private[graft] val clfLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** q123 core over an arbitrary (doc_id, lang, text) frame — the spec
+    * drives it with a synthetic disjoint-vocabulary corpus. */
+  private[graft] def classify(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("word"))
+      .withColumn("b", conv(substring(md5(col("word")), 1, 6), 16, 10).cast("long") % 64)
+    // TRAIN: one map-combined groupBy to a fixed 64-row (bucket ×
+    // class) count table; class/grand totals are windows over that
+    // 64-row frame, never a driver trip.
+    val cnts = clfLangs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")) :+
+      count(lit(1)).as("c_all")
+    val wAll = Window.partitionBy()
+    var wt = toks.groupBy(col("b")).agg(cnts.head, cnts.tail: _*)
+      .withColumn("t_all", sum("c_all").over(wAll))
+    for (l <- clfLangs) wt = wt.withColumn(s"t_$l", sum(s"c_$l").over(wAll))
+    for (l <- clfLangs) wt = wt.withColumn(s"w_$l",
+      floor(lit(10000.0) *
+        ((col(s"c_$l") + 1).cast("double") * (col("t_all") + 64).cast("double")) /
+        ((col("c_all") + 1).cast("double") * (col(s"t_$l") + 64).cast("double"))).cast("long"))
+    val wTab = wt.select(col("b") +: clfLangs.map(l => col(s"w_$l")): _*)
+    // INFER: broadcast the 64×5 weight table onto the token stream,
+    // sum per (doc, class) in ONE doc_id groupBy (the classes ride as
+    // columns, not rows), argmax as a codegen CASE chain.
+    val sums = clfLangs.map(l => sum(col(s"w_$l")).as(s"s_$l")) :+
+      count(lit(1)).as("n_tok")
+    val pred = clfLangs.init.zipWithIndex.foldRight(lit(clfLangs.last)) {
+      case ((l, i), rest) =>
+        val beatsLater = clfLangs.drop(i + 1)
+          .map(m => col(s"s_$l") >= col(s"s_$m")).reduce(_ && _)
+        when(beatsLater, l).otherwise(rest)
+    }
+    toks.join(broadcast(wTab), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("pred", pred)
+      .select(col("doc_id"), col("lang"), col("pred"),
+        (col("lang") === col("pred")).cast("long").as("hit"), col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q123: fastText-style supervised linear classifier (Joulin et al.
+    * 2016, "Bag of Tricks for Efficient Text Classification"), trained
+    * and applied in one DAG: hashed bag-of-words features (unigrams →
+    * 64 md5-derived buckets, the same portable hash as q120), per-class
+    * integer weights w(b,c) = ⌊10⁴·p̂(b|c)/p̂(b)⌋ with Laplace
+    * smoothing (the log-free monotone form of naive-Bayes log-odds, so
+    * every contribution is an integer and per-doc sums are order-
+    * independent), prediction = argmax_c Σ_tokens w(b,c) with ties to
+    * the alphabetically-first class. Unlike q40 (driver-collected
+    * top-10 profile literals), the model here never touches the
+    * driver: train is a 64-row aggregate, inference a broadcast join.
+    *
+    * Scale shape: the model is FIXED-SIZE (64 buckets × 5 classes)
+    * regardless of corpus size — exactly the hashing trick that lets
+    * fastText train on billions of tokens. The token stream shuffles
+    * once into the bucket aggregate (map-combined to ≤64 rows per
+    * task) and once into the per-doc sum; the argmax is row-local. */
+  def q123(s: SparkSession, d: String): DataFrame =
+    classify(Tables.documents(s, d))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_linear_classifier" -> q123 _,
     "q120_dsir_weight"    -> q120 _,
     "q62_e2e_pipeline"    -> q62 _,
     "q67_chunking"        -> q67 _,
@@ -314,7 +381,45 @@ object TextQueries extends QueryPack {
 
   private val stopSql = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Oracle twin of [[classify]], generated from the same class list so
+    * the weight formula and CASE-argmax order can't drift. */
+  private val clfSql: String = {
+    val cls = clfLangs
+    val cnt = cls.map(l => s"SUM(CASE WHEN lang='$l' THEN 1 ELSE 0 END) AS c_$l")
+      .mkString(",\n          ")
+    val tot = cls.map(l => s"SUM(c_$l) AS t_$l").mkString(", ")
+    val wts = cls.map(l =>
+      s"""CAST(floor(10000.0 *
+            (CAST(c_$l + 1 AS DOUBLE) * CAST(t_all + 64 AS DOUBLE)) /
+            (CAST(c_all + 1 AS DOUBLE) * CAST(t_$l + 64 AS DOUBLE))) AS BIGINT) AS w_$l""")
+      .mkString(",\n          ")
+    val sums = cls.map(l => s"SUM(w_$l) AS s_$l").mkString(", ")
+    val pred = cls.init.zipWithIndex.map { case (l, i) =>
+      "WHEN " + cls.drop(i + 1).map(m => s"s_$l >= s_$m").mkString(" AND ") +
+        s" THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${cls.last}' END")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)),
+      stats AS (SELECT b, $cnt,
+          COUNT(*) AS c_all
+        FROM toks GROUP BY b),
+      tot AS (SELECT $tot, SUM(c_all) AS t_all FROM stats),
+      wt AS (SELECT b, $wts
+        FROM stats, tot),
+      sc AS (SELECT doc_id, lang, $sums, COUNT(*) AS n_tok
+             FROM toks JOIN wt USING (b) GROUP BY doc_id, lang),
+      p AS (SELECT doc_id, lang, $pred AS pred, n_tok FROM sc)
+      SELECT doc_id, lang, pred,
+             CAST(lang = pred AS BIGINT) AS hit, n_tok
+      FROM p ORDER BY doc_id"""
+  }
+
   override val oracle: Map[String, String] = Map(
+    "q123_linear_classifier" -> clfSql,
     "q120_dsir_weight" -> """
       WITH toks AS (
         SELECT doc_id, source,

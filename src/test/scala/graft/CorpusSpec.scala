@@ -10,6 +10,38 @@ class CorpusSpec extends SparkSpec {
 
   private def d = sf("sf0.001")
 
+  test("q123: disjoint-vocabulary classes are recovered exactly") {
+    import spark.implicits._
+    // one distinctive word per class, chosen to hash into 5 DISTINCT
+    // 64-buckets (3/52/30/43/46) so the hashed features can't collide
+    val vocab = Seq("de" -> "alpha", "en" -> "bravo", "es" -> "charlie",
+      "fr" -> "delta", "zh" -> "foxtrot")
+    val buckets = vocab.map(_._2).toDF("w")
+      .select((conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 64).as("b"))
+      .as[Long].collect()
+    assert(buckets.distinct.length == 5, s"bucket collision: ${buckets.toSeq}")
+    val docs = (for {
+      ((l, w), ci) <- vocab.zipWithIndex
+      i <- 0 until 4
+    } yield (ci * 10L + i, l, Seq.fill(20)(w).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.queries.TextQueries.classify(docs).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(1), s"misclassified: $r")
+      assert(r.getLong(3) == 1L && r.getLong(4) == 20L, s"bad hit/n_tok: $r")
+    }
+  }
+
+  test("q123: fixture predictions are total, in-vocabulary, and deterministic") {
+    val a = graft.queries.TextQueries.q123(spark, d).collect()
+    val b = graft.queries.TextQueries.q123(spark, d).collect()
+    assert(a.toSeq == b.toSeq, "two runs disagree")
+    assert(a.length == spark.read.parquet(s"$d/documents.parquet").count())
+    val langs = Set("de", "en", "es", "fr", "zh")
+    a.foreach(r => assert(langs(r.getString(2)), s"pred out of vocabulary: $r"))
+  }
+
   test("q91: shared-span counts are bounded by span counts and bp is in range") {
     val rows = CorpusQueries.q91(spark, d).collect()
     assert(rows.nonEmpty)

@@ -64,6 +64,16 @@ class PlanGuardSpec extends SparkSpec {
       s"ADC scan must broadcast the query side:\n$adc")
   }
 
+  test("q123 broadcasts the 64-row weight table onto the token stream") {
+    val plan = SparkEntry.queries("q123_linear_classifier")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight join must broadcast:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("b#")),
+      s"token stream must not sort-merge on the hash bucket:\n$plan")
+  }
+
   test("q89 k-means assigns cells as a literal map and never shuffles the corpus on vec_id") {
     val plan = SparkEntry.queries("q89_kmeans")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
