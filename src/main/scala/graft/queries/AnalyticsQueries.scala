@@ -189,7 +189,36 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("user_id"), col("valid_from_us"), col("state"))
   }
 
+  // q125: event-transition matrix (first-order Markov analytics) ---------
+
+  /** Per-user event-to-next-event transition counts and probabilities —
+    * the path-analysis primitive behind "what do users do after X"
+    * dashboards and Markov attribution models. Events are totally
+    * ordered per user by (ts, event_id) (q121's tiebreak precedent);
+    * each consecutive pair votes for one (src → dst) cell; probability
+    * is integer thousandths by floor division, so the matrix is exact.
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lead() window; the
+    * pair stream then map-combines into at most |types|² = 25 rows, so
+    * the second exchange carries a bounded aggregate no matter the
+    * corpus. The per-src total is a window over that 25-row frame —
+    * never a second pass over events. */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byEv = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type").as("src"), col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(byEv))
+      .filter(col("dst").isNotNull)
+    pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .withColumn("p_k", expr("n * 1000 div sum(n) over (partition by src)"))
+      .select(col("src"), col("dst"), col("n"), col("p_k"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_event_transitions" -> q125 _,
     "q121_scd2_intervals" -> q121 _,
     "q97_funnel"        -> q97 _,
     "q98_retention"     -> q98 _,
@@ -200,6 +229,15 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q125_event_transitions" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type AS src, event_id
+                 FROM events),
+      p AS (SELECT src, lead(src) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS dst
+            FROM e),
+      m AS (SELECT src, dst, COUNT(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
+      SELECT src, dst, CAST(n AS BIGINT) AS n,
+             CAST(n * 1000 // SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p_k
+      FROM m ORDER BY src, dst""",
     "q121_scd2_intervals" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, event_id FROM events),
       m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev

@@ -7,6 +7,22 @@ class AnalyticsSpec extends SparkSpec {
 
   private def d = sf("sf0.001")
 
+  test("q125: transition mass balances and per-source probabilities are a floor-partition of 1000") {
+    val rows = AnalyticsQueries.q125(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 25, s"${rows.length} cells for 5 types")
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected,
+      "each user must contribute exactly (events-1) transitions")
+    rows.groupBy(_.getString(0)).foreach { case (src, cells) =>
+      val tot = cells.map(_.getLong(2)).sum
+      cells.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000 / tot, s"p_k drift in $r"))
+      val pSum = cells.map(_.getLong(3)).sum
+      assert(pSum <= 1000 && pSum > 1000 - cells.length,
+        s"$src probabilities sum to $pSum over ${cells.length} cells")
+    }
+  }
+
   test("q97: funnel steps are monotonically non-increasing") {
     val rows = AnalyticsQueries.q97(spark, d).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
