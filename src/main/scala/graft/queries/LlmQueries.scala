@@ -512,7 +512,84 @@ object LlmQueries extends QueryPack {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // q124: IVF-PQ (IVFADC) — coarse cells + residual PQ + ADC probe -------
+
+  /** Coarse-quantizer size of the combined index; 8 cells over the
+    * fixture keeps candidate lists non-trivial at every sf. */
+  private val IvfPqCells = 8
+
+  /** q124: the full FAISS `IVFADC` architecture (Jégou et al. 2011 §IV):
+    * a coarse quantizer routes each vector to one of [[IvfPqCells]]
+    * cells, the RESIDUAL (vector − cell centroid) is product-quantized
+    * with q118's subspace codebooks, and a query probes its `nprobe`
+    * nearest cells computing asymmetric distances between its OWN
+    * residual (w.r.t. the probed cell's centroid) and candidates'
+    * reconstructed residuals. Residual encoding is what makes PQ codes
+    * sharp enough to rank inside a cell — the spec measures the recall
+    * gain over raw-vector PQ (q119) at equal code budget.
+    *
+    * Scale shape: both model artifacts are bounded driver literals (8
+    * centroids + 16×8 sub-codebooks — the trained index file); corpus
+    * assignment + residual + encode are ONE zero-shuffle codegen pass,
+    * the probe broadcast-joins the query set, and at 100 TB the ADC
+    * scan touches 8 code bytes per candidate within probed cells only
+    * (candidates ≈ n·nprobe/cells, never n). */
+  def q124(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < IvfPqCells).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    ivfPqSearch(e, cents, pqCodebook(e), nprobe = 2, k = 3, nQueries = 5)
+  }
+
+  /** The IVFADC search path over arbitrary (trained) coarse centroids
+    * and PQ codebooks — see [[q124]] for the plan-shape discussion.
+    * Centroids are sorted by id so nearest_cells' index-order tiebreak
+    * coincides with id order (q57's invariant). */
+  private[graft] def ivfPqSearch(e: DataFrame,
+      centsIn: Seq[(Long, Seq[Double])], cb: IndexedSeq[IndexedSeq[Double]],
+      nprobe: Int, k: Int, nQueries: Int): DataFrame = {
+    val s = e.sparkSession
+    graft.GraftFunctions.ensure(s)
+    val cents = centsIn.sortBy(_._1)
+    val centsLit = array(cents.map(c => litArr(c._2)): _*)
+    val cidLit = array(cents.map(c => lit(c._1)): _*)
+    def cellId(rank: Int): Column =
+      element_at(cidLit, element_at(col("cells"), rank).cast("int") + 1)
+    def residual(v: Column, idx: Column): Column =
+      zip_with(v, element_at(centsLit, idx + 1), (x, c) => x - c)
+    def pqCodes(rv: Column): Column = array((0 until PqM).map { j =>
+      element_at(call_function("nearest_cells",
+        slice(rv, j * PqDs + 1, PqDs), pqSubCents(cb, j), lit(1)), 1).cast("int")
+    }: _*)
+    val enc = e.withColumn("cells", call_function("nearest_cells", col("v"), centsLit))
+      .withColumn("ci", element_at(col("cells"), 1).cast("int"))
+      .select(col("vec_id"), cellId(1).as("cell"),
+        pqCodes(residual(col("v"), col("ci"))).as("codes"))
+    val qc = e.filter(col("vec_id") < nQueries)
+      .withColumn("cells", call_function("nearest_cells", col("v"), centsLit))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array((1 to nprobe).map(r => struct(
+          cellId(r).as("qcell"),
+          element_at(col("cells"), r).cast("int").as("qci"))): _*)).as("pc"))
+      .select(col("q_id"), col("pc.qcell").as("qcell"),
+        residual(col("qv"), col("pc.qci")).as("qrv"))
+    val adist = (0 until PqM).map { j =>
+      VectorOps.l2sq(slice(col("qrv"), j * PqDs + 1, PqDs),
+        element_at(pqSubCents(cb, j), element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_q"), col("vec_id"))
+    enc.join(broadcast(qc), col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), floor(adist * 10000).cast("long").as("adist_q"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("adist_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_ivfpq_adc"       -> q124 _,
     "q118_pq_encode"       -> q118 _,
     "q119_pq_adc"          -> q119 _,
     "q30_dedup_exact"      -> q30 _,
@@ -550,7 +627,43 @@ object LlmQueries extends QueryPack {
               FROM e, cb, generate_series(0, 7) AS g(j)),
       codes AS (SELECT vec_id, j, k FROM sub WHERE rnk = 1)"""
 
+  /** Residual list (a − b) in DuckDB, elementwise double subtraction —
+    * the twin of `zip_with(v, cent, _ - _)`. */
+  private def resSql(a: String, b: String): String =
+    s"[CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE) for i in generate_series(1, 64)]"
+
   override val oracle: Map[String, String] = Map(
+    "q124_ivfpq_adc" -> s"""
+      WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $IvfPqCells),
+      cb AS (SELECT vec_id AS k, embedding AS bv FROM embeddings WHERE vec_id < 16),
+      ranked AS (SELECT e.vec_id, cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${VectorOps.l2sqSql("e.v", "cents.cv")}, cid) AS rnk
+                 FROM e, cents),
+      asg AS (SELECT e.vec_id, r.cid AS cell, ${resSql("e.v", "c.cv")} AS rv
+              FROM e JOIN ranked r ON r.vec_id = e.vec_id AND r.rnk = 1
+                     JOIN cents c ON c.cid = r.cid),
+      sub AS (SELECT a.vec_id, g.j, cb.k,
+                row_number() OVER (PARTITION BY a.vec_id, g.j
+                  ORDER BY ${VectorOps.subL2sqSql("a.rv", "cb.bv", "g.j", 8)}, cb.k) AS rnk
+              FROM asg a, cb, generate_series(0, 7) AS g(j)),
+      codes AS (SELECT vec_id, j, k FROM sub WHERE rnk = 1),
+      qres AS (SELECT q.vec_id AS q_id, q.cid AS qcell, ${resSql("e.v", "c.cv")} AS qrv
+               FROM ranked q JOIN e ON e.vec_id = q.vec_id
+                             JOIN cents c ON c.cid = q.cid
+               WHERE q.vec_id < 5 AND q.rnk <= 2),
+      cand AS (SELECT qr.q_id, a.vec_id, qr.qrv
+               FROM qres qr JOIN asg a ON a.cell = qr.qcell AND a.vec_id <> qr.q_id),
+      part AS (SELECT cnd.q_id, cnd.vec_id, c.j,
+                 ${VectorOps.subL2sqSql("cnd.qrv", "cb.bv", "c.j", 8)} AS dist
+               FROM cand cnd JOIN codes c ON c.vec_id = cnd.vec_id
+                    JOIN cb ON cb.k = c.k),
+      adc AS (SELECT q_id, vec_id,
+                CAST(floor(list_sum(list(dist ORDER BY j)) * 10000) AS BIGINT) AS adist_q
+              FROM part GROUP BY q_id, vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist_q, vec_id) AS rn FROM adc)
+      SELECT q_id, rn, vec_id, adist_q FROM r WHERE rn <= 3 ORDER BY q_id, rn""",
     "q118_pq_encode" -> s"""
       WITH $pqCodesCtes
       SELECT vec_id, string_agg(CAST(k AS VARCHAR), ',' ORDER BY j) AS pq_csv

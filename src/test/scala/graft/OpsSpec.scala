@@ -371,6 +371,53 @@ class OpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("q124 IVFADC: candidates only from probed cells; recall is bounded by and tracks the probe ceiling") {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.ensure(spark)
+    val d = sf("sf0.01")
+    val nq = 20; val shortlist = 50; val nprobe = 2
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+      .persist()
+    val cents = e.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    val cb = e.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    // reference cell ranking via the HOF twin (index-free: ties by cid)
+    val ranked = e
+      .withColumn("vv", VectorOps.dot(col("v"), col("v")))
+      .withColumn("cells", VectorOps.nearestCells(col("v"), col("vv"), cents))
+      .select(col("vec_id"), expr("transform(cells, c -> c.cid)").as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val cellOf = ranked.view.mapValues(_.head).toMap
+    val probed = (0L until nq).map(q => q -> ranked(q).take(nprobe).toSet).toMap
+    val res = graft.queries.LlmQueries.ivfPqSearch(e, cents, cb, nprobe, shortlist, nq)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    res.foreach { case (q, cand) =>
+      assert(probed(q).contains(cellOf(cand)),
+        s"candidate $cand of query $q sits in cell ${cellOf(cand)}, probed ${probed(q)}")
+    }
+    val shortlists = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val wNn = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val q = e.filter(col("vec_id") < nq).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val trueNn = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.l2sq(col("qv"), col("v")).as("dist"))
+      .withColumn("rn", row_number().over(wNn)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the probe ceiling: queries whose true NN sits in a probed cell at
+    // all — IVF recall can never exceed it, and ADC should shortlist
+    // most of what the probe reaches
+    val reachable = trueNn.count { case (qid, nn) => probed(qid).contains(cellOf(nn)) }
+    val hit = trueNn.count { case (qid, nn) => shortlists.getOrElse(qid, Set.empty).contains(nn) }
+    info(f"IVFADC true-NN recall@$shortlist: $hit/$nq, probe ceiling $reachable/$nq")
+    assert(hit <= reachable, "recalled a neighbor outside the probed cells")
+    assert(reachable > 0, "probe ceiling degenerate: no query can reach its NN")
+    assert(hit * 2 >= reachable, s"ADC shortlists under half the probe ceiling ($hit/$reachable)")
+    e.unpersist()
+  }
+
   test("pqEncode accepts an arbitrary (trained) codebook") {
     GraftFunctions.ensure(spark)
     val e = Tables.embeddings(spark, sf("sf0.001"))

@@ -64,6 +64,17 @@ class PlanGuardSpec extends SparkSpec {
       s"ADC scan must broadcast the query side:\n$adc")
   }
 
+  test("q124 IVFADC: literal-model encode, no corpus exchange, broadcast probe") {
+    graft.GraftFunctions.ensure(spark)
+    val plan = SparkEntry.queries("q124_ivfpq_adc")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!requiredCorpusExchange(plan, "vec_id"),
+      s"corpus-wide exchange on vec_id in q124:\n$plan")
+    assert(plan.contains("nearestcells"), "assignment/encode must use the native expression")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell probe must broadcast the query side:\n$plan")
+  }
+
   test("q123 broadcasts the 64-row weight table onto the token stream") {
     val plan = SparkEntry.queries("q123_linear_classifier")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
