@@ -309,7 +309,54 @@ object CorpusQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q126: maximal duplicated-span merge (exact-substring dedup spans) ----
+
+  /** Minimum run length (consecutive duplicated 3-gram positions) a
+    * span must reach to be reported — 3 grams = 5 words, the fixture-
+    * scale analogue of Lee et al.'s 50-token threshold. */
+  val MinSpanGrams = 3
+
+  /** q126: MAXIMAL duplicated spans per document — the actionable
+    * output of exact-substring deduplication (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): where
+    * q91 reports how MUCH of a doc is duplicated, q126 reports WHERE,
+    * as (start, length) spans ready for cut-and-splice removal. Every
+    * 3-gram keeps its word position; positions whose gram occurs in ≥2
+    * DISTINCT documents are "duplicated"; consecutive duplicated
+    * positions merge into maximal islands (pos − row_number() is
+    * constant exactly on a run), and a run of g grams covers g+2 words.
+    * Within-doc repeats alone don't mark a span — cross-doc duplication
+    * is what training-data dedup removes.
+    *
+    * Scale shape: grams shuffle as 60-bit digests with their positions
+    * (8+8 bytes/row, never text); the shared-gram filter is one
+    * map-combined count-distinct per digest; the island merge windows
+    * over (doc_id) — each doc's duplicated positions only, not the full
+    * gram stream — and emits one row per MERGED span, typically ≪ the
+    * duplicated-position count on boilerplate-heavy corpora. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(call_function("shingles3", TextOps.words(col("text")))).as(Seq("p0", "sp")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("h"))
+    val shared = pos.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(shared, Seq("h"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= MinSpanGrams)
+      .select(col("doc_id"), col("span_start"),
+        (col("n_grams") + 2).as("span_words"), col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_max_dup_spans" -> q126 _,
     "q122_paragraph_dedup" -> q122 _,
     "q91_substring_dup"  -> q91 _,
     "q92_inverted_index" -> q92 _,
@@ -320,6 +367,25 @@ object CorpusQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q126_max_dup_spans" -> s"""
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) AS h
+              FROM (SELECT doc_id,
+                      unnest([{'i': i, 's': array_to_string(words[i:i+2], ' ')}
+                              for i in generate_series(1, greatest(len(words) - 2, 0))]) AS u
+                    FROM docs)),
+      shared AS (SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      dup AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM pos JOIN shared USING (h)),
+      spans AS (SELECT doc_id, MIN(pos) AS span_start, COUNT(*) AS n_grams
+                FROM dup GROUP BY doc_id, grp)
+      SELECT doc_id, span_start,
+             CAST(n_grams + 2 AS BIGINT) AS span_words,
+             CAST(n_grams AS BIGINT) AS n_grams
+      FROM spans WHERE n_grams >= $MinSpanGrams
+      ORDER BY doc_id, span_start""",
     "q122_paragraph_dedup" -> """
       WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       ch0 AS (SELECT doc_id, w,

@@ -42,6 +42,42 @@ class CorpusSpec extends SparkSpec {
     a.foreach(r => assert(langs(r.getString(2)), s"pred out of vocabulary: $r"))
   }
 
+  test("q126: spans equal an independent brute-force recomputation and are maximal") {
+    val rows = CorpusQueries.q126(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // maximality: within a doc, consecutive spans cannot touch (they
+    // would have merged into one island)
+    rows.groupBy(_._1).foreach { case (_, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, s1, _, g1), (_, s2, _, _)) =>
+          assert(s2 > s1 + g1, s"adjacent spans failed to merge: $ss")
+        case _ =>
+      }
+    }
+    // brute force, shared-gram rule recomputed from scratch
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val gramsByDoc: Map[Long, Seq[(Int, String)]] = docs.map { case (id, ws) =>
+      id -> (if (ws.length < 3) Seq.empty[(Int, String)]
+             else (0 to ws.length - 3).map(i => (i + 1, ws.slice(i, i + 3).mkString(" "))))
+    }.toMap
+    val docsOf: Map[String, Set[Long]] = gramsByDoc.toSeq
+      .flatMap { case (id, gs) => gs.map(g => g._2 -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def runs(ps: Seq[Int]): Seq[(Int, Int)] = ps.foldLeft(List.empty[(Int, Int)]) {
+      case ((s, l) :: t, p) if p == s + l => (s, l + 1) :: t
+      case (acc, p) => (p, 1) :: acc
+    }.reverse
+    val expected = for {
+      (id, gs) <- gramsByDoc.toSeq
+      dup = gs.filter(g => docsOf(g._2).size >= 2).map(_._1).sorted
+      (start, len) <- runs(dup) if len >= CorpusQueries.MinSpanGrams
+    } yield (id, start.toLong, len + 2L, len.toLong)
+    assert(rows.sorted.toSeq == expected.sorted, "engine spans differ from brute force")
+    assert(rows.nonEmpty, "fixture should contain duplicated spans")
+  }
+
   test("q91: shared-span counts are bounded by span counts and bp is in range") {
     val rows = CorpusQueries.q91(spark, d).collect()
     assert(rows.nonEmpty)
