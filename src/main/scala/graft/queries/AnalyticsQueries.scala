@@ -217,7 +217,79 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("src"), col("dst"))
   }
 
+  // q127: CDC apply — changelog → snapshot with delete tombstones --------
+
+  /** Apply a change stream to an (empty) snapshot — the MERGE INTO /
+    * upsert primitive of incremental ingest: per key the LAST change on
+    * the (ts, event_id) total order wins, and a tombstone ('error'
+    * events stand in for deletes) removes the key from the snapshot
+    * entirely. Complements q10 (plain latest-per-key: no tombstones)
+    * and q107 (snapshot diff: the other direction of the CDC loop).
+    *
+    * Scale shape: ONE shuffle on user_id; the per-key fold is a single
+    * max_by aggregation (no window, no sort of the full log — partial
+    * aggregation keeps one candidate row per key per task, so a 100 TB
+    * changelog reduces map-side). Deletes filter AFTER the fold: a
+    * key whose last change is a tombstone exits the snapshot no matter
+    * how many upserts preceded it. */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    val ord = struct(col("tus"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("cents"), col("tus")), ord).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.event_type").as("state"),
+        col("last.cents").as("cents"), col("last.tus").as("last_tus"),
+        col("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
+  // q128: robust outliers via median absolute deviation ------------------
+
+  /** Per-event-type robust outlier counts: median and MAD (median of
+    * |x − med|) instead of q106's mean/σ — immune to the very outliers
+    * being hunted. Flag threshold is the documented integer multiplier
+    * |x − med| > 5·MAD (≈ 3.4σ for a normal core). Both medians are
+    * exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * the round-3 q75 identity); cents are integers so every median is
+    * a half-integer — binary-exact, and 2·med / 2·MAD ship as BIGINTs.
+    *
+    * Scale shape: two keyed aggregations over (type, cents) with a
+    * 5-row broadcast of the medians between them — never a window over
+    * the event stream; the second pass re-reads the scan rather than
+    * materializing a corpus-sized intermediate. */
+  def q128(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.events(s, d)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+    val med = cents.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = cents.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val stats = dev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("med")).as("medv"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    val outliers = dev
+      .join(broadcast(stats.select(col("event_type"), col("mad"))), "event_type")
+      .filter(col("adev") > col("mad") * 5)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_outliers"))
+    // med is a half-integer (2·med integral) and mad a quarter-integer
+    // (4·mad integral) — shipping med_x2/mad_x4 keeps the casts exact,
+    // sidestepping the Spark-truncates vs DuckDB-rounds cast divergence
+    stats.join(outliers, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (col("medv") * 2).cast("long").as("med_x2"),
+        (col("mad") * 4).cast("long").as("mad_x4"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_cdc_apply"  -> q127 _,
+    "q128_mad_outliers" -> q128 _,
     "q125_event_transitions" -> q125 _,
     "q121_scd2_intervals" -> q121 _,
     "q97_funnel"        -> q97 _,
@@ -229,6 +301,37 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q127_cdc_apply" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, event_id,
+                        CAST(floor(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY tus DESC, event_id DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+            FROM e)
+      SELECT user_id, event_type AS state, cents, tus AS last_tus,
+             CAST(n_changes AS BIGINT) AS n_changes
+      FROM r WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""",
+    "q128_mad_outliers" -> """
+      WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+              FROM c GROUP BY event_type),
+      dev AS (SELECT c.event_type, abs(c.cents - m.med) AS adev, m.med
+              FROM c JOIN med m USING (event_type)),
+      st AS (SELECT event_type, COUNT(*) AS n, ANY_VALUE(med) AS medv,
+                    quantile_cont(adev, 0.5) AS mad
+             FROM dev GROUP BY event_type),
+      o AS (SELECT d.event_type, COUNT(*) AS n_outliers
+            FROM dev d JOIN st USING (event_type)
+            WHERE d.adev > st.mad * 5 GROUP BY d.event_type)
+      SELECT st.event_type, CAST(st.n AS BIGINT) AS n,
+             CAST(st.medv * 2 AS BIGINT) AS med_x2,
+             CAST(st.mad * 4 AS BIGINT) AS mad_x4,
+             CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+      FROM st LEFT JOIN o USING (event_type)
+      ORDER BY st.event_type""",
     "q125_event_transitions" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type AS src, event_id
                  FROM events),

@@ -23,6 +23,52 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q127: CDC apply equals a local fold of the changelog with tombstone semantics") {
+    val rows = AnalyticsQueries.q127(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val log = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP))", "event_type",
+        "event_id", "CAST(floor(value * 100) AS LONG)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val expected = log.groupBy(_._1).flatMap { case (uid, evs) =>
+      val last = evs.maxBy(e => (e._2, e._4))
+      if (last._3 == "error") None
+      else Some((uid, last._3, last._5, last._2, evs.length.toLong))
+    }.toSet
+    assert(rows.toSet == expected, "engine snapshot differs from the local fold")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // the fixture must actually exercise the tombstone path
+    assert(log.groupBy(_._1).values.exists(evs => evs.maxBy(e => (e._2, e._4))._3 == "error"),
+      "no user ends on a tombstone — delete semantics untested")
+  }
+
+  test("q128: MAD outlier counts match a local robust-stats recomputation") {
+    val rows = AnalyticsQueries.q128(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cents = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("event_type", "CAST(floor(value * 100) AS LONG) AS cents").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def medX2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) * 2
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    cents.groupBy(_._1).foreach { case (t, vs) =>
+      val row = rows.find(_._1 == t).get
+      val xs = vs.map(_._2).toSeq
+      assert(row._2 == xs.length)
+      assert(row._3 == medX2(xs), s"median mismatch for $t")
+      // |x - med| = adev_x2/2 with adev_x2 = |2x - med_x2| integral, so
+      // mad_x4 = medX2(adev_x2) and the 5*MAD flag is 2*adev_x2 > 5*mad_x4
+      val adevX2 = xs.map(x => math.abs(2 * x - medX2(xs)))
+      val madX4 = medX2(adevX2)
+      assert(row._4 == madX4, s"MAD mismatch for $t")
+      val nOut = adevX2.count(a => 2 * a > 5 * madX4)
+      assert(row._5 == nOut, s"outlier count mismatch for $t: ${row._5} vs $nOut")
+    }
+  }
+
   test("q97: funnel steps are monotonically non-increasing") {
     val rows = AnalyticsQueries.q97(spark, d).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
