@@ -287,7 +287,47 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  // q131: linear multi-touch attribution ---------------------------------
+
+  /** q25/q85 answer LAST-touch attribution; marketing analytics also
+    * wants the linear multi-touch model — every click in the 7-day
+    * lookback before a purchase shares the conversion credit equally
+    * (1000‰ split as floor(1000/n) per click, deterministic on both
+    * engines).
+    *
+    * Scale shape: the candidate join is EQUI on user_id with the 7-day
+    * lookback as a residual range predicate — a hash join whose
+    * per-user candidate volume is bounded by that user's activity, not
+    * the corpus (the pure-range all-users form is q103/q117's
+    * territory). Per-purchase click counts are one map-combined agg on
+    * the already-shuffled user key; the user rollup reuses the same
+    * partitioning. */
+  def q131(s: SparkSession, d: String): DataFrame = {
+    val SevenDaysUs = 7L * 24 * 3600 * 1000000
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("tus").as("p_tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+    val touched = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_tus") <= col("p_tus") &&
+          col("c_tus") > col("p_tus") - SevenDaysUs)
+      .groupBy(col("user_id"), col("p_id"))
+      .agg(count(lit(1)).as("n_touch"))
+      .withColumn("credit", expr("(1000L DIV n_touch) * n_touch"))
+    purchases.join(touched, Seq("user_id", "p_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("n_touch")).as("n_attributed"),
+        coalesce(sum(col("credit")), lit(0L)).as("credit_sum"))
+      .orderBy(col("user_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_linear_attribution" -> q131 _,
     "q127_cdc_apply"  -> q127 _,
     "q128_mad_outliers" -> q128 _,
     "q125_event_transitions" -> q125 _,
@@ -301,6 +341,26 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q131_linear_attribution" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+                 FROM events),
+      p AS (SELECT user_id, event_id AS p_id, tus AS p_tus
+            FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id AS c_user, tus AS c_tus
+            FROM e WHERE event_type = 'click'),
+      t AS (SELECT p.user_id, p.p_id, COUNT(*) AS n_touch
+            FROM p JOIN c ON c.c_user = p.user_id
+                         AND c.c_tus <= p.p_tus
+                         AND c.c_tus > p.p_tus - CAST(604800000000 AS BIGINT)
+            GROUP BY p.user_id, p.p_id),
+      cr AS (SELECT user_id, p_id, n_touch,
+                    (1000 // n_touch) * n_touch AS credit
+             FROM t)
+      SELECT p.user_id, COUNT(*) AS n_purchases,
+             COUNT(cr.n_touch) AS n_attributed,
+             COALESCE(SUM(cr.credit), 0) AS credit_sum
+      FROM p LEFT JOIN cr ON cr.user_id = p.user_id AND cr.p_id = p.p_id
+      GROUP BY p.user_id ORDER BY p.user_id""",
     "q127_cdc_apply" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, event_id,
                         CAST(floor(value * 100) AS BIGINT) AS cents

@@ -588,7 +588,85 @@ object LlmQueries extends QueryPack {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // q132: ANN quality evaluation (recall@k, in-engine) ---------------------
+
+  /** Recall@5 of the LSH-bucket ANN path (q37's index) against exact
+    * brute-force ground truth, computed end-to-end IN the engine — the
+    * evaluation loop an ANN deployment runs after every index rebuild.
+    * For each of the 10 probe queries: ground truth = exact cosine
+    * top-5 over the corpus; ANN = top-5 within the query's LSH bucket;
+    * n_hits = |ANN ∩ GT|.
+    *
+    * Scale shape: the probe set is a broadcast literal-sized table, so
+    * the brute-force side is one narrow corpus pass per rebuild (the
+    * price of ground truth — paid for a SAMPLE of queries, never all);
+    * the ANN side touches only same-bucket rows. Both top-5 windows
+    * partition by q_id (bounded 10 keys × candidate rows); the final
+    * intersection joins two ≤50-row tables. */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+      .persist() // feeds the brute-force side and the bucket side
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))
+    val gt = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineQNative(col("qv"), col("v")).as("sim_q"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val ann = e.join(broadcast(q),
+        col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineQNative(col("qv"), col("v")).as("sim_q"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val hits = gt.join(ann, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    val annN = ann.groupBy(col("q_id")).agg(count(lit(1)).as("n_ann"))
+    gt.groupBy(col("q_id")).agg(count(lit(1)).as("n_gt"))
+      .join(annN, Seq("q_id"), "left").join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_ann", "n_hits"))
+      .select(col("q_id"), col("n_gt"), col("n_ann"), col("n_hits"),
+        expr("n_hits * 100L DIV n_gt").as("recall_pct"))
+      .orderBy(col("q_id"))
+  }
+
+  // q130: leakage-safe train/val/test split --------------------------------
+
+  /** q79's hash split has a training-data trap: two near-duplicate
+    * documents can land in different splits, leaking training text into
+    * eval. The leakage-safe form splits by NEAR-DUP CLUSTER — the whole
+    * cluster rides on the md5 of its representative (min doc_id), so
+    * near-dups always share a split; singletons hash their own id,
+    * which keeps the 80/10/10 proportions of q79 on the (overwhelming
+    * at corpus scale) un-clustered majority.
+    *
+    * Scale shape: the cluster table is the q68 artifact (pairs →
+    * connected components, pointer jumping) and is small relative to
+    * the corpus — broadcast left join, one narrow pass over documents,
+    * exactly q78's annotation discipline with the split decision fused
+    * in. */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val clusters = graft.functions.Graph.connectedComponents(
+        neardupPairs(s, d).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    Tables.documents(s, d)
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("rep").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10000)
+      .select(col("doc_id"), col("lang"), col("rep"),
+        when(col("bucket") < 8000, lit("train"))
+          .when(col("bucket") < 9000, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_ann_recall_eval" -> q132 _,
+    "q130_cluster_split"   -> q130 _,
     "q124_ivfpq_adc"       -> q124 _,
     "q118_pq_encode"       -> q118 _,
     "q119_pq_adc"          -> q119 _,
@@ -710,6 +788,61 @@ object LlmQueries extends QueryPack {
         SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id
       )
       SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "q132_ann_recall_eval" -> s"""
+      WITH b AS (SELECT vec_id, embedding,
+                        ${VectorOps.lshBucketSql("embedding")} AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS qb
+            FROM b WHERE vec_id < 10),
+      gp AS (SELECT q.q_id, e.vec_id,
+                    ${VectorOps.cosineSql("q.qv", "e.embedding")} AS sim_q
+             FROM b e, q WHERE e.vec_id <> q.q_id),
+      gr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY sim_q DESC, vec_id) AS rn FROM gp),
+      gt AS (SELECT q_id, vec_id FROM gr WHERE rn <= 5),
+      ap AS (SELECT q.q_id, e.vec_id,
+                    ${VectorOps.cosineSql("q.qv", "e.embedding")} AS sim_q
+             FROM b e JOIN q ON e.bucket = q.qb AND e.vec_id <> q.q_id),
+      ar AS (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY sim_q DESC, vec_id) AS rn FROM ap),
+      ann AS (SELECT q_id, vec_id FROM ar WHERE rn <= 5),
+      h AS (SELECT gt.q_id, COUNT(*) AS n_hits
+            FROM gt JOIN ann ON ann.q_id = gt.q_id AND ann.vec_id = gt.vec_id
+            GROUP BY gt.q_id),
+      an AS (SELECT q_id, COUNT(*) AS n_ann FROM ann GROUP BY q_id),
+      g AS (SELECT q_id, COUNT(*) AS n_gt FROM gt GROUP BY q_id)
+      SELECT g.q_id, g.n_gt,
+             COALESCE(an.n_ann, 0) AS n_ann,
+             COALESCE(h.n_hits, 0) AS n_hits,
+             COALESCE(h.n_hits, 0) * 100 // g.n_gt AS recall_pct
+      FROM g LEFT JOIN an ON an.q_id = g.q_id
+             LEFT JOIN h ON h.q_id = g.q_id
+      ORDER BY g.q_id""",
+    "q130_cluster_split" -> s"""
+      WITH RECURSIVE $oracleSigs,
+      $neardupCtes,
+      pairs AS (SELECT a, b
+                FROM com JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+                WHERE common * 2 >= (za.c + zb.c - common)),
+      e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+      n AS (SELECT DISTINCT u AS id FROM e),
+      reach(id, r) AS (
+        SELECT id, id FROM n
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id
+      ),
+      cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      rep AS (SELECT d.doc_id, d.lang,
+                     COALESCE(cl.cluster_id, d.doc_id) AS rep
+              FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      bk AS (SELECT doc_id, lang, rep,
+                    CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4)) AS INT) % 10000 AS bucket
+             FROM rep)
+      SELECT doc_id, lang, rep,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM bk ORDER BY doc_id""",
     "q78_dedup_decision" -> s"""
       WITH RECURSIVE $oracleSigs,
       $neardupCtes,

@@ -385,7 +385,55 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("source"), col("rk"))
   }
 
+  // q133: content-defined chunking ----------------------------------------
+
+  /** Rabin-style content-defined chunking, the storage-dedup primitive
+    * (LBFS/restic lineage): a chunk boundary falls BEFORE word i
+    * whenever the rolling hash of the local 2-gram (w_{i-1}, w_i) is
+    * ≡ 0 mod 8 — so boundaries depend only on LOCAL content, and an
+    * insertion early in a document shifts chunk digests O(1) chunks
+    * downstream instead of re-digesting every fixed-width block (q67's
+    * failure mode for storage dedup). Output: one row per chunk with
+    * its md5 digest — downstream, identical chunks across documents
+    * dedup by digest exactly like q122's paragraphs.
+    *
+    * Scale shape: boundary detection, chunk assembly, and digesting are
+    * ONE generator expression per row — zero shuffles, zero joins; the
+    * only wide stage is whatever the caller aggregates digests with.
+    * The md5-derived hash is the house portability rule (identical in
+    * DuckDB), mod 8 ≈ 8-word expected chunks at fixture scale. */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    // starts = [1] ++ every i>=2 whose 2-gram hash ≡ 0 (mod 8)
+    val starts = concat(
+      array(lit(1)),
+      when(size(col("ws")) >= 2,
+        filter(
+          transform(sequence(lit(2), size(col("ws"))),
+            i => when(
+              conv(substring(md5(concat_ws(" ",
+                element_at(col("ws"), i - 1), element_at(col("ws"), i))),
+                1, 15), 16, 10).cast("long") % 8 === 0, i)),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"))
+      .withColumn("starts", starts)
+      .select(col("doc_id"), col("ws"),
+        explode(transform(sequence(lit(1), size(col("starts"))), j =>
+          struct(j.cast("long").as("chunk_idx"),
+            slice(col("ws"), element_at(col("starts"), j),
+              coalesce(try_element_at(col("starts"), j + 1),
+                size(col("ws")) + 1) - element_at(col("starts"), j))
+              .as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"),
+        size(col("c.chunk")).cast("long").as("n_words"),
+        md5(concat_ws(" ", col("c.chunk"))).as("digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_cdc_chunking"    -> q133 _,
     "q69_bloom_semijoin"   -> q69 _,
     "q70_contamination"    -> q70 _,
     "q71_seq_pack"         -> q71 _,
@@ -487,6 +535,22 @@ object PipelineQueries extends QueryPack {
              CAST(len(kept) AS BIGINT) AS n_kept,
              md5(array_to_string(kept, ' ')) AS norm_md5
       FROM k ORDER BY doc_id""",
+    "q133_cdc_chunking" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+      f AS (SELECT doc_id, i, ws[i] AS word,
+              CASE WHEN i >= 2 AND
+                CAST(('0x' || substr(md5(ws[i-1] || ' ' || ws[i]), 1, 15)) AS BIGINT) % 8 = 0
+                THEN 1 ELSE 0 END AS cut
+            FROM pos),
+      c AS (SELECT doc_id, i, word,
+              SUM(cut) OVER (PARTITION BY doc_id ORDER BY i) + 1 AS chunk_idx
+            FROM f)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             md5(string_agg(word, ' ' ORDER BY i)) AS digest
+      FROM c GROUP BY doc_id, chunk_idx
+      ORDER BY doc_id, chunk_idx""",
     "q79_split_report" -> """
       WITH d AS (
         SELECT lang,

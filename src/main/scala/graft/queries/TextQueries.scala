@@ -365,7 +365,43 @@ object TextQueries extends QueryPack {
   def q123(s: SparkSession, d: String): DataFrame =
     classify(Tables.documents(s, d))
 
+  // q129: per-language quantile gate (comparable thresholds) -------------
+
+  /** Quality thresholds are not comparable across languages — a length
+    * cut tuned on English drops half of Chinese. The standard fix
+    * (CCNet-style per-language percentile filtering) keeps each
+    * language's TOP (1−p) mass by its own distribution: here, drop each
+    * language's bottom 20% by n_chars.
+    *
+    * Scale shape: the naive form is `percent_rank() OVER (PARTITION BY
+    * lang)` — a giant per-language sort where one partition = one
+    * language = one reducer holding a corpus-sized slice. Instead the
+    * cut is derived from a VALUE HISTOGRAM: groupBy (lang, n_chars) is
+    * map-combined down to |langs|·|distinct lengths| rows (thousands,
+    * regardless of corpus size), the exact p20 cut comes from a
+    * cumulative window over that tiny table, and the 5-row cut table
+    * broadcasts back onto the corpus — the full pass stays narrow.
+    * Cut definition (quantile_disc lower bound, integer-exact on both
+    * engines): the smallest n_chars with cum·5 ≥ total. */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .filter(col("cum") * 5 >= col("total"))
+      .groupBy(col("lang")).agg(min(col("n_chars")).as("cut"))
+    docs.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("cut"),
+        (col("n_chars") >= col("cut")).cast("int").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_perlang_quantile_gate" -> q129 _,
     "q123_linear_classifier" -> q123 _,
     "q120_dsir_weight"    -> q120 _,
     "q62_e2e_pipeline"    -> q62 _,
@@ -419,6 +455,23 @@ object TextQueries extends QueryPack {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q129_perlang_quantile_gate" -> """
+      WITH hist AS (
+        SELECT lang, n_chars, COUNT(*) AS cnt
+        FROM documents GROUP BY lang, n_chars),
+      cum AS (
+        SELECT lang, n_chars,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY lang) AS total
+        FROM hist),
+      cuts AS (
+        SELECT lang, MIN(n_chars) AS cut
+        FROM cum WHERE cum * 5 >= total GROUP BY lang)
+      SELECT d.doc_id, d.lang, d.n_chars, c.cut,
+             CAST(d.n_chars >= c.cut AS INT) AS kept
+      FROM documents d JOIN cuts c USING (lang)
+      ORDER BY d.doc_id""",
     "q123_linear_classifier" -> clfSql,
     "q120_dsir_weight" -> """
       WITH toks AS (

@@ -1,0 +1,140 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.queries.{AnalyticsQueries, LlmQueries, PipelineQueries, TextQueries}
+
+/** Semantic invariants for the round-6 wave: per-language quantile gate
+  * (q129), leakage-safe cluster split (q130), linear multi-touch
+  * attribution (q131), in-engine ANN recall eval (q132), and
+  * content-defined chunking (q133). Each is checked against an
+  * independent local recomputation from the raw fixture parquet.
+  */
+class Round6Spec extends SparkSpec {
+
+  private def d = sf("sf0.001")
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q129: per-language cut is the exact 20th-percentile lower bound and keeps >= 80%") {
+    val rows = TextQueries.q129(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == docs.length, "gate must annotate every document")
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val vals = ds.map(_._3).sorted
+      val total = vals.length
+      // smallest v with cum*5 >= total over the value histogram
+      val cut = vals.distinct.find(v => vals.count(_ <= v) * 5 >= total).get
+      val langRows = rows.filter(_._2 == lang)
+      assert(langRows.forall(_._4 == cut), s"$lang cut mismatch")
+      langRows.foreach { case (_, _, nc, c, kept) =>
+        assert(kept == (if (nc >= c) 1 else 0))
+      }
+      val keptN = langRows.count(_._5 == 1)
+      assert(keptN * 5 >= total * 4, s"$lang keeps ${keptN}/$total < 80%")
+    }
+  }
+
+  test("q130: near-dup docs always share a split; singletons keep q79's own-id hash") {
+    val split = LlmQueries.q130(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    val pairs = LlmQueries.neardupPairs(spark, d)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"near-dups $a,$b split apart: leakage")
+    }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.filterNot { case (id, _) => clustered(id) }.foreach { case (id, (rep, sp)) =>
+      assert(rep == id, s"singleton $id must represent itself")
+      val bucket = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % 10000
+      val expected = if (bucket < 8000) "train" else if (bucket < 9000) "val" else "test"
+      assert(sp == expected, s"singleton $id split drifted from the q79 hash")
+    }
+  }
+
+  test("q131: linear attribution equals a local recomputation, credit <= 1000 per purchase") {
+    val rows = AnalyticsQueries.q131(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS tus", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val week = 604800000000L
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, es) =>
+      val purchases = es.filter(_._4 == "purchase")
+      if (purchases.isEmpty) None else {
+        val clicks = es.filter(_._4 == "click").map(_._3)
+        var attributed = 0L; var credit = 0L
+        purchases.foreach { p =>
+          val n = clicks.count(c => c <= p._3 && c > p._3 - week)
+          if (n > 0) { attributed += 1; credit += (1000L / n) * n }
+        }
+        Some(u -> ((purchases.length.toLong, attributed, credit)))
+      }
+    }
+    assert(rows == expected, "attribution table differs from local recomputation")
+    rows.values.foreach { case (np, na, cr) =>
+      assert(na <= np && cr <= np * 1000, "credit must not exceed 1000 per purchase")
+    }
+  }
+
+  test("q132: recall table equals a local brute-force GT vs LSH-bucket recomputation") {
+    val rows = LlmQueries.q132(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val em = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cosBp(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000).toLong
+    }
+    def bucket(v: Array[Double]): Int =
+      graft.functions.VectorOps.planes.zipWithIndex.map { case (p, h) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * p(i); i += 1 }
+        if (s >= 0) 1 << h else 0
+      }.sum
+    val buckets = em.map { case (id, v) => id -> bucket(v) }.toMap
+    val qs = em.filter(_._1 < 10)
+    val expected = qs.map { case (qid, qv) =>
+      def top5(cand: Array[(Long, Array[Double])]): Set[Long] =
+        cand.map { case (id, v) => (id, cosBp(qv, v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val gt = top5(em.filter(_._1 != qid))
+      val ann = top5(em.filter { case (id, _) => id != qid && buckets(id) == buckets(qid) })
+      val hits = (gt & ann).size.toLong
+      qid -> ((gt.size.toLong, ann.size.toLong, hits, hits * 100 / gt.size))
+    }.toMap
+    assert(rows == expected, "recall table differs from local recomputation")
+  }
+
+  test("q133: chunks partition each document exactly at the 2-gram hash boundaries") {
+    val rows = PipelineQueries.q133(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ")
+      val cuts = (2 to ws.length).filter { i =>
+        java.lang.Long.parseLong(
+          md5hex(ws(i - 2) + " " + ws(i - 1)).substring(0, 15), 16) % 8 == 0
+      }
+      val starts = 1 +: cuts
+      starts.zipWithIndex.map { case (st, j) =>
+        val end = if (j + 1 < starts.length) starts(j + 1) else ws.length + 1
+        val chunk = ws.slice(st - 1, end - 1)
+        (id, (j + 1).toLong, chunk.length.toLong, md5hex(chunk.mkString(" ")))
+      }
+    }
+    assert(rows.sorted.toSeq == expected.sorted.toSeq,
+      "chunk table differs from local recomputation")
+  }
+}
