@@ -232,21 +232,9 @@ object AnalyticsQueries extends QueryPack {
     * changelog reduces map-side). Deletes filter AFTER the fold: a
     * key whose last change is a tombstone exits the snapshot no matter
     * how many upserts preceded it. */
-  def q127(s: SparkSession, d: String): DataFrame = {
-    val ord = struct(col("tus"), col("event_id"))
-    Tables.events(s, d)
-      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
-        col("event_type"), col("event_id"),
-        floor(col("value") * 100).cast("long").as("cents"))
-      .groupBy(col("user_id"))
-      .agg(max_by(struct(col("event_type"), col("cents"), col("tus")), ord).as("last"),
-        count(lit(1)).as("n_changes"))
-      .filter(col("last.event_type") =!= "error")
-      .select(col("user_id"), col("last.event_type").as("state"),
-        col("last.cents").as("cents"), col("last.tus").as("last_tus"),
-        col("n_changes"))
+  def q127(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.cdcSnapshot(Tables.events(s, d))
       .orderBy(col("user_id"))
-  }
 
   // q128: robust outliers via median absolute deviation ------------------
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Data-governance operators: profiling, quality assertions, robust
@@ -159,7 +160,46 @@ object GovernanceQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q134: distribution-drift monitor (exact Kolmogorov–Smirnov) ----------
+
+  /** Drift detection between two observation periods — the alert a
+    * governance layer raises before a corrupted drop poisons training.
+    * Per event_type, the exact two-sample KS statistic between the
+    * first half of the month (day ≤ 15, the baseline) and the second
+    * (the candidate): KS = max_v |F_a(v) − F_b(v)|, reported in basis
+    * points via the cross-multiplied integer form
+    * max |cumA·nB − cumB·nA| · 10000 DIV (nA·nB) — no floats anywhere,
+    * so both engines agree bit-for-bit.
+    *
+    * Scale shape: q129's histogram discipline — groupBy (type, cents)
+    * map-combines the corpus to its value histogram BEFORE any window;
+    * the cumulative/max pass runs over |types|·|distinct cents| rows
+    * (bounded by value quantization, not corpus size). For continuous
+    * values at 100 TB, quantize first (cents already are). */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"),
+      (dayofmonth(col("ts")) <= 15).cast("int").as("is_base"))
+    val hist = e.groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("is_base")).as("ca"), sum(lit(1) - col("is_base")).as("cb"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_base"), max(col("nb")).as("n_cur"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("m"))
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        expr("m * 10000L DIV (n_base * n_cur)").as("ks_bp"))
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_ks_drift"      -> q134 _,
     "q104_profile"       -> q104 _,
     "q105_assertions"    -> q105 _,
     "q106_outliers"      -> q106 _,
@@ -167,6 +207,30 @@ object GovernanceQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q134_ks_drift" -> """
+      WITH e AS (SELECT event_type,
+                        CAST(floor(value * 100) AS BIGINT) AS cents,
+                        CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_base
+                 FROM events),
+      hist AS (SELECT event_type, cents,
+                      SUM(is_base) AS ca, SUM(1 - is_base) AS cb
+               FROM e GROUP BY event_type, cents),
+      cum AS (SELECT event_type, cents, ca, cb,
+                     SUM(ca) OVER (PARTITION BY event_type ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING) AS cuma,
+                     SUM(cb) OVER (PARTITION BY event_type ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING) AS cumb,
+                     SUM(ca) OVER (PARTITION BY event_type) AS na,
+                     SUM(cb) OVER (PARTITION BY event_type) AS nb
+              FROM hist),
+      agg AS (SELECT event_type,
+                     CAST(MAX(na) AS BIGINT) AS n_base,
+                     CAST(MAX(nb) AS BIGINT) AS n_cur,
+                     CAST(MAX(abs(cuma * nb - cumb * na)) AS BIGINT) AS m
+              FROM cum GROUP BY event_type)
+      SELECT event_type, n_base, n_cur,
+             m * 10000 // (n_base * n_cur) AS ks_bp
+      FROM agg ORDER BY event_type""",
     "q104_profile" -> """
       WITH li AS (SELECT CAST(floor(l_quantity*100) AS BIGINT) q,
                          CAST(floor(l_extendedprice*100) AS BIGINT) ep,

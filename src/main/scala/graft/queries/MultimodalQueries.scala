@@ -114,7 +114,54 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("doc_id"), col("slot"))
   }
 
+  // q135: content-defined chunking of binary payloads ----------------------
+
+  /** The storage-dedup framing for multimodal blobs: q133's
+    * content-defined boundaries applied to the OPAQUE BYTE stream — a
+    * chunk starts at byte i (i ≥ 5) whenever the md5 of the trailing
+    * 4-byte window [i−4, i−1] is ≡ 0 mod 32 (~32-byte expected
+    * chunks), so re-encoding a payload with bytes inserted early
+    * re-digests O(1) chunks, not every fixed 16-byte frame (q116's
+    * stride would shift globally). Emits (chunk_idx, start, n_bytes,
+    * digest) per chunk — the manifest a content-addressed blob store
+    * ingests.
+    *
+    * Row-local generator arithmetic end-to-end: the payload is sliced
+    * lazily per window and per chunk, never leaves its task, zero
+    * shuffle before the presentation sort. Oracle note: fixture
+    * payloads are ASCII text bytes (precondition pinned in
+    * MultimodalSpec), so DuckDB's string substr/md5 sees the same
+    * bytes the engine's binary slicing does. */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val starts = concat(
+      array(lit(1)),
+      when(octet_length(col("payload")) >= 5,
+        filter(
+          transform(sequence(lit(5), octet_length(col("payload"))),
+            i => when(
+              conv(substring(md5(col("payload").substr(i - 4, lit(4))), 1, 15),
+                16, 10).cast("long") % 32 === 0, i)),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("starts", starts)
+      .select(col("doc_id"), col("payload"),
+        explode(transform(sequence(lit(1), size(col("starts"))), j =>
+          struct(j.cast("long").as("chunk_idx"),
+            element_at(col("starts"), j).as("start"),
+            (coalesce(try_element_at(col("starts"), j + 1),
+              octet_length(col("payload")) + 1) -
+              element_at(col("starts"), j)).as("n_bytes")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"),
+        col("c.start").cast("long").as("start"),
+        col("c.n_bytes").cast("long").as("n_bytes"),
+        md5(col("payload").substr(col("c.start"), col("c.n_bytes"))).as("digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_payload_cdc"        -> q135 _,
     "q54_multimodal_assemble" -> q54 _,
     "q55_binary_features"     -> q55 _,
     "q56_mappartitions_decode"-> q56 _,
@@ -122,6 +169,27 @@ object MultimodalQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q135_payload_cdc" -> """
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
+                 FROM documents),
+      pos AS (SELECT doc_id, text, blen,
+                     unnest(generate_series(1, blen)) AS i FROM d),
+      f AS (SELECT doc_id, i,
+              CASE WHEN i >= 5 AND
+                CAST(('0x' || substr(md5(substr(text, i - 4, 4)), 1, 15)) AS BIGINT) % 32 = 0
+                THEN 1 ELSE 0 END AS cut
+            FROM pos),
+      c AS (SELECT doc_id, i,
+              SUM(cut) OVER (PARTITION BY doc_id ORDER BY i) + 1 AS chunk_idx
+            FROM f),
+      g AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(MIN(i) AS BIGINT) AS start,
+                   CAST(COUNT(*) AS BIGINT) AS n_bytes
+            FROM c GROUP BY doc_id, chunk_idx)
+      SELECT g.doc_id, g.chunk_idx, g.start, g.n_bytes,
+             md5(substr(d.text, CAST(g.start AS INT), CAST(g.n_bytes AS INT))) AS digest
+      FROM g JOIN d ON d.doc_id = g.doc_id
+      ORDER BY g.doc_id, g.chunk_idx""",
     "q54_multimodal_assemble" -> """
       SELECT doc_id, lang, octet_length(encode(text)) AS payload_bytes,
              len(embedding) AS dim, label

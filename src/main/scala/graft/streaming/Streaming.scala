@@ -86,6 +86,32 @@ object Streaming {
       .select(col("event_id"), col("user_id"), col("event_type"),
         coalesce(col("weight"), lit(0L)).as("weight"))
 
+  /** q127's CDC changelog→snapshot apply as a shared batch/stream
+    * builder: per key, ONE map-combined `max_by` fold on the
+    * (ts, event_id) total order picks the last write; a terminal
+    * 'error' state is a delete tombstone and drops the key. On a
+    * stream this is a plain keyed aggregation (complete/update output)
+    * — the state store holds exactly one (last-write, count) pair per
+    * key, so the live materialized view costs O(|keys|) state, and
+    * each micro-batch folds in incrementally; the identical plan runs
+    * over a bounded changelog. The tombstone filter sits AFTER the
+    * aggregate, so a key deleted in batch 1 reappears correctly if
+    * batch 2 upserts it again. */
+  def cdcSnapshot(events: DataFrame): DataFrame = {
+    val ord = struct(col("tus"), col("event_id"))
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("cents"), col("tus")), ord).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.event_type").as("state"),
+        col("last.cents").as("cents"), col("last.tus").as("last_tus"),
+        col("n_changes"))
+  }
+
   /** Tumbling 1-day counts per event_type — q21's shape. Pass
     * `watermark=Some("1 day")` on a streaming input. */
   def tumblingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {

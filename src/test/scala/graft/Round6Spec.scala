@@ -2,7 +2,7 @@ package graft
 
 import java.security.MessageDigest
 
-import graft.queries.{AnalyticsQueries, LlmQueries, PipelineQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, GovernanceQueries, LlmQueries, MultimodalQueries, PipelineQueries, TextQueries}
 
 /** Semantic invariants for the round-6 wave: per-language quantile gate
   * (q129), leakage-safe cluster split (q130), linear multi-touch
@@ -136,5 +136,57 @@ class Round6Spec extends SparkSpec {
     }
     assert(rows.sorted.toSeq == expected.sorted.toSeq,
       "chunk table differs from local recomputation")
+  }
+
+  test("q134: KS statistic equals a local exact two-sample recomputation") {
+    val rows = GovernanceQueries.q134(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("event_type", "CAST(floor(value * 100) AS LONG) AS cents",
+        "day(CAST(ts AS TIMESTAMP)) <= 15 AS base")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val expected = ev.groupBy(_._1).map { case (t, es) =>
+      val a = es.filter(_._3).map(_._2).sorted
+      val b = es.filterNot(_._3).map(_._2).sorted
+      val vals = (a ++ b).distinct.sorted
+      val m = vals.map(v =>
+        math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)).max
+      t -> ((a.length.toLong, b.length.toLong, m * 10000 / (a.length.toLong * b.length)))
+    }
+    assert(rows == expected, "KS table differs from local recomputation")
+    rows.values.foreach { case (_, _, ks) => assert(ks >= 0 && ks <= 10000) }
+  }
+
+  test("q135: payload chunks tile each payload; boundaries are content-local under prefix shift") {
+    val rows = MultimodalQueries.q135(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def chunksOf(bytes: String): Seq[(Long, Long, String)] = {
+      val cuts = (5 to bytes.length).filter { i =>
+        java.lang.Long.parseLong(
+          md5hex(bytes.substring(i - 5, i - 1)).substring(0, 15), 16) % 32 == 0
+      }
+      val starts = 1 +: cuts
+      starts.zipWithIndex.map { case (st, j) =>
+        val end = if (j + 1 < starts.length) starts(j + 1) else bytes.length + 1
+        (st.toLong, (end - st).toLong, md5hex(bytes.substring(st - 1, end - 1)))
+      }
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      chunksOf(text).zipWithIndex.map { case ((st, n, dg), j) =>
+        (id, (j + 1).toLong, st, n, dg)
+      }
+    }
+    assert(rows.sorted.toSeq == expected.sorted.toSeq,
+      "payload chunk manifest differs from local recomputation")
+    // the CDC property itself: prepending bytes changes only the chunks
+    // up to the first post-prefix boundary — the digest SUFFIX survives
+    val sample = docs.maxBy(_._2.length)._2
+    val orig = chunksOf(sample).map(_._3)
+    val shifted = chunksOf("xq9z7vw3 " + sample).map(_._3)
+    val common = orig.reverse.zip(shifted.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(common >= orig.length - 3,
+      s"prefix insertion must preserve the chunk-digest tail: $common of ${orig.length} survive")
   }
 }

@@ -446,4 +446,38 @@ class StreamingSpec extends SparkSpec {
     assert(still == Seq((11L, 1L, 0)), s"original corpus probe unchanged: $still")
     idx2.unpersist(); idx.unpersist()
   }
+
+  test("CDC snapshot: streamed changelog equals batch apply; tombstones drop and revive keys") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val b1 = Seq(
+      Ev(1, ts(1, 1), 10, "signup", 1.0),
+      Ev(2, ts(2, 1), 10, "click", 2.0),
+      Ev(3, ts(1, 2), 11, "signup", 3.0),
+      Ev(4, ts(3, 1), 12, "signup", 4.0),
+      Ev(5, ts(4, 1), 12, "error", 0.0)) // tombstone: key 12 deleted
+    val b2 = Seq(
+      Ev(6, ts(5, 1), 10, "purchase", 5.0), // upsert across batches
+      Ev(7, ts(6, 1), 12, "signup", 6.0))   // revival after tombstone
+    val mem = MemoryStream[Ev]
+    val q = Streaming.cdcSnapshot(mem.toDF())
+      .writeStream.format("memory").queryName("t_cdc")
+      .outputMode("complete").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    val mid = spark.table("t_cdc").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mid == Map(10L -> "click", 11L -> "signup"),
+      s"tombstoned key must be absent mid-stream: $mid")
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_cdc")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val batch = Streaming.cdcSnapshot((b1 ++ b2).toDF())
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.map(_.head) == Seq(10L, 11L, 12L),
+      "revived key must reappear after a post-tombstone upsert")
+  }
 }
