@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomFilterAgg, BloomMightContain, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles2, Shingles3, Simhash16, WordFingerprint, ZorderKey}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions.{BloomFilterAgg, BloomMightContain, CdcStarts, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles2, Shingles3, Simhash16, WordFingerprint, ZorderKey}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -56,7 +56,15 @@ object GraftFunctions {
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1)): Expression),
     (new FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[ZorderKey].getName, "zorder_key"),
-      (children: Seq[Expression]) => ZorderKey(children(0), children(1)): Expression)
+      (children: Seq[Expression]) => ZorderKey(children(0), children(1)): Expression),
+    (new FunctionIdentifier("cdc_starts"),
+      new ExpressionInfo(classOf[CdcStarts].getName, "cdc_starts"),
+      (children: Seq[Expression]) => (children match {
+        case Seq(bin, w: Literal, m: Literal) =>
+          CdcStarts(bin, w.value.asInstanceOf[Int], m.value.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "cdc_starts expects (binary, int literal window, int literal mod)")
+      }): Expression)
   )
 
   /** Idempotent per-session registration. */

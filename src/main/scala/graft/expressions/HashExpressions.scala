@@ -42,6 +42,14 @@ trait Md5Helper {
   protected def md5Hex(bytes: Array[Byte]): String =
     toHex(md5Raw(bytes))
 
+  /** Digest of bytes[offset, offset+len) without copying the slice. */
+  protected def md5Range(bytes: Array[Byte], offset: Int, len: Int): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.update(bytes, offset, len)
+    md.digest()
+  }
+
   /** Digest of prefix ++ body without concatenating the arrays. */
   protected def md5Parts(prefix: Array[Byte], body: Array[Byte]): Array[Byte] = {
     val md = mdLocal.get()
@@ -284,4 +292,49 @@ object MinHashSigs {
     * stays a non-negative BIGINT in both engines). */
   val SeedConsts: Array[Long] =
     Array(0L, 0x243F6A8885A308DL, 0x13198A2E0370734L, 0x082EFA98EC4E6C8L)
+}
+
+/** Content-defined chunk starts over a binary payload — the native form
+  * of q135's boundary scan: start positions (1-based) are [1] plus every
+  * i ≥ window+1 whose trailing `window`-byte md5 (top 60 bits, the
+  * 15-hex-char house parse) is ≡ 0 mod `mod`. One reused MessageDigest
+  * over (offset, len) slices replaces the interpreted
+  * transform+substr+md5+conv tree per byte position — the q135 bench
+  * hot spot (the digest itself is the irreducible cost; this removes
+  * the per-position expression interpretation and byte-array copies).
+  * Byte-identical to the HOF form and to DuckDB's substr+md5 oracle.
+  */
+case class CdcStarts(child: Expression, window: Int, mod: Int)
+    extends UnaryExpression with CodegenFallback with Md5Helper {
+
+  require(window >= 1 && mod >= 1, s"cdc_starts(window=$window, mod=$mod)")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_starts expects binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuilder.make[Any]
+    out += (1: Any)
+    var i = window + 1
+    while (i <= n) {
+      val d = md5Range(bytes, i - window - 1, window)
+      val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      if (h % mod == 0) out += (i: Any)
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcStarts =
+    copy(child = newChild)
 }

@@ -133,19 +133,15 @@ object MultimodalQueries extends QueryPack {
     * MultimodalSpec), so DuckDB's string substr/md5 sees the same
     * bytes the engine's binary slicing does. */
   def q135(s: SparkSession, d: String): DataFrame = {
-    val starts = concat(
-      array(lit(1)),
-      when(octet_length(col("payload")) >= 5,
-        filter(
-          transform(sequence(lit(5), octet_length(col("payload"))),
-            i => when(
-              conv(substring(md5(col("payload").substr(i - 4, lit(4))), 1, 15),
-                16, 10).cast("long") % 32 === 0, i)),
-          x => x.isNotNull))
-        .otherwise(array().cast("array<int>")))
+    graft.GraftFunctions.ensure(s)
+    // boundary scan through the native cdc_starts expression (one reused
+    // digest over (offset, len) slices); the interpreted HOF twin it
+    // replaced — transform(sequence(5, len), i -> md5(substr(...)) tree
+    // per byte — is equality-pinned in ExpressionSpec
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .withColumn("starts", starts)
+      .withColumn("starts",
+        call_function("cdc_starts", col("payload"), lit(4), lit(32)))
       .select(col("doc_id"), col("payload"),
         explode(transform(sequence(lit(1), size(col("starts"))), j =>
           struct(j.cast("long").as("chunk_idx"),
@@ -160,7 +156,58 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // q137: payload near-dup via shared CDC chunks ---------------------------
+
+  /** What the q135 chunk manifest is FOR: two binary payloads are
+    * near-duplicates when they share most content chunks — the
+    * storage-level dedup verdict (restic/borg-style) that needs no
+    * text parsing, no tokenizer, no embedding, and works on any
+    * modality. Distinct chunk digests per payload, a
+    * shared-by-≤64-docs frequency cap on join digests (q33's BandCap
+    * contract: ubiquitous boilerplate chunks cannot quadratically
+    * explode the candidate join), pair count via one digest-keyed
+    * self-join, Jaccard ≥ 0.5 verdict in integer basis points.
+    *
+    * Scale shape: the shuffle carries (digest, doc_id) pairs — 8-byte
+    * hashes, never payload bytes; candidate volume is bounded by
+    * cap·|digests|; the per-pair verdict is arithmetic on three
+    * counts (no re-reading payloads). Exactly q33's LSH-banding cost
+    * model with content chunks as the bands. */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val ChunkCap = 64
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("starts",
+        call_function("cdc_starts", col("payload"), lit(4), lit(32)))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("starts"))), j =>
+          md5(col("payload").substr(
+            element_at(col("starts"), j),
+            coalesce(try_element_at(col("starts"), j + 1),
+              octet_length(col("payload")) + 1) -
+              element_at(col("starts"), j))))).as("digest"))
+      .distinct()
+      .persist() // feeds sizes, the df cap, and both join sides
+    val sz = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val ok = chunks.groupBy(col("digest")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ChunkCap).select(col("digest"))
+    val shared = chunks.join(ok, Seq("digest")).as("x")
+      .join(chunks.as("y"),
+        col("x.digest") === col("y.digest") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    shared
+      .join(sz.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
+      .filter(col("common") * 2 >= col("ca") + col("cb") - col("common"))
+      .select(col("a"), col("b"),
+        expr("common * 10000L DIV (ca + cb - common)").as("jac_bp"))
+      .orderBy(col("a"), col("b"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_chunk_neardup"      -> q137 _,
     "q135_payload_cdc"        -> q135 _,
     "q54_multimodal_assemble" -> q54 _,
     "q55_binary_features"     -> q55 _,
@@ -169,6 +216,34 @@ object MultimodalQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q137_chunk_neardup" -> """
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
+                 FROM documents),
+      pos AS (SELECT doc_id, text, blen,
+                     unnest(generate_series(1, blen)) AS i FROM d),
+      f AS (SELECT doc_id, i,
+              CASE WHEN i >= 5 AND
+                CAST(('0x' || substr(md5(substr(text, i - 4, 4)), 1, 15)) AS BIGINT) % 32 = 0
+                THEN 1 ELSE 0 END AS cut
+            FROM pos),
+      c AS (SELECT doc_id, i,
+              SUM(cut) OVER (PARTITION BY doc_id ORDER BY i) + 1 AS chunk_idx
+            FROM f),
+      g AS (SELECT doc_id, chunk_idx, MIN(i) AS start, COUNT(*) AS n_bytes
+            FROM c GROUP BY doc_id, chunk_idx),
+      ch AS (SELECT DISTINCT g.doc_id,
+                    md5(substr(d.text, CAST(g.start AS INT), CAST(g.n_bytes AS INT))) AS digest
+             FROM g JOIN d ON d.doc_id = g.doc_id),
+      sz AS (SELECT doc_id, COUNT(*) AS c FROM ch GROUP BY doc_id),
+      ok AS (SELECT digest FROM ch GROUP BY digest HAVING COUNT(*) <= 64),
+      shared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+                 FROM ch x JOIN ok USING (digest)
+                      JOIN ch y ON y.digest = x.digest AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id)
+      SELECT a, b, common * 10000 // (za.c + zb.c - common) AS jac_bp
+      FROM shared JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+      WHERE common * 2 >= (za.c + zb.c - common)
+      ORDER BY a, b""",
     "q135_payload_cdc" -> """
       WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
                  FROM documents),

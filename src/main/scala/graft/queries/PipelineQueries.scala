@@ -432,7 +432,41 @@ object PipelineQueries extends QueryPack {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // q136: small-file compaction planner ------------------------------------
+
+  /** The OPTIMIZE/compaction primitive every long-lived 100 TB table
+    * needs: plan which small files merge into which target-sized
+    * output bins. Files are simulated from the fixture (one "file" per
+    * 32-doc run per source, bytes = Σ n_chars); within each source,
+    * files are laid out in file-id order and cut into bins by
+    * CUMULATIVE size — bin = (cumsum − bytes) DIV target — so every
+    * bin except the last holds ≥ target bytes once it closes, files
+    * never split, and the assignment is a pure prefix-sum (the same
+    * gaps-free binning DIV trick as q71's oracle, but metadata-sized).
+    *
+    * Scale shape: a compaction planner reads FILE METADATA, not data —
+    * the window runs over |files| rows (already thousands-fold smaller
+    * than the corpus; at 100 TB this is the manifest listing). The
+    * doc→file aggregation below is the only corpus-sized pass and
+    * map-combines. */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val Target = 4096L
+    val files = Tables.documents(s, d)
+      .groupBy(col("source"), expr("doc_id DIV 32").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bin", expr(s"(cum - bytes) DIV ${Target}L"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_compaction_plan" -> q136 _,
     "q133_cdc_chunking"    -> q133 _,
     "q69_bloom_semijoin"   -> q69 _,
     "q70_contamination"    -> q70 _,
@@ -535,6 +569,26 @@ object PipelineQueries extends QueryPack {
              CAST(len(kept) AS BIGINT) AS n_kept,
              md5(array_to_string(kept, ' ')) AS norm_md5
       FROM k ORDER BY doc_id""",
+    "q136_compaction_plan" -> """
+      WITH files AS (
+        SELECT source, doc_id // 32 AS file_id,
+               COUNT(*) AS n_docs, SUM(n_chars) AS bytes
+        FROM documents GROUP BY source, doc_id // 32),
+      cum AS (
+        SELECT source, file_id, n_docs, bytes,
+               SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM files),
+      binned AS (
+        SELECT source, file_id, bytes, (cum - bytes) // 4096 AS bin
+        FROM cum)
+      SELECT source, CAST(bin AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+             CAST(MIN(file_id) AS BIGINT) AS first_file,
+             CAST(MAX(file_id) AS BIGINT) AS last_file
+      FROM binned GROUP BY source, bin
+      ORDER BY source, bin""",
     "q133_cdc_chunking" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),

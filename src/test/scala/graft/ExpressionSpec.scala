@@ -225,4 +225,29 @@ class ExpressionSpec extends SparkSpec {
       .head()
     assert(rows.getLong(0) <= 63 && rows.getLong(1) <= 63)
   }
+
+  test("cdc_starts equals the HOF boundary scan on real payloads") {
+    GraftFunctions.ensure(spark)
+    val hof = concat(
+      array(lit(1)),
+      when(octet_length(col("payload")) >= 5,
+        filter(
+          transform(sequence(lit(5), octet_length(col("payload"))),
+            i => when(
+              conv(substring(md5(col("payload").substr(i - 4, lit(4))), 1, 15),
+                16, 10).cast("long") % 32 === 0, i)),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>")))
+    val diff = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(hof.as("hof"),
+        call_function("cdc_starts", col("payload"), lit(4), lit(32)).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+    // short-payload edge: below window+1 bytes there is exactly one chunk
+    val one = spark.sql("SELECT cdc_starts(CAST('abc' AS BINARY), 4, 32) AS s")
+      .head().getSeq[Int](0)
+    assert(one == Seq(1))
+  }
 }

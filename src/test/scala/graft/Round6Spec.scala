@@ -138,6 +138,64 @@ class Round6Spec extends SparkSpec {
       "chunk table differs from local recomputation")
   }
 
+  test("q136: compaction bins are contiguous, file-preserving, and match the prefix-sum rule") {
+    val rows = PipelineQueries.q136(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val files = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("source", "doc_id DIV 32 AS file_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((s0, f), ds) => (s0, f, ds.map(_._3).sum) }
+    files.groupBy(_._1).foreach { case (src, fs) =>
+      val ordered = fs.toSeq.sortBy(_._2)
+      var cum = 0L
+      val expected = ordered.map { case (_, fid, bytes) =>
+        val binId = cum / 4096; cum += bytes; (fid, binId, bytes)
+      }
+      val binRows = rows.filter(_._1 == src).sortBy(_._2)
+      expected.groupBy(_._2).foreach { case (bin, bfs) =>
+        val row = binRows.find(_._2 == bin).get
+        assert(row._3 == bfs.length && row._4 == bfs.map(_._3).sum, s"$src bin $bin")
+        assert(row._5 == bfs.map(_._1).min && row._6 == bfs.map(_._1).max)
+      }
+      // contiguity: bin k+1 starts after bin k ends — files never split or reorder
+      binRows.toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(1)._5 > pair(0)._6, s"$src bins overlap or reorder")
+      }
+    }
+  }
+
+  test("q137: chunk-level near-dup pairs equal a local set-Jaccard recomputation") {
+    val rows = MultimodalQueries.q137(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def chunkSet(bytes: String): Set[String] = {
+      val cuts = (5 to bytes.length).filter { i =>
+        java.lang.Long.parseLong(
+          md5hex(bytes.substring(i - 5, i - 1)).substring(0, 15), 16) % 32 == 0
+      }
+      val starts = 1 +: cuts
+      starts.zipWithIndex.map { case (st, j) =>
+        val end = if (j + 1 < starts.length) starts(j + 1) else bytes.length + 1
+        md5hex(bytes.substring(st - 1, end - 1))
+      }.toSet
+    }
+    val sets = docs.map { case (id, t) => id -> chunkSet(t) }.toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      ai <- ids.indices; bi <- ai + 1 until ids.length
+      a = ids(ai); b = ids(bi)
+      common = (sets(a) & sets(b)).count(df(_) <= 64)
+      if common > 0
+      union = sets(a).size + sets(b).size - common
+      if common * 2 >= union
+    } yield (a, b) -> common * 10000L / union).toMap
+    assert(rows == expected, "chunk near-dup pairs differ from local recomputation")
+    assert(rows.nonEmpty, "fixture near-dups should share chunks")
+  }
+
   test("q134: KS statistic equals a local exact two-sample recomputation") {
     val rows = GovernanceQueries.q134(spark, d).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
