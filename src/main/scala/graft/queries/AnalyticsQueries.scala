@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Round-4 product-analytics wave: funnel conversion, cohort retention,
@@ -314,7 +315,54 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  // q138: top converting session paths ------------------------------------
+
+  /** Path analytics — the top event-type sequences that END in a
+    * conversion, the product-analytics question q97's fixed funnel
+    * can't answer (q97 checks ONE ordained order; this discovers the
+    * orders that actually happen). Sessions are 2-hour-gap
+    * gaps-and-islands; each session's path is its first ≤8 events
+    * joined with '>' (the cap bounds per-session state under any
+    * activity skew — q110's degree-cap discipline applied to paths);
+    * converted = the capped prefix contains a purchase.
+    *
+    * Scale shape: ONE user_id shuffle feeds the lag, the running
+    * session sum, and the in-session row numbers (identical ordering,
+    * shared Exchange+Sort); the cap filter runs BEFORE the path
+    * aggregation so no task ever buffers an unbounded session; the
+    * final path rollup moves ≤8-type strings, and top-10 is a bounded
+    * sort. */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val GapUs = 7200000000L
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wRun = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("prev", lag(col("tus"), 1).over(wU))
+      .withColumn("cut",
+        (col("prev").isNull || col("tus") - col("prev") > GapUs).cast("int"))
+      .withColumn("sid", sum(col("cut")).over(wRun))
+    val wS = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("tus"), col("event_id"))
+    sess
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 8)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("tus"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"),
+        max((col("event_type") === "purchase").cast("int")).as("converted"))
+      .filter(col("converted") === 1)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_session_paths" -> q138 _,
     "q131_linear_attribution" -> q131 _,
     "q127_cdc_apply"  -> q127 _,
     "q128_mad_outliers" -> q128 _,
@@ -329,6 +377,27 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q138_session_paths" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+                 FROM events),
+      l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id) AS prev FROM e),
+      si AS (SELECT *,
+               SUM(CASE WHEN prev IS NULL OR tus - prev > 7200000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+             FROM l),
+      c AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                         ORDER BY tus, event_id) AS rn FROM si),
+      p AS (SELECT user_id, sid,
+              string_agg(event_type, '>' ORDER BY tus, event_id) AS path,
+              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+            FROM c WHERE rn <= 8 GROUP BY user_id, sid),
+      t AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM p WHERE converted = 1 GROUP BY path),
+      r AS (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk FROM t)
+      SELECT path, n_sessions FROM r WHERE rk <= 10
+      ORDER BY n_sessions DESC, path""",
     "q131_linear_attribution" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
                  FROM events),

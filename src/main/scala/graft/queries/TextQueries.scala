@@ -400,7 +400,31 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q139: classifier evaluation (confusion counts + per-class F1) --------
+
+  /** q132's eval discipline applied to the q123 classifier: per class,
+    * the confusion-matrix marginals (n_true, n_pred, tp) and F1 in
+    * integer basis points — 2·tp·10⁴ DIV (n_true + n_pred), the
+    * division-order-stable form — computed end-to-end in the engine.
+    * At 100 TB this is two map-combined |classes|-row aggregations
+    * over the prediction table plus a |classes|² join-free reconcile;
+    * the model-eval loop costs one narrow pass, not an export to a
+    * notebook. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    val pred = classify(Tables.documents(s, d))
+    val t = pred.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("tp"))
+    val p = pred.groupBy(col("pred").as("plang"))
+      .agg(count(lit(1)).as("n_pred"))
+    t.join(p, col("lang") === col("plang"), "left")
+      .na.fill(0L, Seq("n_pred"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        expr("tp * 20000L DIV (n_true + n_pred)").as("f1_bp"))
+      .orderBy(col("lang"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_classifier_eval" -> q139 _,
     "q129_perlang_quantile_gate" -> q129 _,
     "q123_linear_classifier" -> q123 _,
     "q120_dsir_weight"    -> q120 _,
@@ -455,6 +479,17 @@ object TextQueries extends QueryPack {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q139_classifier_eval" -> s"""
+      WITH eval AS ($clfSql),
+      t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+                   CAST(SUM(hit) AS BIGINT) AS tp
+            FROM eval GROUP BY lang),
+      pr AS (SELECT pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+             FROM eval GROUP BY pred)
+      SELECT t.lang, t.n_true, COALESCE(pr.n_pred, 0) AS n_pred, t.tp,
+             t.tp * 20000 // (t.n_true + COALESCE(pr.n_pred, 0)) AS f1_bp
+      FROM t LEFT JOIN pr ON pr.lang = t.lang
+      ORDER BY t.lang""",
     "q129_perlang_quantile_gate" -> """
       WITH hist AS (
         SELECT lang, n_chars, COUNT(*) AS cnt

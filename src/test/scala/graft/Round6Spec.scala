@@ -196,6 +196,45 @@ class Round6Spec extends SparkSpec {
     assert(rows.nonEmpty, "fixture near-dups should share chunks")
   }
 
+  test("q138: top converting paths equal a local sessionize-cap-count recomputation") {
+    val rows = AnalyticsQueries.q138(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS tus", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 7200000000L
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer[List[(Long, Long, String)]]()
+      ordered.foreach { e =>
+        if (sessions.isEmpty || e._3 - sessions.last.last._1 > gap)
+          sessions += List((e._3, e._2, e._4))
+        else sessions.update(sessions.length - 1, sessions.last :+ ((e._3, e._2, e._4)))
+      }
+      sessions.map(_.take(8)).filter(_.exists(_._3 == "purchase"))
+        .map(_.map(_._3).mkString(">"))
+    }
+    val expected = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(rows.toSeq == expected, s"paths differ:\n$rows\nvs\n$expected")
+  }
+
+  test("q139: confusion marginals and F1 reconcile with q123's verified predictions") {
+    val pred = TextQueries.q123(spark, d).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    val rows = TextQueries.q139(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val classes = pred.map(_._1).distinct
+    classes.foreach { c =>
+      val nTrue = pred.count(_._1 == c).toLong
+      val nPred = pred.count(_._2 == c).toLong
+      val tp = pred.count(p => p._1 == c && p._3 == 1).toLong
+      val f1 = tp * 20000 / (nTrue + nPred)
+      assert(rows(c) == ((nTrue, nPred, tp, f1)), s"class $c mismatch")
+    }
+    assert(rows.keySet == classes.toSet)
+  }
+
   test("q134: KS statistic equals a local exact two-sample recomputation") {
     val rows = GovernanceQueries.q134(spark, d).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
