@@ -383,20 +383,26 @@ object TextQueries extends QueryPack {
     * broadcasts back onto the corpus — the full pass stays narrow.
     * Cut definition (quantile_disc lower bound, integer-exact on both
     * engines): the smallest n_chars with cum·5 ≥ total. */
-  def q129(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** The trained artifact of the gate: one (lang, cut) row per
+    * language, derived from the value histogram. Batch computes this
+    * periodically; [[graft.streaming.Streaming.gated]] applies it to a
+    * document STREAM as a stateless broadcast — the train-batch /
+    * apply-stream split every production quality gate runs. */
+  private[graft] def langCuts(docs: DataFrame): DataFrame = {
     val hist = docs.groupBy(col("lang"), col("n_chars"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cuts = hist
+    hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
       .filter(col("cum") * 5 >= col("total"))
       .groupBy(col("lang")).agg(min(col("n_chars")).as("cut"))
-    docs.join(broadcast(cuts), Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("cut"),
-        (col("n_chars") >= col("cut")).cast("int").as("kept"))
+  }
+
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.streaming.Streaming.gated(docs, langCuts(docs))
       .orderBy(col("doc_id"))
   }
 

@@ -32,6 +32,8 @@ object Streaming {
 
   case class Doc(doc_id: Long, text: String)
 
+  case class GDoc(doc_id: Long, lang: String, n_chars: Long)
+
   /** q41's quality-scoring map as a shared batch/stream builder: the
     * Tier-L cleaning operators are STATELESS per-row expressions, so
     * the identical plan runs over a bounded corpus and over a document
@@ -85,6 +87,19 @@ object Streaming {
     events.join(broadcast(dim), Seq("event_type"), "left")
       .select(col("event_id"), col("user_id"), col("event_type"),
         coalesce(col("weight"), lit(0L)).as("weight"))
+
+  /** q129's per-language quantile gate, apply side: the trained cut
+    * table (a |langs|-row artifact from `TextQueries.langCuts`)
+    * broadcasts onto a document batch OR stream — stateless row-local
+    * compare, no watermark, no state store. This is the train-batch /
+    * apply-stream split of every production quality gate: the batch
+    * side recomputes cuts periodically (the histogram needs a bounded
+    * corpus), the stream applies the latest artifact to documents in
+    * flight. Stream ≡ batch by construction; spec'd. */
+  def gated(docs: DataFrame, cuts: DataFrame): DataFrame =
+    docs.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("cut"),
+        (col("n_chars") >= col("cut")).cast("int").as("kept"))
 
   /** q127's CDC changelog→snapshot apply as a shared batch/stream
     * builder: per key, ONE map-combined `max_by` fold on the

@@ -200,4 +200,34 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"denseIds must not plan a single-partition exchange:\n$plan")
   }
+
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
+    // The 100 TB layout: the fact table is a partitioned directory tree;
+    // a selective dim-side filter must reach the fact SCAN as a runtime
+    // partition filter (DPP), so only the matching partitions are read —
+    // the mechanism that turns a full-corpus scan into a one-partition
+    // read on a real cluster.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, sf("sf0.001"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(s"$dir/fact")
+    // dim carries the selective predicate on a NON-join column — the
+    // shape DPP exists for (filter can't push to the fact directly)
+    Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type")).distinct()
+      .withColumn("weight",
+        when(col("event_type") === "purchase", lit(5L)).otherwise(lit(1L)))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("weight") === 5)
+    val joined = fact.join(dim, Seq("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition filter:\n$plan")
+    // and it is still correct: only purchase rows aggregate
+    val got = joined.collect()
+    val expected = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") === "purchase").count()
+    assert(got.length == 1 && got.head.getLong(1) == expected)
+  }
 }

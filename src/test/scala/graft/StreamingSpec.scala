@@ -447,6 +447,30 @@ class StreamingSpec extends SparkSpec {
     idx2.unpersist(); idx.unpersist()
   }
 
+  test("quantile gate: batch-trained cuts apply to a document stream, stream equals batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the "corpus" the batch side trains cuts on
+    val corpus = graft.Tables.documents(spark, sf("sf0.001"))
+    val cuts = graft.queries.TextQueries.langCuts(corpus)
+    val arriving = Seq(
+      Streaming.GDoc(9001, "en", 500), Streaming.GDoc(9002, "en", 50),
+      Streaming.GDoc(9003, "de", 300), Streaming.GDoc(9004, "zh", 60))
+    val mem = MemoryStream[Streaming.GDoc]
+    val q = Streaming.gated(mem.toDF(), cuts)
+      .writeStream.format("memory").queryName("t_gate")
+      .outputMode("append").start()
+    mem.addData(arriving: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_gate").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streaming.gated(arriving.toDF(), cuts).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.nonEmpty && streamed.forall(r => Set(0, 1)(r.last.asInstanceOf[Int])))
+  }
+
   test("CDC snapshot: streamed changelog equals batch apply; tombstones drop and revive keys") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
