@@ -151,7 +151,46 @@ object AggQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  // q141: incremental aggregate maintenance (partial-state merge) --------
+
+  /** The warehouse incremental pattern: nightly PARTIAL states per
+    * (day, type) — mergeable (sum, count, min, max) tuples — roll up
+    * to the monthly aggregate by MERGING states, never rescanning the
+    * raw events. The query materializes both paths and reports them
+    * side by side per event_type: the merged-partials monthly result
+    * next to the direct full-scan result, with a drift flag that must
+    * read 0 everywhere (the algebraic-state law checked in-engine —
+    * count adds, sum adds, min/max fold).
+    *
+    * Scale shape: each day's partial is |types| rows; a month's merge
+    * touches 30·|types| rows regardless of corpus size — at 100 TB the
+    * raw scan happens once per day, and every wider rollup (week,
+    * month, year) is state-merge arithmetic. avg is derived
+    * (sum DIV count), never stored — the classic non-mergeable trap. */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      dayofmonth(col("ts")).as("day"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_m"), sum(col("sc")).as("sum_m"),
+        min(col("mn")).as("min_m"), max(col("mx")).as("max_m"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_d"), sum(col("cents")).as("sum_d"),
+        min(col("cents")).as("min_d"), max(col("cents")).as("max_d"))
+    merged.join(direct, Seq("event_type"))
+      .select(col("event_type"), col("n_m"), col("sum_m"), col("min_m"), col("max_m"),
+        expr("sum_m DIV n_m").as("avg_cents"),
+        (col("n_m") =!= col("n_d") || col("sum_m") =!= col("sum_d") ||
+          col("min_m") =!= col("min_d") || col("max_m") =!= col("max_d"))
+          .cast("int").as("drift"))
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_partial_merge"  -> q141 _,
     "q60_hotkey_fanout"   -> q60 _,
     "q61_perkey_quantiles" -> q61 _,
     "q64_sample_perkey"   -> q64 _,
@@ -167,6 +206,27 @@ object AggQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q141_partial_merge" -> """
+      WITH ev AS (SELECT event_type, day(ts) AS day,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events),
+      daily AS (SELECT event_type, day, COUNT(*) AS n, SUM(cents) AS sc,
+                       MIN(cents) AS mn, MAX(cents) AS mx
+                FROM ev GROUP BY event_type, day),
+      merged AS (SELECT event_type,
+                        CAST(SUM(n) AS BIGINT) AS n_m, CAST(SUM(sc) AS BIGINT) AS sum_m,
+                        CAST(MIN(mn) AS BIGINT) AS min_m, CAST(MAX(mx) AS BIGINT) AS max_m
+                 FROM daily GROUP BY event_type),
+      direct AS (SELECT event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n_d, CAST(SUM(cents) AS BIGINT) AS sum_d,
+                        CAST(MIN(cents) AS BIGINT) AS min_d, CAST(MAX(cents) AS BIGINT) AS max_d
+                 FROM ev GROUP BY event_type)
+      SELECT m.event_type, m.n_m, m.sum_m, m.min_m, m.max_m,
+             m.sum_m // m.n_m AS avg_cents,
+             CAST(NOT (m.n_m = d.n_d AND m.sum_m = d.sum_d AND
+                       m.min_m = d.min_d AND m.max_m = d.max_d) AS INT) AS drift
+      FROM merged m JOIN direct d USING (event_type)
+      ORDER BY m.event_type""",
     "q60_hotkey_fanout" -> """
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -97,6 +97,60 @@ object SimilarityQueries extends QueryPack {
     out
   }
 
+  // q140: doc-level containment join (near-superset dedup) ----------------
+
+  /** The asymmetric complement of q108: find documents whose shingle
+    * set is ≥90% CONTAINED in another document — the "this doc is a
+    * subset of that doc" dedup verdict (boilerplate pages inside
+    * aggregators, quoted articles, partial re-crawls) that symmetric
+    * Jaccard misses when the container is much larger. C(a→b) =
+    * |a∩b| / |a| ≥ 0.9, so only the PROBE side explodes a prefix (its
+    * sa − ⌈0.9·sa⌉ + 1 rarest tokens — pigeonhole-lossless, q114's
+    * doc-level form) against the full corpus token index; the
+    * container side never explodes prefixes and only pairs where
+    * sb ≥ ⌈0.9·sa⌉. Verification is one array_intersect on the
+    * persisted signature table. Integer forms: ⌈9s/10⌉ =
+    * (9s+9) DIV 10; the verdict is 10·∩ ≥ 9·sa. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        array_distinct(call_function("shingles3", col("ws"))).as("shs"))
+      .select(col("doc_id"), transform(col("shs"),
+        sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist()
+    val ex = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), t => t.getField("h")).as("toks"),
+        size(col("ts")).as("sz"))
+      .persist()
+    val probe = ordered.select(col("doc_id").as("a"), col("sz").as("sa"),
+        explode(expr("slice(toks, 1, sz - (9*sz + 9) DIV 10 + 1)")).as("h"))
+    val index = ordered.select(col("doc_id").as("b"), col("sz").as("sb"),
+        explode(col("toks")).as("h"))
+    val cand = probe.join(index,
+        probe("h") === index("h") && col("a") =!= col("b") &&
+          col("sb") * 10 >= col("sa") * 9)
+      .select(col("a"), col("b")).distinct()
+    val out = cand
+      .join(ordered.select(col("doc_id").as("a"), col("toks").as("ta"),
+        col("sz").as("sa2")), Seq("a"))
+      .join(ordered.select(col("doc_id").as("b"), col("toks").as("tb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .filter(col("inter") * 10 >= col("sa2") * 9)
+      .select(col("a"), col("b"), expr("(10000 * inter) DIV sa2").as("cont_bp"))
+      .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    ordered.unpersist(); base.unpersist()
+    out
+  }
+
   // q109: sorted-neighborhood record linkage ------------------------------
 
   def q109(s: SparkSession, d: String): DataFrame = {
@@ -296,6 +350,7 @@ object SimilarityQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_setsim_join"         -> q108 _,
+    "q140_containment_join"    -> q140 _,
     "q109_sorted_neighbor"     -> q109 _,
     "q110_triangles"           -> q110 _,
     "q111_bigram_surprise"     -> q111 _,
@@ -386,6 +441,28 @@ object SimilarityQueries extends QueryPack {
       SELECT bs.doc_id, COALESCE(m.n, 0) AS n_matches, CAST(m.n IS NULL AS INT) AS kept
       FROM bsrc bs LEFT JOIN m ON m.b = bs.doc_id
       ORDER BY bs.doc_id""",
+    "q140_containment_join" -> """
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      shs AS (SELECT doc_id,
+                list_distinct([array_to_string(words[i:i+2], ' ')
+                               for i in generate_series(1, greatest(len(words)-2, 0))]) AS sh
+              FROM docs),
+      ex AS (SELECT doc_id, CAST(('0x' || substr(md5(sp), 1, 15)) AS BIGINT) AS h
+             FROM (SELECT doc_id, unnest(sh) AS sp FROM shs)),
+      dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+      t AS (SELECT doc_id, list(ex.h ORDER BY df, ex.h) AS toks, COUNT(*) AS sz
+            FROM ex JOIN dfreq USING (h) GROUP BY doc_id),
+      probe AS (SELECT doc_id AS a, sz AS sa,
+                       unnest(toks[1 : sz - (9*sz + 9) // 10 + 1]) AS h FROM t),
+      idx AS (SELECT doc_id AS b, sz AS sb, unnest(toks) AS h FROM t),
+      cand AS (SELECT DISTINCT p.a, i.b
+               FROM probe p JOIN idx i ON i.h = p.h AND p.a <> i.b
+                AND 10 * i.sb >= 9 * p.sa),
+      j AS (SELECT a, b, ta.sz AS sa,
+              len(list_intersect(ta.toks, tb.toks)) AS inter
+            FROM cand JOIN t ta ON ta.doc_id = a JOIN t tb ON tb.doc_id = b)
+      SELECT a, b, (10000 * inter) // sa AS cont_bp
+      FROM j WHERE 10 * inter >= 9 * sa ORDER BY a, b""",
     "q108_setsim_join" -> """
       WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       shs AS (SELECT doc_id,

@@ -235,6 +235,44 @@ class Round6Spec extends SparkSpec {
     assert(rows.keySet == classes.toSet)
   }
 
+  test("q140: containment join equals brute force over all ordered pairs (lossless)") {
+    val rows = graft.queries.SimilarityQueries.q140(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.split(" ")
+      (if (ws.length < 3) Seq.empty
+       else (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" "))).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b && sb.size * 10 >= sa.size * 9
+      inter = (sa & sb).size
+      if inter * 10 >= sa.size * 9
+    } yield (a, b) -> inter * 10000L / sa.size).toMap
+    assert(rows == expected, "prefix-filtered containment must equal brute force")
+    assert(rows.nonEmpty, "fixture should contain near-superset pairs")
+  }
+
+  test("q141: merged daily partials never drift from the direct aggregate") {
+    val out = graft.queries.AggQueries.q141(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(out.nonEmpty && out.forall(_._7 == 0), s"drift detected: $out")
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("event_type", "CAST(floor(value * 100) AS LONG) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    ev.groupBy(_._1).foreach { case (t, vs) =>
+      val row = out.find(_._1 == t).get
+      val cs = vs.map(_._2)
+      assert(row._2 == cs.length && row._3 == cs.sum &&
+        row._4 == cs.min && row._5 == cs.max && row._6 == cs.sum / cs.length,
+        s"$t merged stats differ from raw recomputation")
+    }
+  }
+
   test("q134: KS statistic equals a local exact two-sample recomputation") {
     val rows = GovernanceQueries.q134(spark, d).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
