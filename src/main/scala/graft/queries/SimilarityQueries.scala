@@ -113,41 +113,61 @@ object SimilarityQueries extends QueryPack {
     * (9s+9) DIV 10; the verdict is 10·∩ ≥ 9·sa. */
   def q140(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
-    val base = Tables.documents(s, d)
+    // q114's exact-set collapse, doc-level: clones collapse to one
+    // representative per UNIQUE shingle set before any candidate work,
+    // so the prefix join's cost is independent of the corpus
+    // duplication rate (without it, a 30×-cloned fixture paid 85 s at
+    // sf3 in pure clone-quadratic candidates); the member fan-out at
+    // the end writes the true — legitimately quadratic-in-clones —
+    // answer rows. Identical sets contain each other by definition,
+    // so same-key candidate pairs stay in and the a ≠ b filter lives
+    // at fan-out, where doc identities exist.
+    def setKey(a: org.apache.spark.sql.Column) =
+      md5(concat_ws(",", transform(array_sort(a), _.cast("string"))))
+    val keyed = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"),
         array_distinct(call_function("shingles3", col("ws"))).as("shs"))
       .select(col("doc_id"), transform(col("shs"),
         sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long")).as("hs"))
       .filter(size(col("hs")) > 0)
+      .withColumn("key", setKey(col("hs")))
+    val mem = keyed.select(col("key"), col("doc_id")).persist()
+    val grp = keyed.groupBy(col("key"))
+      .agg(first(array_sort(col("hs"))).as("toks"))
+      .withColumn("sz", size(col("toks")))
       .persist()
-    val ex = base.select(col("doc_id"), explode(col("hs")).as("h"))
-    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"))
-      .select(col("doc_id"),
-        transform(col("ts"), t => t.getField("h")).as("toks"),
-        size(col("ts")).as("sz"))
-      .persist()
-    val probe = ordered.select(col("doc_id").as("a"), col("sz").as("sa"),
-        explode(expr("slice(toks, 1, sz - (9*sz + 9) DIV 10 + 1)")).as("h"))
-    val index = ordered.select(col("doc_id").as("b"), col("sz").as("sb"),
-        explode(col("toks")).as("h"))
-    val cand = probe.join(index,
-        probe("h") === index("h") && col("a") =!= col("b") &&
-          col("sb") * 10 >= col("sa") * 9)
-      .select(col("a"), col("b")).distinct()
-    val out = cand
-      .join(ordered.select(col("doc_id").as("a"), col("toks").as("ta"),
-        col("sz").as("sa2")), Seq("a"))
-      .join(ordered.select(col("doc_id").as("b"), col("toks").as("tb")), Seq("b"))
+    val gx = grp.select(col("key"), explode(col("toks")).as("h"))
+    val dfreq = gx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // pigeonhole prefix over unique sets: ANY sz − ⌈0.9·sz⌉ + 1
+    // elements of a must hit a 90%-container, rarest-first ordering
+    // just minimizes candidates
+    val preSized = gx.join(dfreq, Seq("h"))
+      .join(grp.select(col("key"), col("sz")), Seq("key"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("sz") - expr("(9*sz + 9) DIV 10") + 1)
+      .select(col("key").as("akey"), col("sz").as("sa"), col("h"))
+    val cand = preSized.join(
+        gx.select(col("key").as("bkey"), col("h")), Seq("h"))
+      .join(grp.select(col("key").as("bkey"), col("sz").as("sb")), Seq("bkey"))
+      .filter(col("sb") * 10 >= col("sa") * 9)
+      .select(col("akey"), col("bkey")).distinct()
+    val pairs = cand
+      .join(grp.select(col("key").as("akey"), col("toks").as("ta"),
+        col("sz").as("sa")), Seq("akey"))
+      .join(grp.select(col("key").as("bkey"), col("toks").as("tb")), Seq("bkey"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      .filter(col("inter") * 10 >= col("sa2") * 9)
-      .select(col("a"), col("b"), expr("(10000 * inter) DIV sa2").as("cont_bp"))
+      .filter(col("inter") * 10 >= col("sa") * 9)
+      .select(col("akey"), col("bkey"), expr("(10000 * inter) DIV sa").as("cont_bp"))
+    val out = pairs
+      .join(mem.select(col("key").as("akey"), col("doc_id").as("a")), Seq("akey"))
+      .join(mem.select(col("key").as("bkey"), col("doc_id").as("b")), Seq("bkey"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("cont_bp"))
       .orderBy(col("a"), col("b"))
       .localCheckpoint(true)
-    ordered.unpersist(); base.unpersist()
+    grp.unpersist(); mem.unpersist()
     out
   }
 
