@@ -361,7 +361,53 @@ object AnalyticsQueries extends QueryPack {
       .limit(10)
   }
 
+  // q142: A/B experiment analysis (exact-integer chi-square) -------------
+
+  /** Experiment readout without floats: users hash-split into arms A/B
+    * (user_id mod 2 — stand-in for an assignment column), per-arm
+    * conversion = "did the user emit this event_type at least once",
+    * and the 2×2 chi-square independence test evaluated ENTIRELY by
+    * cross-multiplication — n·(ad−bc)²·1000 > 3841·(a+b)(c+d)(a+c)(b+d)
+    * is exactly χ² > 3.841 (p < 0.05, df=1) with zero division and
+    * zero floats; DECIMAL(38,0) arithmetic ≡ DuckDB HUGEINT (q106's
+    * contract) keeps the ~10²⁰ intermediate exact on both engines.
+    *
+    * Scale shape: one distinct (user, type) reduction (map-combined),
+    * one |users|-row arm/conversion rollup, then a |types|-row 2×2
+    * evaluation — the corpus is touched once; the test is arithmetic
+    * on five rows. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    // arm sizes as a 1-row broadcast (q99's global-scalar pattern — no
+    // driver-side collect in the query body)
+    val sizes = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val conv = perUser.join(users, Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("conv_b"))
+    conv.crossJoin(broadcast(sizes))
+      .selectExpr("event_type", "conv_a", "n_a", "conv_b", "n_b",
+        // a=conv_a, b=n_a-conv_a, c=conv_b, d=n_b-conv_b
+        """CAST(CASE WHEN
+             CAST(n_a + n_b AS DECIMAL(38,0)) *
+             CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DECIMAL(38,0)) *
+             CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DECIMAL(38,0)) * 1000 >
+             3841 * CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) *
+             CAST(conv_a + conv_b AS DECIMAL(38,0)) *
+             CAST(n_a + n_b - conv_a - conv_b AS DECIMAL(38,0))
+           THEN 1 ELSE 0 END AS INT) AS significant""",
+        """CAST(CASE WHEN conv_a * n_b > conv_b * n_a THEN 1
+                WHEN conv_a * n_b < conv_b * n_a THEN -1 ELSE 0 END AS INT) AS direction""")
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_ab_chisquare" -> q142 _,
     "q138_session_paths" -> q138 _,
     "q131_linear_attribution" -> q131 _,
     "q127_cdc_apply"  -> q127 _,
@@ -377,6 +423,31 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q142_ab_chisquare" -> """
+      WITH pu AS (SELECT DISTINCT user_id, event_type FROM events),
+      u AS (SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS arm FROM events),
+      sizes AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                       SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+                FROM u),
+      conv AS (SELECT pu.event_type,
+                      SUM(CASE WHEN u.arm = 0 THEN 1 ELSE 0 END) AS conv_a,
+                      SUM(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS conv_b
+               FROM pu JOIN u USING (user_id) GROUP BY pu.event_type)
+      SELECT event_type,
+             CAST(conv_a AS BIGINT) AS conv_a, CAST(n_a AS BIGINT) AS n_a,
+             CAST(conv_b AS BIGINT) AS conv_b, CAST(n_b AS BIGINT) AS n_b,
+             CAST(CASE WHEN
+               CAST(n_a + n_b AS HUGEINT) *
+               CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS HUGEINT) *
+               CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS HUGEINT) * 1000 >
+               3841 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) *
+               CAST(conv_a + conv_b AS HUGEINT) *
+               CAST(n_a + n_b - conv_a - conv_b AS HUGEINT)
+             THEN 1 ELSE 0 END AS INT) AS significant,
+             CAST(CASE WHEN conv_a * n_b > conv_b * n_a THEN 1
+                  WHEN conv_a * n_b < conv_b * n_a THEN -1 ELSE 0 END AS INT) AS direction
+      FROM conv, sizes
+      ORDER BY event_type""",
     "q138_session_paths" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
                  FROM events),

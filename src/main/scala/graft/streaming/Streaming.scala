@@ -137,6 +137,21 @@ object Streaming {
         col("n"), col("sum_value"))
   }
 
+  /** Beam's `Top.PerKey` over event-time windows on an UNBOUNDED input:
+    * [[tumblingCounts]] (complete/update mode) maintains the
+    * per-(window, type) counts as streaming state — that aggregation is
+    * the scalable part, its state is |windows|·|types| rows regardless
+    * of stream volume — and this finisher ranks WITHIN each window over
+    * that metadata-sized table (per micro-batch via foreachBatch, or on
+    * the final in-memory table). The identical finisher runs on the
+    * batch counts, so stream ≡ batch by construction (spec'd). */
+  def topKPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start_us"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Session windows per user (12h gap) — q23's shape. */
   def sessionCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))

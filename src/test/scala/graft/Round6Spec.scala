@@ -273,6 +273,27 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q142: chi-square 2x2 verdicts equal an exact local recomputation") {
+    val rows = AnalyticsQueries.q142(spark, d).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getInt(6)))).toMap
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val users = ev.map(_._1).distinct
+    val (armA, armB) = users.partition(_ % 2 == 0)
+    ev.map(_._2).distinct.foreach { t =>
+      val convA = armA.count(u => ev.contains((u, t))).toLong
+      val convB = armB.count(u => ev.contains((u, t))).toLong
+      val (na, nb) = (armA.length.toLong, armB.length.toLong)
+      val adbc = BigInt(convA * (nb - convB) - convB * (na - convA))
+      val sig = if (BigInt(na + nb) * adbc * adbc * 1000 >
+        BigInt(3841) * na * nb * (convA + convB) * (na + nb - convA - convB)) 1 else 0
+      val dir = (convA * nb) compare (convB * na)
+      assert(rows(t) == ((convA, na, convB, nb, sig, dir)), s"$t mismatch")
+    }
+  }
+
   test("q134: KS statistic equals a local exact two-sample recomputation") {
     val rows = GovernanceQueries.q134(spark, d).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

@@ -447,6 +447,30 @@ class StreamingSpec extends SparkSpec {
     idx2.unpersist(); idx.unpersist()
   }
 
+  test("windowed top-k: rank over streamed window counts equals batch Top.PerKey") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val data = rows ++ Seq(
+      Ev(6, ts(1, 2), 12, "view", 1.0), Ev(7, ts(1, 3), 13, "view", 1.0),
+      Ev(8, ts(2, 4), 14, "error", 1.0), Ev(9, ts(2, 5), 15, "error", 1.0))
+    val mem = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("t_topk")
+      .outputMode("complete").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = Streaming.topKPerWindow(spark.table("t_topk"), 2)
+      .select("w_start_us", "rk", "event_type", "n")
+      .orderBy("w_start_us", "rk").collect().map(_.toSeq).toSeq
+    val batch = Streaming.topKPerWindow(Streaming.tumblingCounts(data.toDF()), 2)
+      .select("w_start_us", "rk", "event_type", "n")
+      .orderBy("w_start_us", "rk").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty, s"stream=$streamed batch=$batch")
+    // per-window cap respected
+    assert(streamed.groupBy(_.head).values.forall(_.size <= 2))
+  }
+
   test("quantile gate: batch-trained cuts apply to a document stream, stream equals batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
