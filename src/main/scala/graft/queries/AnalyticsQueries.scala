@@ -406,7 +406,44 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  // q143: cross-metric correlation matrix --------------------------------
+
+  /** The metrics-health question "which KPIs move together": Pearson
+    * correlation between every pair of event_type daily-value series —
+    * q76's exact-moment discipline applied to the |types|² matrix. The
+    * corpus is touched ONCE (the map-combined daily rollup); the
+    * day-keyed self-join and the moment aggregation run over the
+    * |days|·|types| metadata table, so the matrix costs arithmetic,
+    * not scans. Integer cent sums feed the double formula — both
+    * engines cast the same exact integers, so the floored 1e6
+    * fixed-point correlation is bit-identical. */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), dayofmonth(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v"))
+    val a = daily.select(col("event_type").as("ta"), col("day"), col("v").as("va"))
+    val b = daily.select(col("event_type").as("tb"), col("day"), col("v").as("vb"))
+    val g = a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("va")).cast("double").as("sx"),
+        sum(col("vb")).cast("double").as("sy"),
+        sum(col("va") * col("vb")).cast("double").as("sxy"),
+        sum(col("va") * col("va")).cast("double").as("sxx"),
+        sum(col("vb") * col("vb")).cast("double").as("syy"))
+    val nD = col("n_days").cast("double")
+    val corr = (nD * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+       sqrt(nD * col("syy") - col("sy") * col("sy")))
+    g.select(col("ta"), col("tb"), col("n_days"),
+        floor(corr * 1e6).cast("long").as("corr_fp"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_metric_corr"  -> q143 _,
     "q142_ab_chisquare" -> q142 _,
     "q138_session_paths" -> q138 _,
     "q131_linear_attribution" -> q131 _,
@@ -423,6 +460,25 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q143_metric_corr" -> """
+      WITH daily AS (
+        SELECT event_type, day(ts) AS day,
+               SUM(CAST(floor(value * 100) AS BIGINT)) AS v
+        FROM events GROUP BY event_type, day(ts)),
+      g AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               COUNT(*) AS n_days,
+               CAST(SUM(a.v) AS DOUBLE) AS sx, CAST(SUM(b.v) AS DOUBLE) AS sy,
+               CAST(SUM(a.v * b.v) AS DOUBLE) AS sxy,
+               CAST(SUM(a.v * a.v) AS DOUBLE) AS sxx,
+               CAST(SUM(b.v * b.v) AS DOUBLE) AS syy
+        FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type)
+      SELECT ta, tb, CAST(n_days AS BIGINT) AS n_days,
+             CAST(floor(((CAST(n_days AS DOUBLE) * sxy - sx * sy) /
+                  (sqrt(CAST(n_days AS DOUBLE) * sxx - sx * sx) *
+                   sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy))) * 1000000) AS BIGINT) AS corr_fp
+      FROM g ORDER BY ta, tb""",
     "q142_ab_chisquare" -> """
       WITH pu AS (SELECT DISTINCT user_id, event_type FROM events),
       u AS (SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS arm FROM events),

@@ -152,6 +152,20 @@ object Streaming {
     counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Exactly-once-to-files, the foreachBatch sink discipline: each
+    * micro-batch overwrites its OWN batch=<id> partition (dynamic
+    * partition overwrite), so replaying a batch after a failure —
+    * Structured Streaming's at-least-once delivery to foreachBatch —
+    * rewrites the same rows instead of appending duplicates. Combined
+    * with the checkpointed batch id this is the standard
+    * effectively-once file sink; spec'd by replaying a batch and
+    * asserting no duplication. */
+  def idempotentBatchSink(dir: String)(df: DataFrame, batchId: Long): Unit =
+    df.withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(dir)
+
   /** Session windows per user (12h gap) — q23's shape. */
   def sessionCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))

@@ -294,6 +294,33 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q143: metric correlation matrix equals a local exact-moment recomputation") {
+    val rows = AnalyticsQueries.q143(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val daily = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("event_type", "day(CAST(ts AS TIMESTAMP)) AS day",
+        "CAST(floor(value * 100) AS LONG) AS cents")
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val types = daily.keys.map(_._1).toSeq.distinct.sorted
+    for (i <- types.indices; j <- i + 1 until types.length) {
+      val (ta, tb) = (types(i), types(j))
+      val days = daily.keys.filter(_._1 == ta).map(_._2)
+        .toSet & daily.keys.filter(_._1 == tb).map(_._2).toSet
+      val xs = days.toSeq.sorted.map(dd => (daily((ta, dd)), daily((tb, dd))))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+      val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+      val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+      val syy = xs.map(p => p._2 * p._2).sum.toDouble
+      val corr = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(rows((ta, tb)) == ((xs.length.toLong, math.floor(corr * 1e6).toLong)),
+        s"($ta,$tb) correlation mismatch")
+    }
+    assert(rows.size == types.length * (types.length - 1) / 2)
+  }
+
   test("q134: KS statistic equals a local exact two-sample recomputation") {
     val rows = GovernanceQueries.q134(spark, d).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

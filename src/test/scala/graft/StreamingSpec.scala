@@ -447,6 +447,23 @@ class StreamingSpec extends SparkSpec {
     idx2.unpersist(); idx.unpersist()
   }
 
+  test("idempotent batch sink: replaying a batch rewrites its partition, no duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val sink = Streaming.idempotentBatchSink(dir) _
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((3L, "z")).toDF("id", "v")
+    sink(a, 0L); sink(b, 1L)
+    sink(a, 0L) // failure replay: at-least-once delivery of batch 0
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 3, "replay must not duplicate batch 0's rows")
+    assert(out.filter(col("batch") === 0).count() == 2 &&
+      out.filter(col("batch") === 1).count() == 1)
+    // and a REVISED replay of the same batch id wins (overwrite, not merge)
+    sink(a.filter(col("id") === 1), 0L)
+    assert(spark.read.parquet(dir).filter(col("batch") === 0).count() == 1)
+  }
+
   test("windowed top-k: rank over streamed window counts equals batch Top.PerKey") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
