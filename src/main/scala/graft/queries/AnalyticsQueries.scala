@@ -442,7 +442,33 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("ta"), col("tb"))
   }
 
+  // q144: rolling 7-day active users (WAU per day) -----------------------
+
+  /** The DAU/WAU staple: for every day, how many DISTINCT users were
+    * active in the trailing 7-day window. Naively this is 30 separate
+    * COUNT(DISTINCT) scans or a giant window-distinct; the scalable
+    * form reduces the corpus to distinct (user, day) pairs FIRST
+    * (map-combined — the only corpus-sized stage), then each pair
+    * fans out to the ≤7 window-ends it contributes to (a bounded
+    * generator, q113's sequence discipline), and one distinct
+    * aggregation per (window_end, user) yields the counts. Shuffles
+    * carry (user_id, day) — never events. */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"), dayofmonth(col("ts")).as("day")).distinct()
+    val maxDay = 31
+    userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), least(col("day") + 6, lit(maxDay)))).as("wend"))
+      .distinct()
+      .groupBy(col("wend"))
+      .agg(count(lit(1)).as("wau"))
+      .select(col("wend").cast("long").as("day"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_rolling_wau"  -> q144 _,
     "q143_metric_corr"  -> q143 _,
     "q142_ab_chisquare" -> q142 _,
     "q138_session_paths" -> q138 _,
@@ -460,6 +486,14 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q144_rolling_wau" -> """
+      WITH ud AS (SELECT DISTINCT user_id, day(ts) AS day FROM events),
+      f AS (SELECT DISTINCT user_id, wend FROM (
+              SELECT user_id,
+                     unnest(generate_series(day, LEAST(day + 6, 31))) AS wend
+              FROM ud))
+      SELECT CAST(wend AS BIGINT) AS day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM f GROUP BY wend ORDER BY day""",
     "q143_metric_corr" -> """
       WITH daily AS (
         SELECT event_type, day(ts) AS day,

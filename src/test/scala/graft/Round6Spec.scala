@@ -321,6 +321,19 @@ class Round6Spec extends SparkSpec {
     assert(rows.size == types.length * (types.length - 1) / 2)
   }
 
+  test("q144: rolling WAU equals a local trailing-7-day distinct recomputation") {
+    val rows = AnalyticsQueries.q144(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ud = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "day(CAST(ts AS TIMESTAMP)) AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    (1 to 31).foreach { wend =>
+      val wau = ud.filter { case (_, day) => day <= wend && day > wend - 7 }
+        .map(_._1).distinct.length.toLong
+      assert(rows.getOrElse(wend.toLong, 0L) == wau, s"day $wend WAU mismatch")
+    }
+  }
+
   test("q134: KS statistic equals a local exact two-sample recomputation") {
     val rows = GovernanceQueries.q134(spark, d).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
