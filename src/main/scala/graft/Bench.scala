@@ -79,6 +79,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // compact summary LAST: the driver's artifact keeps only the final
+    // ~2000 chars of output, which truncates the per-query map above
+    // (BENCH_r06 parsed:null) — this self-contained metric line
+    // guarantees the headline numbers survive the cut
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

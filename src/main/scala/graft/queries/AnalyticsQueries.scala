@@ -434,11 +434,14 @@ object AnalyticsQueries extends QueryPack {
         sum(col("va") * col("va")).cast("double").as("sxx"),
         sum(col("vb") * col("vb")).cast("double").as("syy"))
     val nD = col("n_days").cast("double")
-    val corr = (nD * col("sxy") - col("sx") * col("sy")) /
-      (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
-       sqrt(nD * col("syy") - col("sy") * col("sy")))
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    // zero-variance guard: a constant daily series makes corr 0/0 = NaN,
+    // where Spark's floor(NaN).cast(long) yields NULL but DuckDB's CAST
+    // raises — emit NULL explicitly (and identically in the oracle)
+    val corr = (nD * col("sxy") - col("sx") * col("sy")) / (sqrt(vx) * sqrt(vy))
     g.select(col("ta"), col("tb"), col("n_days"),
-        floor(corr * 1e6).cast("long").as("corr_fp"))
+        when(vx > 0 && vy > 0, floor(corr * 1e6).cast("long")).as("corr_fp"))
       .orderBy(col("ta"), col("tb"))
   }
 
@@ -509,9 +512,12 @@ object AnalyticsQueries extends QueryPack {
         FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
         GROUP BY a.event_type, b.event_type)
       SELECT ta, tb, CAST(n_days AS BIGINT) AS n_days,
-             CAST(floor(((CAST(n_days AS DOUBLE) * sxy - sx * sy) /
+             CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n_days AS DOUBLE) * syy - sy * sy > 0
+             THEN CAST(floor(((CAST(n_days AS DOUBLE) * sxy - sx * sy) /
                   (sqrt(CAST(n_days AS DOUBLE) * sxx - sx * sx) *
-                   sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy))) * 1000000) AS BIGINT) AS corr_fp
+                   sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy))) * 1000000) AS BIGINT)
+             ELSE NULL END AS corr_fp
       FROM g ORDER BY ta, tb""",
     "q142_ab_chisquare" -> """
       WITH pu AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -576,7 +582,7 @@ object AnalyticsQueries extends QueryPack {
              FROM t)
       SELECT p.user_id, COUNT(*) AS n_purchases,
              COUNT(cr.n_touch) AS n_attributed,
-             COALESCE(SUM(cr.credit), 0) AS credit_sum
+             CAST(COALESCE(SUM(cr.credit), 0) AS BIGINT) AS credit_sum
       FROM p LEFT JOIN cr ON cr.user_id = p.user_id AND cr.p_id = p.p_id
       GROUP BY p.user_id ORDER BY p.user_id""",
     "q127_cdc_apply" -> """

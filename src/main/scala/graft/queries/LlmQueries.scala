@@ -624,12 +624,15 @@ object LlmQueries extends QueryPack {
     val hits = gt.join(ann, Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
     val annN = ann.groupBy(col("q_id")).agg(count(lit(1)).as("n_ann"))
-    gt.groupBy(col("q_id")).agg(count(lit(1)).as("n_gt"))
+    val out = gt.groupBy(col("q_id")).agg(count(lit(1)).as("n_gt"))
       .join(annN, Seq("q_id"), "left").join(hits, Seq("q_id"), "left")
       .na.fill(0L, Seq("n_ann", "n_hits"))
       .select(col("q_id"), col("n_gt"), col("n_ann"), col("n_hits"),
         expr("n_hits * 100L DIV n_gt").as("recall_pct"))
       .orderBy(col("q_id"))
+      .localCheckpoint(true) // materialize so the persist below can release
+    e.unpersist()
+    out
   }
 
   // q130: leakage-safe train/val/test split --------------------------------

@@ -130,7 +130,7 @@ object MultimodalQueries extends QueryPack {
     * lazily per window and per chunk, never leaves its task, zero
     * shuffle before the presentation sort. Oracle note: fixture
     * payloads are ASCII text bytes (precondition pinned in
-    * MultimodalSpec), so DuckDB's string substr/md5 sees the same
+    * GovernanceSpec), so DuckDB's string substr/md5 sees the same
     * bytes the engine's binary slicing does. */
   def q135(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
@@ -197,13 +197,16 @@ object MultimodalQueries extends QueryPack {
         col("x.digest") === col("y.digest") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("common"))
-    shared
+    val out = shared
       .join(sz.select(col("doc_id").as("a"), col("c").as("ca")), Seq("a"))
       .join(sz.select(col("doc_id").as("b"), col("c").as("cb")), Seq("b"))
       .filter(col("common") * 2 >= col("ca") + col("cb") - col("common"))
       .select(col("a"), col("b"),
         expr("common * 10000L DIV (ca + cb - common)").as("jac_bp"))
       .orderBy(col("a"), col("b"))
+      .localCheckpoint(true) // materialize so the persist above can release
+    chunks.unpersist()
+    out
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -286,7 +289,7 @@ object MultimodalQueries extends QueryPack {
     // payload exactly for ANY input. frame_md5 must stay char-based
     // (this DuckDB build has no BLOB substring/md5), which coincides
     // with Spark's byte slicing only for single-byte text — the
-    // MultimodalSpec "fixture corpus is pure ASCII" test pins that
+    // GovernanceSpec "fixture corpus is pure ASCII" test pins that
     // precondition instead of leaving it implicit.
     "q116_frame_sample" -> """
       WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS blen,

@@ -228,16 +228,17 @@ class ExpressionSpec extends SparkSpec {
 
   test("cdc_starts equals the HOF boundary scan on real payloads") {
     GraftFunctions.ensure(spark)
-    val hof = concat(
-      array(lit(1)),
-      when(octet_length(col("payload")) >= 5,
-        filter(
-          transform(sequence(lit(5), octet_length(col("payload"))),
-            i => when(
-              conv(substring(md5(col("payload").substr(i - 4, lit(4))), 1, 15),
-                16, 10).cast("long") % 32 === 0, i)),
-          x => x.isNotNull))
-        .otherwise(array().cast("array<int>")))
+    val hof = when(octet_length(col("payload")) === 0, array().cast("array<int>"))
+      .otherwise(concat(
+        array(lit(1)),
+        when(octet_length(col("payload")) >= 5,
+          filter(
+            transform(sequence(lit(5), octet_length(col("payload"))),
+              i => when(
+                conv(substring(md5(col("payload").substr(i - 4, lit(4))), 1, 15),
+                  16, 10).cast("long") % 32 === 0, i)),
+            x => x.isNotNull))
+          .otherwise(array().cast("array<int>"))))
     val diff = Tables.documents(spark, sf("sf0.001"))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .select(hof.as("hof"),
@@ -249,5 +250,10 @@ class ExpressionSpec extends SparkSpec {
     val one = spark.sql("SELECT cdc_starts(CAST('abc' AS BINARY), 4, 32) AS s")
       .head().getSeq[Int](0)
     assert(one == Seq(1))
+    // empty-payload edge: zero chunks, matching the oracle's
+    // generate_series(1, 0) (zero rows), not one empty chunk
+    val none = spark.sql("SELECT cdc_starts(CAST('' AS BINARY), 4, 32) AS s")
+      .head().getSeq[Int](0)
+    assert(none.isEmpty)
   }
 }

@@ -55,6 +55,22 @@ def main(sf_dir, out_dir, timeout=None):
                 print(f"FAIL {name}: {e}"); n_fail += 1
             continue
         if timer: timer.cancel()
+        # Oracle result-type lint (round 7): DuckDB promotes SUM(BIGINT) to
+        # HUGEINT (INT128); the driver's typed hash then diverges from the
+        # engine's BIGINT even when every value matches (q131 in round 6
+        # passed this row-compare for three waves while failing the driver).
+        # DESCRIBE is plan-only, so this costs nothing. House rule: every
+        # oracle SUM over integers must be CAST(... AS BIGINT).
+        try:
+            otypes = con.sql(f"DESCRIBE ({sql.rstrip().rstrip(';')})").df()
+            huge = [r["column_name"] for _, r in otypes.iterrows()
+                    if "HUGEINT" in str(r["column_type"]).upper()]
+            if huge:
+                print(f"FAIL {name}: oracle columns {huge} are HUGEINT — "
+                      f"driver typed-hash will diverge; CAST(... AS BIGINT)")
+                n_fail += 1; continue
+        except Exception:
+            pass  # DESCRIBE quirk must not mask the value compare below
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
         if list(got.columns) != list(want.columns):
