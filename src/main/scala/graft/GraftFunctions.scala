@@ -64,8 +64,48 @@ object GraftFunctions {
           CdcStarts(bin, w.value.asInstanceOf[Int], m.value.asInstanceOf[Int])
         case _ => throw new IllegalArgumentException(
           "cdc_starts expects (binary, int literal window, int literal mod)")
+      }): Expression),
+    // Mergeable t-digest quantile sketch (TypedImperativeAggregate):
+    // tdigest_quantiles(x, array(p…)[, delta]) → array<double>.
+    // Probabilities (and the optional compression) must be literals —
+    // they parameterize the aggregation buffer itself.
+    (new FunctionIdentifier("tdigest_quantiles"),
+      new ExpressionInfo(classOf[graft.expressions.TDigestAgg].getName, "tdigest_quantiles"),
+      (children: Seq[Expression]) => (children match {
+        case Seq(c, ps) if ps.foldable =>
+          graft.expressions.TDigestAgg(c, literalDoubles(ps)).toAggregateExpression()
+        case Seq(c, ps, d: Literal) if ps.foldable =>
+          graft.expressions.TDigestAgg(c, literalDoubles(ps),
+            d.value.asInstanceOf[Int]).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "tdigest_quantiles expects (numeric, array<double> literal[, int literal delta])")
+      }): Expression),
+    // Spark's own bounded-heap top-k collector (private in catalyst,
+    // forwarded by GraftAggBridge): the algebraic form of per-group
+    // ORDER BY + LIMIT k. Unlike the Window+row_number formulation it
+    // needs NO sort on either side of the shuffle — each partial keeps
+    // a size-k heap, the shuffle carries ≤ k rows per (partition, key).
+    // collect_topk(x, k, reverse): reverse=false → k largest,
+    // descending; reverse=true → k smallest, ascending. Works on any
+    // orderable type incl. struct (lexicographic).
+    (new FunctionIdentifier("collect_topk"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge.type].getName,
+        "collect_topk"),
+      (children: Seq[Expression]) => (children match {
+        case Seq(c, k: Literal, rev: Literal) =>
+          org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge
+            .collectTopK(c, k.value.asInstanceOf[Int],
+              rev.value.asInstanceOf[Boolean])
+            .toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "collect_topk expects (expr, int literal k, boolean literal reverse)")
       }): Expression)
   )
+
+  private def literalDoubles(e: Expression): Seq[Double] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
 
   /** Idempotent per-session registration. */
   def ensure(spark: SparkSession): Unit = {

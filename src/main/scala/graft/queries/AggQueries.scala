@@ -58,6 +58,26 @@ object AggQueries extends QueryPack {
         col("q").getItem(1).as("p50"),
         col("q").getItem(2).as("p75"))
 
+  /** q145 (rows-only): per-key approximate quantiles through graft's
+    * own mergeable t-digest (expressions/TDigestAgg — the
+    * TypedImperativeAggregate sketch rung next to CMS/Bloom/HLL).
+    * Estimates are merge-order-sensitive in the last decimals, so the
+    * oracle contract is q47/q48's rows-only; SketchSpec pins ≤ 1 %
+    * rank error against exact `percentile` and merge-order stability
+    * of the bound. q61 stays the exact oracle-checked counterpart. */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(call_function("tdigest_quantiles", col("value"),
+        typedLit(Array(0.5, 0.95, 0.99))).as("q"))
+      .select(col("event_type"),
+        col("q").getItem(0).as("p50"),
+        col("q").getItem(1).as("p95"),
+        col("q").getItem(2).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** q61: per-key quantiles (Beam ApproximateQuantiles.PerKey, exact
     * form): EXACT interpolated percentiles per event_type via Spark's
     * `percentile`, which applies the same lower+(upper-lower)*frac
@@ -198,6 +218,7 @@ object AggQueries extends QueryPack {
     "q46_custom_moments"  -> q46 _,
     "q47_approx_distinct" -> q47 _,
     "q48_approx_quantiles"-> q48 _,
+    "q145_tdigest_quantiles" -> q145 _,
     "q49_sample_det"      -> q49 _,
     "q50_intersect"       -> q50 _,
     "q51_except"          -> q51 _,

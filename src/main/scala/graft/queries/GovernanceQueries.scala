@@ -118,17 +118,29 @@ object GovernanceQueries extends QueryPack {
     * columns to DECIMAL(38,0)-pairs (hi/lo split). GovernanceSpec
     * pins the in-bound behavior. */
   def q106(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("event_type"),
-      expr("CAST(FLOOR(value * 100) AS DECIMAL(38,0))").as("c"))
-    val st = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"),
-      sum(col("c")).as("s"),
-      sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("ss"))
-    ev.join(broadcast(st), Seq("event_type"))
+    // One corpus scan, not two: collapse to the (event_type, cents)
+    // VALUE HISTOGRAM first (map-side combined; ~21:1 at sf1, and the
+    // reduction only improves with scale since the cents domain is
+    // fixed), derive the exact moments from the weighted histogram, and
+    // flag each distinct value once — cnt rows at a time. The former
+    // shape re-scanned events and ran the flag per ROW; this one's
+    // post-shuffle work is arithmetic over the histogram only.
+    // histogram key kept LONG through the shuffle (long hashing beats
+    // decimal); the exact-decimal arithmetic starts after the collapse
+    val grp = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cl"))
+      .groupBy(col("event_type"), col("cl")).agg(count(lit(1)).as("cnt"))
+      .withColumn("c", expr("CAST(cl AS DECIMAL(38,0))"))
+    val st = grp.groupBy(col("event_type")).agg(
+      sum(col("cnt")).as("n"),
+      sum(expr("CAST(c * CAST(cnt AS DECIMAL(38,0)) AS DECIMAL(38,0))")).as("s"),
+      sum(expr("CAST(c * c * CAST(cnt AS DECIMAL(38,0)) AS DECIMAL(38,0))")).as("ss"))
+    grp.join(broadcast(st), Seq("event_type"))
       .withColumn("out",
         expr("""CASE WHEN (c * CAST(n AS DECIMAL(38,0)) - s) * (c * CAST(n AS DECIMAL(38,0)) - s)
                         > 4 * (CAST(n AS DECIMAL(38,0)) * ss - s * s)
-                THEN 1L ELSE 0L END"""))
+                THEN cnt ELSE 0L END"""))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"), sum(col("out")).as("n_out"))
       .orderBy(col("event_type"))

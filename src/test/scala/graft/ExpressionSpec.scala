@@ -226,6 +226,39 @@ class ExpressionSpec extends SparkSpec {
     assert(rows.getLong(0) <= 63 && rows.getLong(1) <= 63)
   }
 
+  test("collect_topk orientation: reverse=false k largest desc, reverse=true k smallest asc") {
+    GraftFunctions.ensure(spark)
+    val r = spark.sql(
+      "SELECT collect_topk(x, 3, false) AS lg, collect_topk(x, 3, true) AS sm " +
+      "FROM VALUES (5),(1),(9),(3),(7) AS v(x)").head()
+    assert(r.getSeq[Int](0) == Seq(9, 7, 5))
+    assert(r.getSeq[Int](1) == Seq(1, 3, 5))
+    // struct ordering is lexicographic — the (−price, key) encoding q09
+    // relies on: smallest (−price, key) = largest price, ties by key asc
+    val s = spark.sql(
+      "SELECT collect_topk(named_struct('np', -p, 'k', k), 2, true) AS t FROM VALUES " +
+      "(9.0D, 4L), (9.0D, 2L), (5.0D, 1L) AS v(p, k)").head()
+    val top = s.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r0 => (-r0.getDouble(0), r0.getLong(1))) == Seq((9.0, 2L), (9.0, 4L)))
+    // equals the Window+row_number form on real data
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = orders.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= 3).select("o_orderpriority", "o_orderkey").collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1))).toSet
+    val got = orders.groupBy(col("o_orderpriority"))
+      .agg(call_function("collect_topk",
+        struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("ok")),
+        lit(3), lit(true)).as("t"))
+      .select(col("o_orderpriority"), explode(col("t")).as("s"))
+      .select(col("o_orderpriority"), col("s.ok")).collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("cdc_starts equals the HOF boundary scan on real payloads") {
     GraftFunctions.ensure(spark)
     val hof = when(octet_length(col("payload")) === 0, array().cast("array<int>"))

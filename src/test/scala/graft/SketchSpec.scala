@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tolerance contract for the t-digest quantile sketch
+  * (expressions/TDigestAgg): estimates must land within 1 % RANK error
+  * of the exact distribution — the meaningful bound for a rank-space
+  * sketch (value-space error is unbounded for heavy tails) — and the
+  * bound must hold regardless of partitioning, i.e. of partial-merge
+  * order. */
+class SketchSpec extends SparkSpec {
+
+  private def rankErrors(parts: Int): Seq[Double] = {
+    GraftFunctions.ensure(spark)
+    val vals = Tables.events(spark, sf("sf0.01")).select(col("value"))
+    val est = vals.repartition(parts)
+      .agg(call_function("tdigest_quantiles", col("value"),
+        typedLit(Array(0.1, 0.5, 0.95, 0.99))).as("q"))
+      .head().getSeq[Double](0)
+    val n = vals.count().toDouble
+    est.zip(Seq(0.1, 0.5, 0.95, 0.99)).map { case (e, p) =>
+      val rank = vals.filter(col("value") <= e).count() / n
+      math.abs(rank - p)
+    }
+  }
+
+  test("tdigest_quantiles holds 1% rank error on real data") {
+    val errs = rankErrors(8)
+    assert(errs.forall(_ <= 0.01), s"rank errors: $errs")
+  }
+
+  test("tdigest_quantiles bound is merge-order independent") {
+    // 1 partition (no partial merges) and 13 (odd fan-in) must both hold
+    assert(rankErrors(1).forall(_ <= 0.01))
+    assert(rankErrors(13).forall(_ <= 0.01))
+  }
+
+  test("tdigest_quantiles edges: empty group is NaN, singleton is exact") {
+    GraftFunctions.ensure(spark)
+    val e = spark.sql(
+      "SELECT tdigest_quantiles(x, array(0.5D)) AS q FROM (SELECT 1.0D AS x WHERE false)")
+      .head().getSeq[Double](0)
+    assert(e.head.isNaN)
+    val one = spark.sql(
+      "SELECT tdigest_quantiles(x, array(0.01D, 0.99D)) AS q FROM VALUES (42.0D) AS v(x)")
+      .head().getSeq[Double](0)
+    assert(one == Seq(42.0, 42.0))
+  }
+}
