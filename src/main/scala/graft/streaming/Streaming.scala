@@ -312,6 +312,112 @@ object Streaming {
         TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[UserCount]])
   }
 
+  // ---- multi-timer stateful processor (session monitor) -----------------
+
+  /** One emitted signal of the session monitor: `kind` is
+    * `idle_warning` (session still open), `inactivity` or
+    * `duration_cap` (closed — the reason). */
+  case class SessionSignal(user_id: Long, kind: String, n_events: Long, at_ms: Long)
+
+  private case class SessState(startMs: Long, lastMs: Long, n: Long)
+  private case class SessTimers(warnAt: Long, closeAt: Long, capAt: Long)
+
+  /** The multi-timer exemplar for Spark 4's `transformWithState`
+    * (deepens the Spark-4 stateful surface beyond RunningCountProcessor's
+    * single ValueState): a per-user session monitor coordinating THREE
+    * event-time timers per key —
+    *
+    *  1. idle warning at lastEvent + gap/2 (fires, session stays open);
+    *  2. inactivity close at lastEvent + gap (both slide on every new
+    *     event: the stale timers are DELETED and re-registered — the
+    *     deleteTimer/registerTimer dance Beam's per-key timer map does
+    *     implicitly);
+    *  3. a hard duration cap at sessionStart + maxDur, registered once
+    *     at session start, that closes a never-idle session.
+    *
+    * Expired timers are disambiguated against the expected timestamps
+    * kept in a second ValueState (the timer payload pattern — Spark
+    * timers carry only their timestamp). Closing clears state AND
+    * deletes the surviving timers, so a closed key holds zero state —
+    * at 100 TB the store scales with |open sessions|, and every firing
+    * is driven by the event-time watermark, not wall clock.
+    * StreamingSpec drives all three firings through MemoryStream. */
+  class SessionMonitorProcessor(gapMs: Long, maxDurMs: Long)
+      extends StatefulProcessor[Long, Ev, SessionSignal] {
+    @transient private var sess: ValueState[SessState] = _
+    @transient private var tmr: ValueState[SessTimers] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[SessState]("sess", Encoders.product[SessState], TTLConfig.NONE)
+      tmr = getHandle.getValueState[SessTimers]("tmr", Encoders.product[SessTimers], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[SessionSignal] = {
+      var minMs = Long.MaxValue; var maxMs = Long.MinValue; var cnt = 0L
+      rows.foreach { e =>
+        val ms = e.ts.getTime
+        if (ms < minMs) minMs = ms
+        if (ms > maxMs) maxMs = ms
+        cnt += 1
+      }
+      if (cnt == 0) return Iterator.empty
+      val cur = if (sess.exists()) sess.get() else SessState(minMs, minMs, 0L)
+      val next = SessState(math.min(cur.startMs, minMs), math.max(cur.lastMs, maxMs), cur.n + cnt)
+      val fresh = !sess.exists()
+      if (!fresh) {
+        // slide the idle timers: drop the stale pair before re-arming.
+        // Spark timers are identified by (key, timestamp) ALONE — a
+        // sliding timer that lands on the cap's timestamp is the SAME
+        // timer (caught by StreamingSpec: an idle warning at
+        // lastEvent+gap/2 == sessionStart+maxDur silently deleted the
+        // cap) — so never delete a timestamp the cap owns
+        val old = tmr.get()
+        if (old.warnAt != old.capAt) getHandle.deleteTimer(old.warnAt)
+        if (old.closeAt != old.capAt) getHandle.deleteTimer(old.closeAt)
+      }
+      val nt = SessTimers(
+        warnAt = next.lastMs + gapMs / 2,
+        closeAt = next.lastMs + gapMs,
+        capAt = next.startMs + maxDurMs)
+      getHandle.registerTimer(nt.warnAt)
+      getHandle.registerTimer(nt.closeAt)
+      if (fresh) getHandle.registerTimer(nt.capAt) // armed once per session
+      tmr.update(nt)
+      sess.update(next)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionSignal] = {
+      if (!sess.exists()) return Iterator.empty
+      val st = sess.get(); val ts = tmr.get()
+      val at = expired.getExpiryTimeInMs
+      def closeWith(kind: String, surviving: Seq[Long]): Iterator[SessionSignal] = {
+        surviving.foreach(getHandle.deleteTimer)
+        sess.clear(); tmr.clear()
+        Iterator.single(SessionSignal(key, kind, st.n, at))
+      }
+      if (at == ts.closeAt) closeWith("inactivity", Seq(ts.capAt))
+      else if (at == ts.capAt) closeWith("duration_cap", Seq(ts.warnAt, ts.closeAt))
+      else if (at == ts.warnAt) Iterator.single(SessionSignal(key, "idle_warning", st.n, at))
+      else Iterator.empty // a stale timer raced its deletion; state says ignore
+    }
+  }
+
+  /** Builder: event-time multi-timer session monitoring over a stream
+    * of [[Ev]]. Watermark drives every firing; delay 0 keeps the spec
+    * deterministic (MemoryStream batches advance it between adds). */
+  def sessionMonitor(events: Dataset[Ev], gapMs: Long, maxDurMs: Long): Dataset[SessionSignal] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionMonitorProcessor(gapMs, maxDurMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[SessionSignal]])
+  }
+
   // ---- streaming LSH near-dup (Tier-L × streams) ------------------------
 
   /** Persisted LSH index over a bounded corpus — the static side of the

@@ -126,6 +126,43 @@ class IoSpec extends SparkSpec {
       "dynamic overwrite must not clobber other batches")
   }
 
+  test("evolved read reconciles renamed, added, and widened columns across vintages") {
+    import graft.sources.EvolvedRead
+    val dir = tmp()
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // vintage 0: original layout — `cents` INT, no `source` column
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") % 1000).cast("int").as("cents"))
+      .write.parquet(s"$dir/v0")
+    // vintage 1: `cents` renamed to `amount_cents` AND widened to LONG,
+    // `source` added
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") % 1000).cast("long").as("amount_cents"), col("source"))
+      .write.parquet(s"$dir/v1")
+    val ev = EvolvedRead.read(spark, Seq(s"$dir/v0", s"$dir/v1"),
+      renames = Seq(Map("cents" -> "amount_cents")), tagVintage = true)
+    // reconciled schema: rename unified, type widened to LONG, add null-filled
+    assert(ev.schema("amount_cents").dataType.typeName == "long")
+    assert(ev.columns.toSeq == Seq("doc_id", "lang", "amount_cents", "source", "_vintage"))
+    assert(ev.count() == docs.count())
+    // old vintage rows carry NULL source; values survive the rename+cast
+    assert(ev.filter(col("_vintage") === 0 && col("source").isNotNull).count() == 0)
+    assert(ev.filter(col("source").isNull).count() ==
+      docs.filter(col("doc_id") % 2 === 0).count())
+    val expectSum = docs.agg(sum(col("n_chars") % 1000)).head().getLong(0)
+    assert(ev.agg(sum(col("amount_cents"))).head().getLong(0) == expectSum)
+    // irreconcilable types fail loudly at plan time
+    docs.limit(5).select(col("doc_id"), col("lang").as("amount_cents"))
+      .write.parquet(s"$dir/v2")
+    val err = intercept[IllegalArgumentException] {
+      EvolvedRead.read(spark, Seq(s"$dir/v0", s"$dir/v2"),
+        renames = Seq(Map("cents" -> "amount_cents")))
+    }
+    assert(err.getMessage.contains("irreconcilable"))
+  }
+
   test("binary payload survives a parquet round-trip") {
     val dir = tmp() + "/b"
     val df = Tables.documents(spark, sf("sf0.001"))

@@ -303,6 +303,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("multi-timer session monitor: idle warning, inactivity close, duration cap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(uid: Long, ms: Long) =
+        Streaming.Ev(ms, new java.sql.Timestamp(ms), uid, "click", 1.0)
+      val mem = MemoryStream[Streaming.Ev]
+      // gap 10 s (warn at +5 s), hard cap 60 s
+      val q = Streaming.sessionMonitor(mem.toDS(), gapMs = 10000L, maxDurMs = 60000L)
+        .writeStream.format("memory").queryName("t_sessmon")
+        .outputMode("append").start()
+      // user 10: two events then silence → idle_warning@8000, inactivity@13000
+      // user 11: an event every 8 s through 64 s — never idle, so only the
+      // duration cap at 1000+60000 can close it (after 9 events)
+      mem.addData(ev(10, 1000), ev(10, 3000), ev(11, 1000)); q.processAllAvailable()
+      (8000L to 64000L by 8000L).foreach { ms =>
+        mem.addData(ev(11, ms)); q.processAllAvailable()
+      }
+      // watermark driver: push event time far past every pending timer
+      mem.addData(ev(99, 200000)); q.processAllAvailable()
+      mem.addData(ev(99, 300000)); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_sessmon")
+        .filter(col("user_id").isin(10L, 11L))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (10L, "idle_warning", 2L, 8000L),
+        (10L, "inactivity", 2L, 13000L),
+        (11L, "duration_cap", 9L, 61000L)), s"got: $got")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate source: Beam PeriodicImpulse parity (timestamped ticks drive a pipeline)") {
     val src = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
     assert(src.isStreaming)
