@@ -202,61 +202,30 @@ object SimilarityQueries extends QueryPack {
   val TriCap = 8
 
   def q110(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     // id-oriented edges (a < b): suppliers appearing in the same order.
-    // Pair generation is one hash exchange on ok + a per-partition
-    // sorted linear scan (a Beam-DoFn-shaped mapPartitions, q56's
-    // rung): consecutive same-ok runs collapse to a distinct sorted
-    // supplier set (size bounded by lines-per-order, a business-domain
-    // constant ~7) and emit their i<j pairs with zero agg buffers.
-    // Measured at sf1 against three declarative shapes (BASELINE.md):
-    // lo⋈lo self-join 3.97 s, groupBy+HOF-lambda expansion 12.6 s
-    // (interpreted lambdas), groupBy+posexplode∘slice 3.85 s,
-    // this hybrid 3.08 s — the ObjectHashAggregate set buffers were
-    // the cost, not the pair volume.
-    val pairs = Tables.lineitem(s, d)
+    // Pair generation: collapse each order to its distinct sorted
+    // supplier set (one exchange on ok; set size is bounded by
+    // lines-per-order, a business-domain constant ≤16 in this data),
+    // then expand the i<j pairs with two chained GENERATORS
+    // (posexplode, explode∘slice) — builtin expressions, whole-stage
+    // codegen, zero per-pair object allocation. Raced against the
+    // alternatives at BOTH scales (BASELINE.md round-7): the lo⋈lo
+    // self-join is 3.97 s @sf1 / 14.0 s @sf3; a typed-mapPartitions
+    // pair scan wins at sf1 (3.08 s) but its per-pair Tuple2 boxing
+    // turns 36 M pairs into GC churn at sf3 (12.7–30.4 s, unstable);
+    // this form is 3.85 s @sf1 and 5.7 s @sf3 — the only shape whose
+    // cost stays data-proportional, which is what 100 TB needs. The
+    // lambda-HOF expansion (transform∘transform∘flatten) evaluates
+    // interpreted: 12.6 s @sf1, rejected.
+    val sks = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .repartition(col("ok"))
-      .sortWithinPartitions("ok", "sk")
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val buf = new scala.collection.mutable.ArrayBuffer[Long](32)
-        var curOk = Long.MinValue
-        var pending: Iterator[(Long, Long)] = Iterator.empty
-        // buf holds one order's sk values, sorted with possible dups
-        // (the sort key); flush dedups adjacent values while pairing
-        def flush(): Iterator[(Long, Long)] = {
-          if (buf.length < 2) { buf.clear(); Iterator.empty }
-          else {
-            val arr = buf.toArray; buf.clear()
-            val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-            var i = 0
-            while (i < arr.length) {
-              var j = i + 1
-              while (j < arr.length) {
-                if (arr(j) != arr(i)) out += ((arr(i), arr(j)))
-                j += 1
-              }
-              while (i + 1 < arr.length && arr(i + 1) == arr(i)) i += 1
-              i += 1
-            }
-            out.iterator
-          }
-        }
-        new Iterator[(Long, Long)] {
-          def hasNext: Boolean = {
-            while (!pending.hasNext && it.hasNext) {
-              val (ok, sk) = it.next()
-              if (ok != curOk) { pending = flush(); curOk = ok }
-              buf += sk
-            }
-            if (!pending.hasNext && !it.hasNext && buf.nonEmpty) pending = flush()
-            pending.hasNext
-          }
-          def next(): (Long, Long) = pending.next()
-        }
-      }
-      .toDF("a", "b")
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("sk"))).as("sks"))
+      .filter(size(col("sks")) >= 2)
+    val pairs = sks
+      .select(col("sks"), posexplode(col("sks")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("sks"), col("i") + 2,
+          size(col("sks")) - col("i") - 1)).as("b"))
     // dedup + degree cap fused into ONE aggregation: collect_set
     // deduplicates a's neighbor set (the cap must see DISTINCT
     // neighbors, so a pure bounded heap can't stand alone), sort+slice

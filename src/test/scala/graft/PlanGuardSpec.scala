@@ -166,15 +166,17 @@ class PlanGuardSpec extends SparkSpec {
       s"outlier join must not shuffle the event table:\n$plan")
   }
 
-  test("q110 pair-gen is the sorted mapPartitions scan; dedup+cap fuse into one collect_set") {
+  test("q110 pair-gen is generator expansion of per-order sets; dedup+cap fuse into one collect_set") {
     val plan = SparkEntry.queries("q110_triangles")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("MapPartitions"),
-      s"pair generation must be the per-partition sorted scan:\n$plan")
+    assert(plan.contains("Generate"),
+      s"pair expansion must be builtin generators (posexplode/slice):\n$plan")
     assert(plan.contains("collect_set"),
       s"dedup + degree cap must fuse into one collect_set aggregation:\n$plan")
     assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window("),
       s"no window pass may survive the fused cap:\n$plan")
+    assert(!plan.contains("MapPartitions"),
+      s"no typed row-object stage in the pair path (GC-unstable at scale):\n$plan")
   }
 
   test("q111 force-broadcasts only the unigram vocab; the bigram-type join is threshold-governed") {
