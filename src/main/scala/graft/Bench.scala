@@ -83,7 +83,9 @@ object Bench {
     // ~2000 chars of output, which truncates the per-query map above
     // (BENCH_r06 parsed:null) — this self-contained metric line
     // guarantees the headline numbers survive the cut
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // distinct metric name so a first-match-by-metric parser can't
+    // confuse the two lines or double-count totals
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

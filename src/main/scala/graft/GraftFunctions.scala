@@ -103,9 +103,25 @@ object GraftFunctions {
       }): Expression)
   )
 
-  private def literalDoubles(e: Expression): Seq[Double] =
-    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toDoubleArray().toSeq
+  // Element-wise so `array(0.5, 0.95)` (whose unsuffixed literals fold to
+  // DECIMAL elements) works, not just array<double>; anything non-foldable
+  // or non-numeric falls through to the usage IllegalArgumentException.
+  private def literalDoubles(e: Expression): Seq[Double] = {
+    val arr = e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case _ => throw new IllegalArgumentException(
+        "tdigest_quantiles expects a foldable array of numeric probabilities")
+    }
+    val et = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    (0 until arr.numElements()).map { i =>
+      arr.get(i, et) match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"tdigest_quantiles: probability element must be numeric, got $other")
+      }
+    }
+  }
 
   /** Idempotent per-session registration. */
   def ensure(spark: SparkSession): Unit = {

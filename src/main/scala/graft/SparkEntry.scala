@@ -19,7 +19,8 @@ object SparkEntry {
     CorpusQueries,
     AnalyticsQueries,
     GovernanceQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    Round8Queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

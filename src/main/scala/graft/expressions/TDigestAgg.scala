@@ -156,8 +156,15 @@ case class TDigestAgg(
   override def createAggregationBuffer(): TDigestBuf = new TDigestBuf(compression)
 
   override def update(buf: TDigestBuf, input: InternalRow): TDigestBuf = {
-    val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Number].doubleValue())
+    child.eval(input) match {
+      case null =>
+      // Decimal is NOT a java.lang.Number — without this arm a DECIMAL
+      // column type-checks (NumericType) then CCEs at runtime.
+      case d: org.apache.spark.sql.types.Decimal => buf.add(d.toDouble)
+      case n: Number => buf.add(n.doubleValue())
+      case other => throw new IllegalStateException(
+        s"tdigest_quantiles: unsupported runtime value ${other.getClass}")
+    }
     buf
   }
 

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.EvolvedRead
+
+/** Round-8 promotions: two operators that existed only as specs —
+  * dynamic partition pruning over a day-partitioned fact layout (the
+  * 100 TB scan-pruning story) and the schema-evolution-safe read —
+  * lifted into the oracle-checked surface so the hard correctness
+  * signal covers them.
+  *
+  * Both queries derive their inputs from the fixture tables
+  * deterministically and materialize them under /tmp (keyed by the sf
+  * dir so concurrent sweeps at different scales don't collide), so the
+  * DuckDB oracle can compute the same answer straight from the
+  * `events` view — the derived files are engine-side mechanics, the
+  * CONTENT is identical by construction.
+  */
+object Round8Queries extends QueryPack {
+
+  private def scratch(tag: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${math.abs(d.hashCode)}"
+
+  // q146: dynamic partition pruning on a day-partitioned events copy ------
+
+  /** Daily rollup restricted to "hot" days (any purchase over 250),
+    * where the fact side is a DAY-PARTITIONED parquet layout and the
+    * hot-day dimension arrives as a runtime subquery — the exact shape
+    * where dynamic partition pruning earns its keep: at 100 TB the
+    * fact table is thousands of day partitions and the dim filter is
+    * only known at run time, so DPP turns a full-table scan into
+    * |hot days| partition reads. PlanGuardSpec asserts the fact scan
+    * carries a `dynamicpruning` partition filter; at sf0.001 the
+    * pruning is real (1 of 30 days survives).
+    *
+    * The partitioned copy is rewritten per call (overwrite, ~fixture
+    * sized); in production this layout IS the table, written once by
+    * ingest. */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("dpp", d) + "/events_by_day"
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val fact = s.read.parquet(path)
+    val hot = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") > 250)
+      .select(to_date(col("ts")).as("day")).distinct()
+    fact.join(hot, Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  // q147: schema-evolution-safe read across two vintages ------------------
+
+  /** Two deterministic vintages of events — v0 (old): even event_ids,
+    * `value` stored narrow (FLOAT), no provenance column; v1 (new):
+    * odd event_ids, the measure RENAMED to `amount` (kept DOUBLE) plus
+    * an ADDED `source` column — reconciled by [[EvolvedRead.read]]
+    * (rename map, widest-lossless widening float→double, null-fill)
+    * and aggregated. Exercises all three evolution axes through the
+    * oracle: the cents sum is exact only if the float→double widening
+    * matches DuckDB's REAL→DOUBLE bit-for-bit, n_sourced counts only
+    * v1 rows only if the added column null-fills (not zero-fills), and
+    * row counts split correctly only if the rename map (not
+    * name-matching) aligned the measure. */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val base = scratch("evolved", d)
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("float").as("value"))
+      .write.mode("overwrite").parquet(s"$base/v0")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").as("amount"), lit("ingest_v2").as("source"))
+      .write.mode("overwrite").parquet(s"$base/v1")
+    EvolvedRead.read(s, Seq(s"$base/v0", s"$base/v1"),
+        renames = Seq(Map.empty, Map("amount" -> "value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("cents"),
+        count(col("source")).as("n_sourced"))
+      .orderBy(col("event_type"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_dpp_daily"     -> q146 _,
+    "q147_evolved_read"  -> q147 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q146_dpp_daily" -> """
+      WITH hot AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+                   WHERE event_type = 'purchase' AND value > 250)
+      SELECT e.day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      FROM (SELECT CAST(ts AS DATE) AS day, user_id FROM events) e
+      JOIN hot USING (day)
+      GROUP BY e.day ORDER BY e.day""",
+    "q147_evolved_read" -> """
+      WITH u AS (
+        SELECT event_type, CAST(CAST(value AS REAL) AS DOUBLE) AS value,
+               CAST(NULL AS VARCHAR) AS source
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type, value, 'ingest_v2' AS source
+        FROM events WHERE event_id % 2 = 1)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(source) AS BIGINT) AS n_sourced
+      FROM u GROUP BY event_type ORDER BY event_type"""
+  )
+}

@@ -376,13 +376,25 @@ object Streaming {
         if (old.warnAt != old.capAt) getHandle.deleteTimer(old.warnAt)
         if (old.closeAt != old.capAt) getHandle.deleteTimer(old.closeAt)
       }
+      // The cap tracks the TRUE session start: a watermark-valid
+      // out-of-order event that lowers startMs must move the armed
+      // timer too, or the stored capAt and the registered timestamp
+      // diverge and the firing is dropped as stale (cap silently lost).
+      val oldCap = if (fresh) Long.MinValue else tmr.get().capAt
+      val newCap = next.startMs + maxDurMs
       val nt = SessTimers(
         warnAt = next.lastMs + gapMs / 2,
         closeAt = next.lastMs + gapMs,
-        capAt = next.startMs + maxDurMs)
+        capAt = if (fresh || newCap < oldCap) newCap else oldCap)
       getHandle.registerTimer(nt.warnAt)
       getHandle.registerTimer(nt.closeAt)
       if (fresh) getHandle.registerTimer(nt.capAt) // armed once per session
+      else if (nt.capAt != oldCap) { // session start moved earlier: re-arm
+        // same (key,ts)-identity hazard as the slide pair: never delete a
+        // timestamp the just-registered slide timers now own
+        if (oldCap != nt.warnAt && oldCap != nt.closeAt) getHandle.deleteTimer(oldCap)
+        getHandle.registerTimer(nt.capAt)
+      }
       tmr.update(nt)
       sess.update(next)
       Iterator.empty
@@ -409,9 +421,10 @@ object Streaming {
   /** Builder: event-time multi-timer session monitoring over a stream
     * of [[Ev]]. Watermark drives every firing; delay 0 keeps the spec
     * deterministic (MemoryStream batches advance it between adds). */
-  def sessionMonitor(events: Dataset[Ev], gapMs: Long, maxDurMs: Long): Dataset[SessionSignal] = {
+  def sessionMonitor(events: Dataset[Ev], gapMs: Long, maxDurMs: Long,
+                     watermarkDelay: String = "0 seconds"): Dataset[SessionSignal] = {
     import events.sparkSession.implicits._
-    events.withWatermark("ts", "0 seconds")
+    events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new SessionMonitorProcessor(gapMs, maxDurMs),
         TimeMode.EventTime(), OutputMode.Append(),

@@ -75,6 +75,21 @@ class FixtureProbeSpec extends SparkSpec {
     assert(schema("props").dataType === StringType)
   }
 
+  test("orders.o_custkey -> customer FK holds (q11's top-10-before-join cut relies on it)") {
+    // q11 takes top-10 per-customer revenue BEFORE joining the customer
+    // dimension (RelationalQueries.scala q11), which equals the
+    // join-then-sort shape ONLY if every o_custkey resolves. A fixture
+    // vintage with dangling custkeys would silently shrink the result;
+    // this pin makes that fail loudly here instead.
+    for (sfName <- Seq("sf0.001", "sf0.01")) {
+      val orphans = Tables.orders(spark, sf(sfName))
+        .join(Tables.customer(spark, sf(sfName)),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .count()
+      assert(orphans === 0L, s"$sfName: orders has $orphans dangling o_custkey rows")
+    }
+  }
+
   test("eventsTsUnit reports the footer annotation for the current fixtures") {
     // Current vintage is MICROS; if this fails after a regeneration,
     // events() must still read correctly (the min/max tests above are

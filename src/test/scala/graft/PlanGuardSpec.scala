@@ -205,4 +205,85 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge")
   }
+
+  // ---- round-8 floor pins for the recorded weak-five (BASELINE.md) ------
+  // Each pin freezes the re-planned shape that round 7 raced to its
+  // measured floor, so a future edit that reintroduces the slow shape
+  // fails here instead of resurfacing as a silent 2-4x regression.
+
+  test("q09 floor: bounded-heap topk aggregate — no Window, no sort below the presentation ORDER BY") {
+    val plan = SparkEntry.queries("q09_topk_perkey")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k must stay a collect_topk heap aggregate:\n$plan")
+    assert(plan.contains("Generate"),
+      s"explode of the k-row heaps must be a builtin generator:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no Window+row_number pass may reappear:\n$plan")
+    // exactly 2 exchanges: the per-key aggregate shuffle (≤k rows per
+    // key cross it) and the presentation range ORDER BY
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"q09 planned $exchanges exchanges (floor is 2):\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts <= 1, s"only the presentation sort may remain ($sorts found):\n$plan")
+  }
+
+  test("q11 floor: fact pre-aggregated below the join, top-10 cut before the dimension (TakeOrdered + broadcast)") {
+    val plan = SparkEntry.queries("q11_join3_revenue")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // both cuts must be TakeOrderedAndProject (bounded heap), never a
+    // global Sort+Limit
+    val takes = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(takes == 2, s"expected 2 TakeOrderedAndProject (top-10 cut + final), got $takes:\n$plan")
+    assert(!plan.matches("(?s).*\\bSort \\[.*"),
+      s"no global sort may appear (TakeOrdered replaces it):\n$plan")
+    // the customer dimension must meet a 10-row broadcast, not shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-10 join with customer must broadcast:\n$plan")
+    // the only ENSURE_REQUIREMENTS hash exchanges are the two
+    // aggregation shuffles (per-order partials, per-customer rollup)
+    val hashEx = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(hashEx <= 2, s"q11 planned $hashEx hash exchanges (floor is 2):\n$plan")
+  }
+
+  test("q106 floor: ONE events scan feeds the histogram at runtime; moments broadcast back") {
+    // the histogram subtree is referenced twice (grp -> st and
+    // grp ⋈ st); the STATIC plan prints two scans, but AQE's exchange
+    // reuse must collapse them so events is read once — assert on the
+    // FINAL adaptive plan after execution
+    val df = SparkEntry.queries("q106_outliers")(spark, sf("sf0.001"))
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head // final-plan section only
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q106 must scan events exactly once (histogram reused), got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the histogram exchange must be reused, not recomputed:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"5-row stats must broadcast back to the histogram:\n$plan")
+    assert(!plan.contains("Window"), s"no per-group window pass:\n$plan")
+  }
+
+  test("q109 floor: match set materialized before the presentation sort (no pipeline re-execution)") {
+    val plan = SparkEntry.queries("q109_sorted_neighbor")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // the window+levenshtein pipeline runs ONCE into a localCheckpoint;
+    // only Scan ExistingRDD -> range exchange -> Sort may sit above it
+    // (a range-partitioned ORDER BY samples its child for boundaries —
+    // without the checkpoint that re-executed the whole pipeline)
+    assert(plan.contains("ExistingRDD"),
+      s"presentation sort must read the checkpointed match set:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("levenshtein"),
+      s"no distance work may survive above the checkpoint:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"only the presentation range exchange may remain ($exchanges):\n$plan")
+  }
+
+  test("q146 fact scan carries a dynamic partition pruning filter") {
+    val plan = SparkEntry.queries("q146_dpp_daily")(spark, sf("sf0.001"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruning"),
+      s"day-partitioned fact scan must be dynamically pruned by the hot-day subquery:\n$plan")
+  }
 }

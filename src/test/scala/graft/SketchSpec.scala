@@ -46,4 +46,24 @@ class SketchSpec extends SparkSpec {
       .head().getSeq[Double](0)
     assert(one == Seq(42.0, 42.0))
   }
+
+  test("tdigest_quantiles accepts DECIMAL columns and DECIMAL probability literals") {
+    GraftFunctions.ensure(spark)
+    // Both were runtime ClassCastExceptions before round 8: Spark's
+    // Decimal does not extend java.lang.Number, and unsuffixed SQL
+    // literals like array(0.5, 0.95) fold to DECIMAL elements.
+    val r = spark.sql(
+      """SELECT tdigest_quantiles(CAST(x AS DECIMAL(10,2)), array(0.5, 0.95)) AS q
+        |FROM VALUES (1.0D),(2.0D),(3.0D),(4.0D) AS v(x)""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(r.length == 2 && r.head >= 1.0 && r.head <= 4.0 && r(1) >= r.head)
+  }
+
+  test("tdigest_quantiles rejects a non-numeric probabilities array with a usage error") {
+    GraftFunctions.ensure(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT tdigest_quantiles(x, array('a')) FROM VALUES (1.0D) AS v(x)").collect()
+    }
+    assert(err.getMessage.contains("tdigest_quantiles"))
+  }
 }

@@ -343,6 +343,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("session monitor: out-of-order event that lowers session start re-arms the cap timer") {
+    // Round-8 regression guard: an out-of-order (watermark-valid) event
+    // lowering startMs used to update stored capAt while the REGISTERED
+    // timer stayed at the old timestamp — the firing then failed the
+    // `at == ts.capAt` staleness check and the duration cap was
+    // silently lost (session closed as "inactivity" at the wrong time).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(uid: Long, ms: Long) =
+        Streaming.Ev(ms, new java.sql.Timestamp(ms), uid, "click", 1.0)
+      val mem = MemoryStream[Streaming.Ev]
+      // 30 s watermark delay keeps the 15000 event valid after the 20000 one
+      val q = Streaming.sessionMonitor(mem.toDS(), gapMs = 10000L, maxDurMs = 60000L,
+          watermarkDelay = "30 seconds")
+        .writeStream.format("memory").queryName("t_sessmon_oo")
+        .outputMode("append").start()
+      mem.addData(ev(30, 20000)); q.processAllAvailable() // start=20000, cap armed at 80000
+      mem.addData(ev(30, 15000)); q.processAllAvailable() // start drops -> cap must move to 75000
+      // keep the session active past 75000 so only the cap can close it
+      (23000L to 71000L by 8000L).foreach { ms =>
+        mem.addData(ev(30, ms)); q.processAllAvailable()
+      }
+      mem.addData(ev(99, 300000)); q.processAllAvailable()
+      mem.addData(ev(99, 400000)); q.processAllAvailable()
+      q.stop()
+      val closes = spark.table("t_sessmon_oo")
+        .filter(col("user_id") === 30L && col("kind") =!= "idle_warning")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(closes == Set(("duration_cap", 9L, 75000L)), s"got: $closes")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate source: Beam PeriodicImpulse parity (timestamped ticks drive a pipeline)") {
     val src = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
     assert(src.isStreaming)
