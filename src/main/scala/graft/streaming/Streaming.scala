@@ -166,12 +166,26 @@ object Streaming {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(dir)
 
-  /** Session windows per user (12h gap) — q23's shape. */
+  /** Sliding 2-day windows advancing 1 day — q22's shape (every event
+    * lands in exactly two windows; the ×2 fan-out happens before the
+    * map-side partial combine, identically in batch and stream). */
+  def slidingCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"), col("sum_value"))
+  }
+
+  /** Session windows per user (12h gap) — q23's FULL shape (count +
+    * exact decimal value sum), so the stream≡batch parity spec can
+    * hash-compare against the oracle-checked q23 result column for
+    * column. */
   def sessionCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
     src.groupBy(session_window(col("ts"), "12 hours").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"), col("n"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"),
+        col("n"), col("sum_value"))
   }
 
   /** Dynamic-gap session windows — q102's shape: the gap is a per-event
@@ -184,8 +198,9 @@ object Streaming {
         when(col("event_type") === "purchase", lit("24 hours"))
           .otherwise(lit("12 hours"))).as("w"),
       col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"), col("n"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"),
+        col("n"), col("sum_value"))
   }
 
   case class UserCount(user_id: Long, n: Long)
