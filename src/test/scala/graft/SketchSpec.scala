@@ -47,6 +47,29 @@ class SketchSpec extends SparkSpec {
     assert(one == Seq(42.0, 42.0))
   }
 
+  test("tdigest_quantiles holds the 1% rank bound at sf1 (real partial-merge fan-in)") {
+    // The TypedImperativeAggregate's serialize/merge path only shows
+    // its real behavior with executor-sized partial fan-in: at sf1
+    // (1 M events over 32 partitions) every partition flushes a
+    // serialized digest through the shuffle and the final buffer merges
+    // 32 partials. Gated on the generated scale fixture
+    // (tools/scalegen.py, gitignored) so the suite stays green on a
+    // fresh checkout; the driver's gate covers sf0.01 unconditionally.
+    val sf1 = new java.io.File("target/testdata/sf1/events.parquet")
+    assume(sf1.exists(), "sf1 fixture not generated; run tools/scalegen.py")
+    GraftFunctions.ensure(spark)
+    val vals = spark.read.parquet(sf1.getPath).select(col("value")).repartition(32)
+    val probs = Seq(0.1, 0.5, 0.95, 0.99)
+    val est = vals.agg(call_function("tdigest_quantiles", col("value"),
+        typedLit(probs.toArray)).as("q"))
+      .head().getSeq[Double](0)
+    val n = vals.count().toDouble
+    val errs = est.zip(probs).map { case (e, p) =>
+      math.abs(vals.filter(col("value") <= e).count() / n - p)
+    }
+    assert(errs.forall(_ <= 0.01), s"sf1 rank errors: $errs")
+  }
+
   test("tdigest_quantiles accepts DECIMAL columns and DECIMAL probability literals") {
     GraftFunctions.ensure(spark)
     // Both were runtime ClassCastExceptions before round 8: Spark's
