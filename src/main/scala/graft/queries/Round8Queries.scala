@@ -86,9 +86,49 @@ object Round8Queries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  // q148: bucketed-table co-located join (zero-shuffle join path) ---------
+
+  /** Orders ⋈ lineitem with BOTH sides stored as bucketed tables on the
+    * join key (8 buckets, `bucketBy` + external path) — Spark's
+    * co-located join: the scans report the bucket hash distribution, so
+    * the join AND the per-order rollup that follows need NO exchange at
+    * all; the only shuffle in the whole query is the presentation
+    * ORDER BY. This is the 100 TB repeated-join story the suite lacked:
+    * a fact table bucketed at ingest pays its shuffle once at write
+    * time, and every subsequent join/aggregate on the bucket key runs
+    * shuffle-free (PlanGuard pins the no-hash-exchange plan).
+    *
+    * The bucketed copies are rewritten per call from the fixture (the
+    * operator under test is the LAYOUT, content is unchanged — the
+    * DuckDB oracle joins the originals). */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val base = scratch("bucketed", d)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    s.sql("DROP TABLE IF EXISTS g148_orders")
+    s.sql("DROP TABLE IF EXISTS g148_lineitem")
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable("g148_orders")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable("g148_lineitem")
+    s.table("g148_orders")
+      .filter(col("o_totalprice") > 400000)
+      .join(s.table("g148_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")) // bucket key: inherits the distribution, no exchange
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(FLOOR(l_quantity * 100) AS BIGINT)")).as("qty_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_dpp_daily"     -> q146 _,
-    "q147_evolved_read"  -> q147 _
+    "q147_evolved_read"  -> q147 _,
+    "q148_bucketed_join" -> q148 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -111,6 +151,12 @@ object Round8Queries extends QueryPack {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents,
              CAST(COUNT(source) AS BIGINT) AS n_sourced
-      FROM u GROUP BY event_type ORDER BY event_type"""
+      FROM u GROUP BY event_type ORDER BY event_type""",
+    "q148_bucketed_join" -> """
+      SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_totalprice > 400000
+      GROUP BY o_orderkey ORDER BY o_orderkey"""
   )
 }

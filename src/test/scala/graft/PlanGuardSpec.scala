@@ -280,6 +280,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges == 1, s"only the presentation range exchange may remain ($exchanges):\n$plan")
   }
 
+  test("q148 bucketed join runs shuffle-free: SMJ on bucket distribution, no hash exchange anywhere") {
+    // at fixture scale the planner broadcasts the small side (also
+    // exchange-free); force the large-large shape to prove the bucket
+    // distribution carries BOTH the join and the per-order rollup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q148_bucketed_join")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"bucketed-bucketed must sort-merge on the bucket distribution:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"neither the join nor the o_orderkey rollup may shuffle (bucket layout paid it at write):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q146 fact scan carries a dynamic partition pruning filter") {
     val plan = SparkEntry.queries("q146_dpp_daily")(spark, sf("sf0.001"))
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
