@@ -125,10 +125,33 @@ object Round8Queries extends QueryPack {
       .orderBy(col("o_orderkey"))
   }
 
+  // q149: TFRecord sink+source under the oracle ---------------------------
+
+  /** Documents written through [[graft.sources.TFRecordIO]] (8 shard
+    * files, CRC-framed) and read back, then aggregated by md5 bucket
+    * with exact byte totals — the oracle computes the same answer from
+    * the ORIGINAL table, so any framing bug that drops, duplicates, or
+    * corrupts even one record moves a bucket's (n, bytes) pair and
+    * breaks the hash. IoSpec pins the byte framing against golden
+    * bytes; this query pins end-to-end data fidelity at fixture scale. */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("tfrecord", d)
+    graft.sources.TFRecordIO.write(
+      Tables.documents(s, d).select(encode(col("text"), "UTF-8").as("record"))
+        .repartition(8), dir)
+    graft.sources.TFRecordIO.read(s, dir)
+      .select(substring(md5(col("record")), 1, 1).as("bucket"),
+        length(col("record")).as("len"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("bytes"))
+      .orderBy(col("bucket"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_dpp_daily"     -> q146 _,
     "q147_evolved_read"  -> q147 _,
-    "q148_bucketed_join" -> q148 _
+    "q148_bucketed_join" -> q148 _,
+    "q149_tfrecord_io"   -> q149 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -157,6 +180,11 @@ object Round8Queries extends QueryPack {
              CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       WHERE o_totalprice > 400000
-      GROUP BY o_orderkey ORDER BY o_orderkey"""
+      GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "q149_tfrecord_io" -> """
+      SELECT substr(md5(text), 1, 1) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1 ORDER BY 1"""
   )
 }
