@@ -54,6 +54,44 @@ class ScaleSpec extends SparkSpec {
       d.view.mapValues(v => (math.round(v._1), v._2)).toMap)
   }
 
+  test("AQE skew join splits the hot partition at runtime (skew=true in the final plan)") {
+    // manual salting (above) is the write-side fix; this pins Spark's
+    // RUNTIME fix — AQE's OptimizeSkewedJoin must detect the hot
+    // partition mid-query and split it, with results unchanged. The
+    // thresholds are lowered so fixture-scale data trips the detector;
+    // at 100 TB the defaults (256 MB) trip on real skew the same way.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 100k-row left side, ~99% on key 0; 1k-key right side
+      val left = spark.range(100000)
+        .select(when(col("id") % 100 === 0, col("id")).otherwise(lit(0L)).as("k"),
+          col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // execute and inspect the SAME query execution (count() would
+      // plan its own tree and leave this one un-executed)
+      val joined = left.join(right, "k").groupBy().count()
+      val n = joined.collect().head.getLong(0)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed SMJ partition split:\n$plan")
+      // correctness under the split: matches = hot key 0 rows (99 001:
+      // every id not divisible by 100, plus id=0) + ids 100..900 step 100
+      assert(n == 99001L + 9L, s"skew-split join changed the row count: $n")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals a plain join under a forced shuffle join, including left no-match rows") {
     import spark.implicits._
     // hot key 1L carries 90% of the big side; key 99L has NO match in
