@@ -147,11 +147,34 @@ object Round8Queries extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  // q150: overlapping document chunking (RAG / context-window prep) ------
+
+  /** Fixed-window overlapping chunker — the RAG-ingest / training
+    * context-window op: each document splits into 500-char windows on a
+    * 400-char stride (100-char overlap), each chunk tagged with its
+    * offset and content digest for provenance. Pure generator + scalar
+    * pipeline (sequence → explode → substring/md5): whole-stage
+    * codegen, zero shuffles before the presentation sort, and the
+    * fan-out is (len/stride)-proportional — at 100 TB this is a
+    * map-only pass whose output feeds the embedding stage. The short
+    * final chunk is kept (substring clamps), matching the oracle's
+    * substr semantics exactly. */
+  def q150(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")), lit(400))).as("start"),
+        col("text"))
+      .select(col("doc_id"), col("start").cast("long").as("start_pos"),
+        length(expr("substring(text, start, 500)")).cast("long").as("chunk_chars"),
+        md5(expr("substring(text, start, 500)")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("start_pos"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_dpp_daily"     -> q146 _,
     "q147_evolved_read"  -> q147 _,
     "q148_bucketed_join" -> q148 _,
-    "q149_tfrecord_io"   -> q149 _
+    "q149_tfrecord_io"   -> q149 _,
+    "q150_doc_chunks"    -> q150 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -185,6 +208,14 @@ object Round8Queries extends QueryPack {
       SELECT substr(md5(text), 1, 1) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes
-      FROM documents GROUP BY 1 ORDER BY 1"""
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q150_doc_chunks" -> """
+      SELECT doc_id, CAST(start AS BIGINT) AS start_pos,
+             CAST(length(substr(text, CAST(start AS INTEGER), 500)) AS BIGINT) AS chunk_chars,
+             md5(substr(text, CAST(start AS INTEGER), 500)) AS chunk_md5
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1, 400)) AS start
+            FROM documents)
+      ORDER BY doc_id, start_pos"""
   )
 }
