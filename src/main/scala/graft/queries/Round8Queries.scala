@@ -169,12 +169,42 @@ object Round8Queries extends QueryPack {
         md5(expr("substring(text, start, 500)")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("start_pos"))
 
+  // q151: int8 scalar quantization of embeddings --------------------------
+
+  /** Max-abs int8 quantization of the embedding column — the standard
+    * 4× storage/bandwidth cut an ANN serving tier applies before
+    * shipping vectors (PQ's cheaper sibling; q118/q119 cover PQ). Per
+    * vector: scale = max|x|, q_i = floor(x_i·127/scale + 0.5) — the
+    * half-up rounding is spelled as floor(+0.5) so both engines compute
+    * the identical IEEE expression (round() half-even vs half-away
+    * disagreements are the classic silent divergence). The oracle
+    * recomputes integer checksums (Σq, Σq², position-weighted Σi·q,
+    * saturation count) so any element-level quantization drift breaks
+    * the hash. Element-wise HOFs, no shuffle before the presentation
+    * sort; at 100 TB this is a map-only storage-prep pass. */
+  def q151(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+      .filter(col("scale") > 0)
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5)).cast("long")))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("qdot"),
+        aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
+          (qi, i) => qi * i), lit(0L), (a, x) => a + x).as("wsum"),
+        aggregate(col("q"), lit(0L),
+          (a, x) => a + when(abs(x) === 127, 1L).otherwise(0L)).as("n_sat"))
+      .orderBy(col("vec_id"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_dpp_daily"     -> q146 _,
     "q147_evolved_read"  -> q147 _,
     "q148_bucketed_join" -> q148 _,
     "q149_tfrecord_io"   -> q149 _,
-    "q150_doc_chunks"    -> q150 _
+    "q150_doc_chunks"    -> q150 _,
+    "q151_int8_quant"    -> q151 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -216,6 +246,25 @@ object Round8Queries extends QueryPack {
       FROM (SELECT doc_id, text,
                    unnest(range(1, length(text) + 1, 400)) AS start
             FROM documents)
-      ORDER BY doc_id, start_pos"""
+      ORDER BY doc_id, start_pos""",
+    "q151_int8_quant" -> """
+      WITH s AS (
+        SELECT vec_id,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale,
+               embedding
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)) AS q
+        FROM s WHERE scale > 0),
+      ex AS (
+        SELECT vec_id, scale, unnest(q) AS qi, generate_subscripts(q, 1) AS pos FROM qv)
+      SELECT vec_id, scale,
+             CAST(SUM(qi) AS BIGINT) AS qsum,
+             CAST(SUM(qi * qi) AS BIGINT) AS qdot,
+             CAST(SUM(pos * qi) AS BIGINT) AS wsum,
+             CAST(SUM(CASE WHEN abs(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+      FROM ex GROUP BY vec_id, scale ORDER BY vec_id"""
   )
 }
