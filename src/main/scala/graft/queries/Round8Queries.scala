@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.sources.EvolvedRead
 
@@ -198,13 +199,45 @@ object Round8Queries extends QueryPack {
           (a, x) => a + when(abs(x) === 127, 1L).otherwise(0L)).as("n_sat"))
       .orderBy(col("vec_id"))
 
+  // q152: temperature-scaled language mixture allocation ------------------
+
+  /** The multilingual-pretraining mixture op: allocate a 10 000-doc
+    * sampling budget across languages proportional to n^α (α = 0.5 —
+    * temperature sampling flattens the head so low-resource languages
+    * aren't drowned; α=1 is natural frequency, α=0 uniform), with
+    * LARGEST-REMAINDER rounding so the integer allocations sum exactly
+    * to the budget. Float work is confined to one per-row
+    * sqrt — weights are floored to integer micro-units immediately, so
+    * every sum, division, and remainder after that is exact 64-bit
+    * arithmetic (the house integer-basis-points discipline): no
+    * engine-order float summation can flip an allocation. |langs| is
+    * bounded, so the single-partition window rank is metadata-sized. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val B = 10000L
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+    val tot = counts.agg(sum(col("w")).as("totw")) // 1-row broadcast
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($B * w) DIV totw"))
+      .withColumn("rem", expr(s"($B * w) % totw"))
+    val deficit = based.agg((lit(B) - sum(col("base"))).as("deficit"))
+    val w = Window.orderBy(col("rem").desc, col("lang"))
+    based.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(deficit))
+      .select(col("lang"), col("n").as("n_docs"),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("lang"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_dpp_daily"     -> q146 _,
     "q147_evolved_read"  -> q147 _,
     "q148_bucketed_join" -> q148 _,
     "q149_tfrecord_io"   -> q149 _,
     "q150_doc_chunks"    -> q150 _,
-    "q151_int8_quant"    -> q151 _
+    "q151_int8_quant"    -> q151 _,
+    "q152_temperature_mix" -> q152 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -265,6 +298,20 @@ object Round8Queries extends QueryPack {
              CAST(SUM(qi * qi) AS BIGINT) AS qdot,
              CAST(SUM(pos * qi) AS BIGINT) AS wsum,
              CAST(SUM(CASE WHEN abs(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
-      FROM ex GROUP BY vec_id, scale ORDER BY vec_id"""
+      FROM ex GROUP BY vec_id, scale ORDER BY vec_id""",
+    "q152_temperature_mix" -> """
+      WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+      w AS (SELECT lang, n,
+                   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+            FROM c),
+      t AS (SELECT CAST(SUM(w) AS BIGINT) AS totw FROM w),
+      a AS (SELECT lang, n, w, (10000 * w) // totw AS base, (10000 * w) % totw AS rem
+            FROM w, t),
+      d AS (SELECT 10000 - CAST(SUM(base) AS BIGINT) AS deficit FROM a),
+      r AS (SELECT lang, n, base, rem,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM a)
+      SELECT lang, n AS n_docs,
+             CAST(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM r ORDER BY lang"""
   )
 }
