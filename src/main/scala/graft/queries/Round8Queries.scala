@@ -230,6 +230,30 @@ object Round8Queries extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  // q153: per-dimension robust stats over the embedding matrix ------------
+
+  /** Per-dimension median + IQR across all embedding vectors — the
+    * broadcast artifact a robust feature-normalization pass consumes
+    * ((x − med) / iqr is the outlier-immune alternative to z-scoring
+    * that dimension-drifted embedding dumps need). The array transposes
+    * via posexplode into (dim, value) pairs — fan-out ×64, map-side
+    * partial-combined into 64 groups — and the exact `percentile`
+    * aggregate interpolates IDENTICALLY to DuckDB's `quantile_cont`
+    * (the one float function pair verified bit-equal across engines,
+    * BASELINE.md round-2 note), so the medians ship as raw doubles with
+    * no quantization. Output is |dims| rows — metadata-sized at any
+    * corpus scale. */
+  def q153(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .select((col("p") + 1).cast("long").as("pos"), col("x").cast("double").as("xd"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(xd, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("pos"), col("n"), col("q")(1).as("med"),
+        (col("q")(2) - col("q")(0)).as("iqr"))
+      .orderBy(col("pos"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_dpp_daily"     -> q146 _,
     "q147_evolved_read"  -> q147 _,
@@ -237,7 +261,8 @@ object Round8Queries extends QueryPack {
     "q149_tfrecord_io"   -> q149 _,
     "q150_doc_chunks"    -> q150 _,
     "q151_int8_quant"    -> q151 _,
-    "q152_temperature_mix" -> q152 _
+    "q152_temperature_mix" -> q152 _,
+    "q153_dim_stats"     -> q153 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -312,6 +337,15 @@ object Round8Queries extends QueryPack {
                    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM a)
       SELECT lang, n AS n_docs,
              CAST(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS BIGINT) AS alloc
-      FROM r ORDER BY lang"""
+      FROM r ORDER BY lang""",
+    "q153_dim_stats" -> """
+      WITH ex AS (
+        SELECT generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS xd
+        FROM embeddings)
+      SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(xd, 0.5) AS med,
+             quantile_cont(xd, 0.75) - quantile_cont(xd, 0.25) AS iqr
+      FROM ex GROUP BY pos ORDER BY pos"""
   )
 }
