@@ -327,6 +327,33 @@ object Streaming {
         TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[UserCount]])
   }
 
+  /** [[RunningCountProcessor]] with state TTL — the knob that keeps a
+    * 100 TB streaming job's state store bounded without hand-written
+    * cleanup timers: a key silent longer than `ttl` has its state
+    * evicted by the store itself, so the footprint tracks ACTIVE keys,
+    * not ever-seen keys. TTL is processing-time by API contract
+    * (TimeMode.ProcessingTime required); an expired key restarts its
+    * count from zero, which StreamingSpec asserts. */
+  class TtlCountProcessor(ttl: java.time.Duration) extends StatefulProcessor[Long, Ev, UserCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator(UserCount(key, n))
+    }
+  }
+
+  def runningCountsTtl(events: Dataset[Ev], ttl: java.time.Duration): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[UserCount]])
+  }
+
   // ---- multi-timer stateful processor (session monitor) -----------------
 
   /** One emitted signal of the session monitor: `kind` is

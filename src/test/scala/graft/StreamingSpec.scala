@@ -343,6 +343,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState TTL: a silent key's state is evicted and its count restarts") {
+    // the bounded-state knob for 100 TB streams: footprint tracks
+    // ACTIVE keys. TTL is processing-time by API contract, so this test
+    // sleeps past a short TTL; if eviction failed the second batch
+    // would read 3, not restart at 1.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(ms: Long) = Streaming.Ev(ms, new java.sql.Timestamp(ms), 5L, "click", 1.0)
+      // processing-time mode never signals "no new data", so
+      // processAllAvailable would block forever — poll the sink instead
+      def awaitValue(n: Long): Unit = {
+        val deadline = System.currentTimeMillis + 30000
+        def seen() = spark.table("t_ttl").filter(col("user_id") === 5L)
+          .collect().map(_.getLong(1)).contains(n)
+        while (System.currentTimeMillis < deadline && !seen()) Thread.sleep(100)
+        assert(seen(), s"timed out waiting for count $n in t_ttl")
+      }
+      val mem = MemoryStream[Streaming.Ev]
+      val q = Streaming.runningCountsTtl(mem.toDS(), java.time.Duration.ofMillis(1500))
+        .writeStream.format("memory").queryName("t_ttl")
+        .outputMode("update").start()
+      mem.addData(ev(1), ev(2)); awaitValue(2L) // count -> 2
+      Thread.sleep(2500) // TTL 1.5s elapses while the key is silent
+      mem.addData(ev(3)); awaitValue(1L) // state evicted -> restart at 1
+      q.stop()
+      val ns = spark.table("t_ttl").filter(col("user_id") === 5L)
+        .collect().map(_.getLong(1)).toSet
+      assert(!ns.contains(3L), s"TTL failed to evict (count continued): $ns")
+      assert(ns == Set(2L, 1L), s"expected restart after TTL eviction, got $ns")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session monitor: out-of-order event that lowers session start re-arms the cap timer") {
     // Round-8 regression guard: an out-of-order (watermark-valid) event
     // lowering startMs used to update stored capAt while the REGISTERED
