@@ -62,6 +62,29 @@ object BeamOps {
       * upstream is expensive (same advice as Beam's own docs). */
     def partitionInto(n: Int)(fn: T => Int): Seq[Dataset[T]] =
       (0 until n).map(i => ds.filter((t: T) => fn(t) == i))
+
+    /** Beam `ParDo(fn, side=AsList(side))` — the side collection is
+      * collected and BROADCAST once (Beam's materialized side-input
+      * contract: the side must fit a worker; at 100 TB that means a
+      * dim/model artifact, never a fact table — same rule as Beam),
+      * then every element sees the same immutable Seq. */
+    def parDoWithSideInput[S, U: Encoder](side: Dataset[S])(
+        fn: (T, Seq[S]) => IterableOnce[U]): Dataset[U] = {
+      val bc = ds.sparkSession.sparkContext.broadcast(side.collect().toSeq)
+      ds.flatMap(t => fn(t, bc.value))
+    }
+
+    /** Beam tagged outputs (`ParDo().with_outputs(main, other)`): one
+      * DoFn, two destinations. The routed input is persisted so the fn
+      * runs ONCE per element (Beam's guarantee), then each tag filters
+      * the routed pairs. Caller unpersists via the returned handle. */
+    def parDoWithOutputs[U: Encoder](fn: T => (Int, U))(
+        implicit e: Encoder[(Int, U)]): (Dataset[U], Dataset[U], () => Unit) = {
+      val routed = ds.map(fn).persist()
+      val main = routed.filter((r: (Int, U)) => r._1 == 0).map(_._2)
+      val other = routed.filter((r: (Int, U)) => r._1 != 0).map(_._2)
+      (main, other, () => { routed.unpersist(); () })
+    }
   }
 
   implicit class KV[K, V](private val ds: Dataset[(K, V)]) extends AnyVal {

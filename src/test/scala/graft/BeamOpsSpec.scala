@@ -104,6 +104,28 @@ class BeamOpsSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("parDoWithSideInput broadcasts the side list to every element") {
+    val s = spark; import s.implicits._
+    val side = Seq("click", "purchase").toDS()
+    val kept = events.parDoWithSideInput(side) { (e, allowed) =>
+      if (allowed.contains(e._3)) Some(e._1) else None
+    }.count()
+    val expected = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type").isin("click", "purchase")).count()
+    assert(kept == expected && kept > 0)
+  }
+
+  test("parDoWithOutputs routes each element to exactly one tag") {
+    val s = spark; import s.implicits._
+    val (big, small, done) = events.parDoWithOutputs(e =>
+      (if (e._4 > 250) 0 else 1, e._1))
+    try {
+      assert(big.count() + small.count() == events.count())
+      val ids = (big.collect() ++ small.collect()).toSeq
+      assert(ids.distinct.length == ids.length)
+    } finally done()
+  }
+
   test("flattenWith / distinctElements / reshuffle / keys / values / kvSwap") {
     val s = spark; import s.implicits._
     val a = events.filterElements(_._1 % 2 == 0)
