@@ -57,6 +57,9 @@ object GraftFunctions {
     (new FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[ZorderKey].getName, "zorder_key"),
       (children: Seq[Expression]) => ZorderKey(children(0), children(1)): Expression),
+    (new FunctionIdentifier("int8_quant_stats"),
+      new ExpressionInfo(classOf[graft.expressions.Int8QuantStats].getName, "int8_quant_stats"),
+      (children: Seq[Expression]) => graft.expressions.Int8QuantStats(children.head): Expression),
     (new FunctionIdentifier("cdc_starts"),
       new ExpressionInfo(classOf[CdcStarts].getName, "cdc_starts"),
       (children: Seq[Expression]) => (children match {

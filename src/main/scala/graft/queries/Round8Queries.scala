@@ -183,21 +183,25 @@ object Round8Queries extends QueryPack {
     * saturation count) so any element-level quantization drift breaks
     * the hash. Element-wise HOFs, no shuffle before the presentation
     * sort; at 100 TB this is a map-only storage-prep pass. */
-  def q151(s: SparkSession, d: String): DataFrame =
+  def q151(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    // ONE fused codegen loop (expressions/Int8QuantStats) instead of
+    // the transform + three aggregate folds + zip_with HOF pipeline,
+    // which evaluates every lambda interpreted per element — the wrong
+    // shape for a map-only pass over billions of vectors. NULL = zero
+    // vector (the oracle's WHERE scale > 0). ExpressionSpec pins
+    // bit-equality of the two forms and codegen ≡ interpreted eval.
     Tables.embeddings(s, d)
-      .withColumn("scale",
-        array_max(transform(col("embedding"), x => abs(x))).cast("double"))
-      .filter(col("scale") > 0)
-      .withColumn("q", transform(col("embedding"),
-        x => floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5)).cast("long")))
-      .select(col("vec_id"), col("scale"),
-        aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
-        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("qdot"),
-        aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
-          (qi, i) => qi * i), lit(0L), (a, x) => a + x).as("wsum"),
-        aggregate(col("q"), lit(0L),
-          (a, x) => a + when(abs(x) === 127, 1L).otherwise(0L)).as("n_sat"))
+      .select(col("vec_id"),
+        call_function("int8_quant_stats", col("embedding")).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("vec_id"), col("st")(0).as("scale"),
+        col("st")(1).cast("long").as("qsum"),
+        col("st")(2).cast("long").as("qdot"),
+        col("st")(3).cast("long").as("wsum"),
+        col("st")(4).cast("long").as("n_sat"))
       .orderBy(col("vec_id"))
+  }
 
   // q152: temperature-scaled language mixture allocation ------------------
 

@@ -289,4 +289,45 @@ class ExpressionSpec extends SparkSpec {
       .head().getSeq[Int](0)
     assert(none.isEmpty)
   }
+
+  test("int8_quant_stats equals the HOF quantization pipeline bit-for-bit") {
+    GraftFunctions.ensure(spark)
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val hof = emb
+      .withColumn("scale", array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+      .filter(col("scale") > 0)
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5)).cast("long")))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("qdot"),
+        aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
+          (qi, i) => qi * i), lit(0L), (a, x) => a + x).as("wsum"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val native = emb
+      .select(col("vec_id"), call_function("int8_quant_stats", col("embedding")).as("st"))
+      .filter(col("st").isNotNull)
+      .collect().map { r =>
+        val a = r.getSeq[Double](1)
+        r.getLong(0) -> (a(0), a(1).toLong, a(2).toLong, a(3).toLong)
+      }.toMap
+    assert(native == hof && native.nonEmpty)
+  }
+
+  test("int8_quant_stats: codegen equals interpreted eval; zero vector yields NULL") {
+    GraftFunctions.ensure(spark)
+    // force the interpreted path by evaluating through a filter that
+    // Catalyst constant-folds (literal input) vs the codegen'd column path
+    val lit1 = spark.sql(
+      "SELECT int8_quant_stats(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))) AS st")
+      .head().getSeq[Double](0)
+    assert(lit1 == Seq(1.0, (64 - 127).toDouble, (64 * 64 + 127 * 127).toDouble,
+      (64 - 2 * 127).toDouble, 1.0))
+    val z = spark.sql(
+      "SELECT int8_quant_stats(array(CAST(0.0 AS FLOAT))) AS st").head()
+    assert(z.isNullAt(0))
+    val e = spark.sql(
+      "SELECT int8_quant_stats(CAST(array() AS ARRAY<FLOAT>)) AS st").head()
+    assert(e.isNullAt(0))
+  }
 }
