@@ -148,7 +148,18 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    val raw = eventsTsUnit(s, path) match {
+    widen(s, eventsRaw(s, d), "events", "user_id", path)
+  }
+
+  /** events WITHOUT the widen exchange — for dimension-side subtrees
+    * whose first op is a selective filter plus a narrow projection:
+    * there the parquet pushdown does all the work and a widen shuffle
+    * of the full table is pure tax (and inside a DPP subquery it would
+    * be paid twice — once for the pruning filter, once for the join
+    * side). */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    eventsTsUnit(s, path) match {
       case "NANOS" | "NONE" =>
         s.read.schema(eventsSchema).parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -160,7 +171,6 @@ object Tables {
         // bit-identical to DuckDB's naive reading.
         s.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
     }
-    widen(s, raw, "events", "user_id", path)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   * IEEE sequence the DuckDB oracle evaluates; the four checksums are
   * exact 64-bit integers returned as doubles (all < 2^53). A
   * zero/empty vector yields NULL (q151 filters it, matching the
-  * oracle's WHERE scale > 0).
+  * oracle's WHERE scale > 0). A vector containing a NULL element also
+  * yields NULL — embeddings are dense by contract, but parquet reads
+  * them as containsNull=true, so a sparse vintage must fail visibly
+  * (filtered alongside zero vectors) instead of silently quantizing
+  * the null as 0.0 while the oracle propagates NULL.
   */
 case class Int8QuantStats(child: Expression) extends UnaryExpression {
 
@@ -41,6 +45,7 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
     var scale = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val v = math.abs(a.getFloat(i).toDouble)
       if (v > scale) scale = v
       i += 1
@@ -69,14 +74,17 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
       val wsum = ctx.freshName("wsum")
       val nsat = ctx.freshName("nsat")
       val out = ctx.freshName("out")
+      val hasNullElem = ctx.freshName("hasNullElem")
       s"""
         int $n = $a.numElements();
         double $scale = 0.0;
+        boolean $hasNullElem = false;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { $hasNullElem = true; break; }
           double $v = java.lang.Math.abs((double) $a.getFloat($i));
           if ($v > $scale) $scale = $v;
         }
-        if ($scale == 0.0) {
+        if ($hasNullElem || $scale == 0.0) {
           ${ev.isNull} = true;
         } else {
           long $qsum = 0L, $qdot = 0L, $wsum = 0L, $nsat = 0L;

@@ -71,15 +71,36 @@ object TFRecordIO {
     root.getFileSystem(conf.value).delete(root, true)
     df.rdd.foreachPartition { rows =>
       // TaskContext gives the shard index; an empty partition still
-      // writes its (empty) shard so the file set is dense and stable
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val path = new Path(dir, f"part-$pid%05d.tfrecord")
-      val fs = path.getFileSystem(conf.value)
-      val out = new BufferedOutputStream(fs.create(path, true))
-      try rows.foreach { r =>
-        val data = r.getAs[Array[Byte]](0)
-        out.write(frame(if (data == null) Array.emptyByteArray else data))
-      } finally out.close()
+      // writes its (empty) shard so the file set is dense and stable.
+      // Commit protocol (Beam's sink pattern): stream to a task-attempt
+      // temp file, rename into place on success — under speculative
+      // execution or a zombie first attempt, two attempts never write
+      // the same final path concurrently; content is deterministic per
+      // partition, so whichever attempt wins the rename is correct and
+      // the loser just deletes its temp.
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val fin = new Path(dir, f"part-$pid%05d.tfrecord")
+      val tmp = new Path(dir, f".part-$pid%05d.tfrecord.attempt-${tc.taskAttemptId()}")
+      val fs = fin.getFileSystem(conf.value)
+      val out = new BufferedOutputStream(fs.create(tmp, true))
+      var ok = false
+      try {
+        rows.foreach { r =>
+          val data = r.getAs[Array[Byte]](0)
+          out.write(frame(if (data == null) Array.emptyByteArray else data))
+        }
+        ok = true
+      } finally {
+        out.close()
+        if (!ok) fs.delete(tmp, false)
+      }
+      if (!fs.rename(tmp, fin)) {
+        // dest already committed by another attempt (same bytes) — or
+        // something is genuinely wrong; only the former is tolerable
+        if (fs.exists(fin)) fs.delete(tmp, false)
+        else throw new java.io.IOException(s"TFRecordIO: commit rename failed for $fin")
+      }
     }
   }
 
@@ -96,9 +117,18 @@ object TFRecordIO {
         val path = new Path(file)
         val in = new DataInputStream(new BufferedInputStream(
           path.getFileSystem(conf.value).open(path)))
+        // the stream must not outlive the task whatever happens: a
+        // CRC/length IOException below, or a consumer that stops early
+        // (limit/take) and never drains the iterator, would otherwise
+        // leak the handle for the executor's lifetime
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
         new Iterator[Row] {
-          private var nextRec: Array[Byte] = advance()
+          private var nextRec: Array[Byte] = advanceClosing()
           private var offset = 0L
+          private def advanceClosing(): Array[Byte] =
+            try advance()
+            catch { case e: Throwable => in.close(); throw e }
           private def readN(n: Int): Array[Byte] = {
             val buf = new Array[Byte](n)
             in.readFully(buf); offset += n; buf
@@ -129,7 +159,7 @@ object TFRecordIO {
           override def hasNext: Boolean = nextRec != null
           override def next(): Row = {
             val r = nextRec
-            nextRec = advance()
+            nextRec = advanceClosing()
             Row(r)
           }
         }

@@ -330,4 +330,23 @@ class ExpressionSpec extends SparkSpec {
       "SELECT int8_quant_stats(CAST(array() AS ARRAY<FLOAT>)) AS st").head()
     assert(e.isNullAt(0))
   }
+
+  test("int8_quant_stats: a NULL element yields NULL, never quantizes as 0.0") {
+    // r8 advice: parquet reads embeddings as containsNull=true, so a
+    // sparse vintage must surface as NULL (filtered like zero vectors)
+    // instead of silently diverging from the oracle's NULL propagation —
+    // in both the constant-folded (interpreted) and codegen column paths
+    GraftFunctions.ensure(spark)
+    val lit = spark.sql(
+      "SELECT int8_quant_stats(array(CAST(0.5 AS FLOAT), CAST(NULL AS FLOAT))) AS st")
+      .head()
+    assert(lit.isNullAt(0))
+    import spark.implicits._
+    val viaCol = Seq(Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](1.0f, 2.0f))
+      .toDF("embedding")
+      .select(call_function("int8_quant_stats", col("embedding").cast("array<float>")).as("st"))
+      .collect()
+    assert(viaCol(0).isNullAt(0))
+    assert(!viaCol(1).isNullAt(0))
+  }
 }

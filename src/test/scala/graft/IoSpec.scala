@@ -214,6 +214,56 @@ class IoSpec extends SparkSpec {
     assert(err.getMessage.contains("irreconcilable"))
   }
 
+  test("evolved read: q147-shaped conflicting vintage (string measure) fails at plan time") {
+    // the oracle-boundary failure path (r8 verdict #6): a vintage whose
+    // measure column arrives as STRING must die loudly when the plan is
+    // built — naming the vintage path, the column, and both types — not
+    // null-fill rows mid-job
+    import graft.sources.EvolvedRead
+    val dir = tmp()
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
+    docs.select(col("doc_id"), (col("n_chars") % 1000).cast("float").as("value"))
+      .write.parquet(s"$dir/v0")
+    docs.select(col("doc_id"), col("lang").as("amount"))
+      .write.parquet(s"$dir/v1")
+    val err = intercept[IllegalArgumentException] {
+      EvolvedRead.read(spark, Seq(s"$dir/v0", s"$dir/v1"),
+        renames = Seq(Map.empty, Map("amount" -> "value")))
+    }
+    assert(err.getMessage.contains(s"vintage $dir/v1"))
+    assert(err.getMessage.contains("column value"))
+    assert(err.getMessage.contains("irreconcilable"))
+    assert(err.getMessage.contains("string") && err.getMessage.contains("float"))
+  }
+
+  test("derived layouts build once: marker-gated reuse, half-written dirs rebuilt") {
+    import graft.queries.Round8Queries.ensureScratch
+    import org.apache.hadoop.fs.Path
+    // a unique fixture-key string isolates this test's scratch dir
+    val key = tmp() + "/fixture"
+    var builds = 0
+    def run(): String = ensureScratch(spark, "iospec", key) { b =>
+      builds += 1
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(b))
+      java.nio.file.Files.write(java.nio.file.Paths.get(b, "data.txt"),
+        s"build $builds".getBytes)
+    }
+    val base = run()
+    assert(builds == 1)
+    run(); run()
+    assert(builds == 1, "a completed layout must be reused, not rewritten per call")
+    // half-written: marker gone but stale files present → wipe + rebuild
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base, "_GRAFT_DONE"), false)
+    fs.create(new Path(base, "stale-leftover.bin"), true).close()
+    run()
+    assert(builds == 2, "a marker-less dir is a failed build and must be rebuilt")
+    assert(!fs.exists(new Path(base, "stale-leftover.bin")),
+      "rebuild must wipe half-written leftovers, not merge with them")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "data.txt"))) == "build 2")
+  }
+
   test("binary payload survives a parquet round-trip") {
     val dir = tmp() + "/b"
     val df = Tables.documents(spark, sf("sf0.001"))

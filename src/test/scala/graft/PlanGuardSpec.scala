@@ -284,6 +284,7 @@ class PlanGuardSpec extends SparkSpec {
     // at fixture scale the planner broadcasts the small side (also
     // exchange-free); force the large-large shape to prove the bucket
     // distribution carries BOTH the join and the per-order rollup
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = SparkEntry.queries("q148_bucketed_join")(spark, sf("sf0.001"))
@@ -292,7 +293,13 @@ class PlanGuardSpec extends SparkSpec {
         s"bucketed-bucketed must sort-merge on the bucket distribution:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"neither the join nor the o_orderkey rollup may shuffle (bucket layout paid it at write):\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally saved match {
+      // restore the ORIGINAL value, not a hardcoded default (the
+      // round-8 AnsiParitySpec lesson): a drifted restore skews every
+      // later suite's plans
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q146 fact scan carries a dynamic partition pruning filter") {
