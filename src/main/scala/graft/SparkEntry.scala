@@ -20,7 +20,8 @@ object SparkEntry {
     AnalyticsQueries,
     GovernanceQueries,
     SimilarityQueries,
-    Round8Queries
+    Round8Queries,
+    Round9Queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

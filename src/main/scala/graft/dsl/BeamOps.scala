@@ -74,6 +74,16 @@ object BeamOps {
       ds.flatMap(t => fn(t, bc.value))
     }
 
+    /** Beam `ParDo(fn, side=AsDict(side))` — the keyed side collection
+      * is collected to an immutable Map and BROADCAST once (same
+      * fits-a-worker contract as [[parDoWithSideInput]]; duplicate keys
+      * resolve last-wins, as Python `dict()` does on Beam's AsDict). */
+    def parDoWithDictSideInput[K2, V2, U: Encoder](side: Dataset[(K2, V2)])(
+        fn: (T, Map[K2, V2]) => IterableOnce[U]): Dataset[U] = {
+      val bc = ds.sparkSession.sparkContext.broadcast(side.collect().toMap)
+      ds.flatMap(t => fn(t, bc.value))
+    }
+
     /** Beam tagged outputs (`ParDo().with_outputs(main, other)`): one
       * DoFn, two destinations. The routed input is persisted so the fn
       * runs ONCE per element (Beam's guarantee), then each tag filters
@@ -85,6 +95,40 @@ object BeamOps {
       val other = routed.filter((r: (Int, U)) => r._1 != 0).map(_._2)
       (main, other, () => { routed.unpersist(); () })
     }
+  }
+
+  /** Beam `WindowInto` — event-time windowing for a ported pipeline.
+    *
+    * In Beam, WindowInto doesn't transform elements; it changes what the
+    * NEXT GroupByKey/Combine groups on (the window joins the key). The
+    * veneer says exactly that by returning Spark's grouped frame with
+    * the window struct as the leading key column `w` — the caller
+    * `.agg(...)`s it like any grouped data, and Catalyst plans the
+    * identical window()/session_window() aggregation the column-form
+    * queries (q21–q23) use, map-side partial combine included. Sessions
+    * exist ONLY at grouping time (they merge; no per-element
+    * assignment) — same restriction Beam itself has. */
+  implicit class PWindowed(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    import org.apache.spark.sql.{Column, RelationalGroupedDataset}
+    import org.apache.spark.sql.functions.{col, session_window, window}
+
+    /** `WindowInto(FixedWindows(size))` + the following group-by-key. */
+    def windowIntoFixed(tsCol: String, size: String,
+                        keys: Column*): RelationalGroupedDataset =
+      df.groupBy(window(col(tsCol), size).as("w") +: keys: _*)
+
+    /** `WindowInto(SlidingWindows(size, slide))` — each element lands in
+      * size/slide windows (the fan-out Beam's assigner also pays). */
+    def windowIntoSliding(tsCol: String, size: String, slide: String,
+                          keys: Column*): RelationalGroupedDataset =
+      df.groupBy(window(col(tsCol), size, slide).as("w") +: keys: _*)
+
+    /** `WindowInto(Sessions(gap))` — gap may be a literal ("12 hours")
+      * or any Column expression (per-element dynamic gap). */
+    def windowIntoSessions(tsCol: String, gap: Column,
+                           keys: Column*): RelationalGroupedDataset =
+      df.groupBy(session_window(col(tsCol), gap).as("w") +: keys: _*)
   }
 
   implicit class KV[K, V](private val ds: Dataset[(K, V)]) extends AnyVal {

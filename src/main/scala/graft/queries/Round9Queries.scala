@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 additions. q154 is the migration-surface proof: the classic
+  * Beam wordcount authored ENTIRELY through the [[graft.dsl.BeamOps]]
+  * veneer — a ported `beam.ParDo | beam.WithKeys | beam.CombinePerKey`
+  * pipeline, no column forms — put under the same DuckDB hash gate as
+  * every column query. Its answer is definitionally q03's (the
+  * column-form wordcount), so a green row certifies "a Beam pipeline
+  * ported onto the veneer is oracle-identical to the native engine",
+  * which is the whole point of the veneer.
+  *
+  * Scale note carried from BeamOps' scaladoc: the typed veneer runs
+  * lambdas outside whole-stage codegen — right for genuinely imperative
+  * DoFns, 2-10× slower than the column form for relational shapes
+  * (q03 IS the recommended spelling of this query; BeamOpsSpec pins
+  * that the veneer still map-side combines, so the SHUFFLE economics
+  * match even where the per-row cost doesn't).
+  */
+object Round9Queries extends QueryPack {
+
+  def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.dsl.BeamOps._
+    val docs: Dataset[String] = Tables.documents(s, d).select(col("text")).as[String]
+    docs
+      .parDo((t: String) => t.split(" ", -1).toSeq)      // beam.FlatMap tokenize
+      .withKeys((w: String) => w)                        // beam.WithKeys
+      .combinePerKey(0L)((acc, _: String) => acc + 1L,   // beam.combiners.Count
+        _ + _)
+      .toDF("word", "cnt")
+      .orderBy(col("word"))                              // presentation sort (total: word is the group key)
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_beam_wordcount" -> q154 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q154_beam_wordcount" -> """
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY word"""
+  )
+}

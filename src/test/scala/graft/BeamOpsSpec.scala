@@ -126,6 +126,68 @@ class BeamOpsSpec extends SparkSpec {
     } finally done()
   }
 
+  test("parDoWithDictSideInput broadcasts the keyed side as a map") {
+    val s = spark; import s.implicits._
+    val rates = Seq(("click", 1L), ("purchase", 10L), ("view", 0L)).toDS()
+    val scored = events.parDoWithDictSideInput(rates) { (e, dict) =>
+      Some(dict.getOrElse(e._3, -1L))
+    }
+    val got = scored.collect()
+    assert(got.length == events.count())
+    val expectedTen = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") === "purchase").count()
+    assert(got.count(_ == 10L) == expectedTen && expectedTen > 0)
+    // event types outside the dict hit the default, proving per-element
+    // lookup (not a join that would drop them)
+    assert(got.contains(-1L))
+  }
+
+  test("windowIntoFixed/Sliding/Sessions equal the column-form window queries q21/q22/q23") {
+    // the ported-pipeline spelling of each windowed query must be
+    // row-identical to the oracle-green column form
+    import graft.util.Det._
+    val d = sf("sf0.001")
+    val ev = Tables.events(spark, d)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+
+    val fixedVeneer = ev.windowIntoFixed("ts", "1 day", col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+    assert(rows(fixedVeneer) == rows(
+      graft.queries.WindowQueries.q21(spark, d)) && rows(fixedVeneer).nonEmpty)
+
+    val slidingVeneer = ev.windowIntoSliding("ts", "2 days", "1 day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"))
+    assert(rows(slidingVeneer) == rows(graft.queries.WindowQueries.q22(spark, d)))
+
+    val sessionVeneer = ev.windowIntoSessions("ts", lit("12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start_us"))
+    assert(rows(sessionVeneer) == rows(graft.queries.WindowQueries.q23(spark, d)))
+  }
+
+  test("q154 (wordcount through the veneer) equals q03 and still map-side combines") {
+    val d = sf("sf0.001")
+    val viaVeneer = graft.queries.Round9Queries.q154(spark, d)
+    val viaColumns = graft.queries.RelationalQueries.q03(spark, d)
+      .withColumnRenamed("word", "word")
+    assert(viaVeneer.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      viaColumns.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // the oracle-checked veneer pipeline keeps combiner lifting: partial
+    // aggregation below the exchange, no GBK materialization
+    val plan = viaVeneer.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups"),
+      s"veneer wordcount must not plan MapGroups:\n$plan")
+  }
+
   test("flattenWith / distinctElements / reshuffle / keys / values / kvSwap") {
     val s = spark; import s.implicits._
     val a = events.filterElements(_._1 % 2 == 0)
