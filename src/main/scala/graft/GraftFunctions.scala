@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{BloomFilterAgg, BloomMightContain, CdcStarts, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles2, Shingles3, Simhash16, WordFingerprint, ZorderKey}
+import graft.expressions.{BloomFilterAgg, BloomMightContain, CdcStarts, CdcWordChunks, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles2, Shingles3, Simhash16, WordFingerprint, ZorderKey}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -60,6 +60,24 @@ object GraftFunctions {
     (new FunctionIdentifier("int8_quant_stats"),
       new ExpressionInfo(classOf[graft.expressions.Int8QuantStats].getName, "int8_quant_stats"),
       (children: Seq[Expression]) => graft.expressions.Int8QuantStats(children.head): Expression),
+    (new FunctionIdentifier("pq_adc_dist"),
+      new ExpressionInfo(classOf[graft.expressions.PqAdcDist].getName, "pq_adc_dist"),
+      (children: Seq[Expression]) => (children match {
+        case Seq(qv, codes, cbl, d: Literal) if cbl.foldable =>
+          graft.expressions.PqAdcDist(qv, codes, literalMatrix(cbl),
+            d.value.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "pq_adc_dist expects (array<double>, array<int>, " +
+          "array<array<double>> literal codebook, int literal ds)")
+      }): Expression),
+    (new FunctionIdentifier("cdc_word_chunks"),
+      new ExpressionInfo(classOf[CdcWordChunks].getName, "cdc_word_chunks"),
+      (children: Seq[Expression]) => (children match {
+        case Seq(ws, m: Literal) =>
+          CdcWordChunks(ws, m.value.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "cdc_word_chunks expects (array<string>, int literal mod)")
+      }): Expression),
     (new FunctionIdentifier("cdc_starts"),
       new ExpressionInfo(classOf[CdcStarts].getName, "cdc_starts"),
       (children: Seq[Expression]) => (children match {
@@ -105,6 +123,19 @@ object GraftFunctions {
           "collect_topk expects (expr, int literal k, boolean literal reverse)")
       }): Expression)
   )
+
+  /** Foldable array<array<double>> literal → the codebook matrix. */
+  private def literalMatrix(e: Expression): IndexedSeq[IndexedSeq[Double]] = {
+    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val inner = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    require(inner == org.apache.spark.sql.types.DoubleType,
+      s"pq_adc_dist codebook elements must be double, got $inner")
+    (0 until arr.numElements()).map { c =>
+      val row = arr.getArray(c)
+      (0 until row.numElements()).map(row.getDouble).toIndexedSeq
+    }.toIndexedSeq
+  }
 
   // Element-wise so `array(0.5, 0.95)` (whose unsuffixed literals fold to
   // DECIMAL elements) works, not just array<double>; anything non-foldable

@@ -39,6 +39,14 @@ trait Md5Helper {
   protected def md5Raw(bytes: Array[Byte]): Array[Byte] =
     mdLocal.get().digest(bytes)
 
+  /** The thread's reset digest, for callers with bespoke update
+    * sequences (multi-part without concatenation). */
+  protected def mdInstance(): MessageDigest = {
+    val md = mdLocal.get()
+    md.reset()
+    md
+  }
+
   protected def md5Hex(bytes: Array[Byte]): String =
     toHex(md5Raw(bytes))
 
@@ -340,5 +348,95 @@ case class CdcStarts(child: Expression, window: Int, mod: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcStarts =
+    copy(child = newChild)
+}
+
+/** Whole content-defined word-chunking of a document in one fused JVM
+  * loop — the native form of q133's three-stage HOF tree (boundary
+  * transform + chunk-assembly transform + per-chunk md5), which
+  * evaluated an interpreted md5→substring→conv→cast expression tree
+  * per 2-gram (~6M interpreted evals per sf0.1 pass; the q95/q137
+  * precedent says the fused loop buys 2-10×).
+  *
+  * Contract (bit-identical to the HOF form and the DuckDB oracle):
+  * a boundary falls BEFORE 1-based word i (i ≥ 2) iff the top 60 bits
+  * of md5("w_{i-1} w_i") — exactly `conv(substring(md5(g),1,15),16,10)`
+  * — are ≡ 0 (mod `mod`); chunk j spans [start_j, start_{j+1});
+  * output rows are (chunk_idx 1-based, n_words, md5 hex of the chunk
+  * words joined by single spaces). `split(text, ' ')` never yields an
+  * empty array, so every doc emits ≥ 1 chunk — same as the oracle.
+  */
+case class CdcWordChunks(child: Expression, mod: Int)
+    extends UnaryExpression with CodegenFallback with Md5Helper {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("digest", StringType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if mod > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cdc_word_chunks expects (array<string>, positive int literal mod), " +
+      s"got ${child.dataType.simpleString}")
+  }
+
+  private val spaceByte = Array[Byte](' ')
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // per-word UTF-8 bytes once, reused by both the 2-gram boundary
+    // hashes and the chunk digests
+    val wb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { wb(i) = ws.getUTF8String(i).getBytes; i += 1 }
+    val starts = scala.collection.mutable.ArrayBuilder.make[Int]
+    starts += 1
+    i = 2
+    while (i <= n) {
+      val md = md5Of2Gram(wb(i - 2), wb(i - 1))
+      val h = (((md(0) & 0xffL) << 56) | ((md(1) & 0xffL) << 48) |
+        ((md(2) & 0xffL) << 40) | ((md(3) & 0xffL) << 32) |
+        ((md(4) & 0xffL) << 24) | ((md(5) & 0xffL) << 16) |
+        ((md(6) & 0xffL) << 8) | (md(7) & 0xffL)) >>> 4
+      if (h % mod == 0) starts += i
+      i += 1
+    }
+    val st = starts.result()
+    val out = new Array[Any](st.length)
+    var j = 0
+    while (j < st.length) {
+      val from = st(j) - 1
+      val until = (if (j + 1 < st.length) st(j + 1) else n + 1) - 1
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        (j + 1).toLong, (until - from).toLong,
+        UTF8String.fromString(toHex(md5Joined(wb, from, until))))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def md5Of2Gram(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val md = mdInstance()
+    md.update(a); md.update(spaceByte); md.update(b)
+    md.digest()
+  }
+
+  /** md5 of words[from, until) joined by single spaces, no join string
+    * materialized. */
+  private def md5Joined(wb: Array[Array[Byte]], from: Int, until: Int): Array[Byte] = {
+    val md = mdInstance()
+    var i = from
+    while (i < until) {
+      if (i > from) md.update(spaceByte)
+      md.update(wb(i))
+      i += 1
+    }
+    md.digest()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcWordChunks =
     copy(child = newChild)
 }

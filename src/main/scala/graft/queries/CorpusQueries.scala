@@ -336,16 +336,20 @@ object CorpusQueries extends QueryPack {
     * duplicated-position count on boilerplate-heavy corpora. */
   def q126(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
+    // the digested gram-position table feeds the shared-gram filter AND
+    // the island merge — persist the 24-byte/row form so the
+    // tokenize+shingle+md5 pass (the cost center) runs once per call
     val pos = Tables.documents(s, d)
       .select(col("doc_id"),
         posexplode(call_function("shingles3", TextOps.words(col("text")))).as(Seq("p0", "sp")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("h"))
+      .persist()
     val shared = pos.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    pos.join(shared, Seq("h"))
+    val out = pos.join(shared, Seq("h"))
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_grams"))
@@ -353,6 +357,9 @@ object CorpusQueries extends QueryPack {
       .select(col("doc_id"), col("span_start"),
         (col("n_grams") + 2).as("span_words"), col("n_grams"))
       .orderBy(col("doc_id"), col("span_start"))
+      .localCheckpoint(true)
+    pos.unpersist()
+    out
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

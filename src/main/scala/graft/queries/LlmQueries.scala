@@ -499,16 +499,27 @@ object LlmQueries extends QueryPack {
     val enc = pqEncode(e, cb).select(col("vec_id"), col("codes"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val adist = (0 until PqM).map { j =>
-      VectorOps.l2sq(slice(col("qv"), j * PqDs + 1, PqDs),
-        element_at(pqSubCents(cb, j), element_at(col("codes"), j + 1) + 1))
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_q"), col("vec_id"))
+    // distance via the fused native loop (expressions/PqAdcDist):
+    // the per-subspace l2sq column tree evaluated an interpreted
+    // zip_with+aggregate pair per dot — 3·PqM folds per candidate row
+    // of the fanout; ExpressionSpec pins bit-equality of the two forms
+    graft.GraftFunctions.ensure(e.sparkSession)
+    val cbLit = array(cb.map(c => VectorOps.litArr(c)): _*)
+    val adist = call_function("pq_adc_dist",
+      col("qv"), col("codes"), cbLit, lit(PqDs))
+    // rank with the bounded-heap collector, not Window+row_number: the
+    // window form sorts |corpus|×|queries| rows in |queries| partitions
+    // (a |queries|-way parallelism ceiling AND a full sort of the
+    // fanout); the heap keeps k rows per (task, q_id) and only
+    // queries×k rows cross the shuffle — the q09 lesson applied to ANN
     enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), floor(adist * 10000).cast("long").as("adist_q"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("adist_q"))
+      .groupBy(col("q_id"))
+      .agg(call_function("collect_topk",
+        struct(col("adist_q"), col("vec_id")), lit(k), lit(true)).as("t"))
+      .select(col("q_id"), posexplode(col("t")).as(Seq("p", "s")))
+      .select(col("q_id"), (col("p") + 1).as("rn"),
+        col("s.vec_id").as("vec_id"), col("s.adist_q").as("adist_q"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -575,10 +586,9 @@ object LlmQueries extends QueryPack {
           element_at(col("cells"), r).cast("int").as("qci"))): _*)).as("pc"))
       .select(col("q_id"), col("pc.qcell").as("qcell"),
         residual(col("qv"), col("pc.qci")).as("qrv"))
-    val adist = (0 until PqM).map { j =>
-      VectorOps.l2sq(slice(col("qrv"), j * PqDs + 1, PqDs),
-        element_at(pqSubCents(cb, j), element_at(col("codes"), j + 1) + 1))
-    }.reduce(_ + _)
+    val cbLit = array(cb.map(c => litArr(c)): _*)
+    val adist = call_function("pq_adc_dist",
+      col("qrv"), col("codes"), cbLit, lit(PqDs))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist_q"), col("vec_id"))
     enc.join(broadcast(qc), col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), floor(adist * 10000).cast("long").as("adist_q"))

@@ -403,32 +403,18 @@ object PipelineQueries extends QueryPack {
     * The md5-derived hash is the house portability rule (identical in
     * DuckDB), mod 8 ≈ 8-word expected chunks at fixture scale. */
   def q133(s: SparkSession, d: String): DataFrame = {
-    val ws = TextOps.words(col("text"))
-    // starts = [1] ++ every i>=2 whose 2-gram hash ≡ 0 (mod 8)
-    val starts = concat(
-      array(lit(1)),
-      when(size(col("ws")) >= 2,
-        filter(
-          transform(sequence(lit(2), size(col("ws"))),
-            i => when(
-              conv(substring(md5(concat_ws(" ",
-                element_at(col("ws"), i - 1), element_at(col("ws"), i))),
-                1, 15), 16, 10).cast("long") % 8 === 0, i)),
-          x => x.isNotNull))
-        .otherwise(array().cast("array<int>")))
+    // ONE fused native loop per document (expressions/CdcWordChunks):
+    // boundary 2-gram hashes, chunk assembly, and chunk digests share
+    // the per-word UTF-8 bytes instead of re-evaluating an interpreted
+    // md5→substring→conv tree per 2-gram plus a slice+concat_ws+md5
+    // tree per chunk (~6M interpreted evals per sf0.1 pass).
+    // ExpressionSpec pins bit-equality against the HOF formulation.
+    graft.GraftFunctions.ensure(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), ws.as("ws"))
-      .withColumn("starts", starts)
-      .select(col("doc_id"), col("ws"),
-        explode(transform(sequence(lit(1), size(col("starts"))), j =>
-          struct(j.cast("long").as("chunk_idx"),
-            slice(col("ws"), element_at(col("starts"), j),
-              coalesce(try_element_at(col("starts"), j + 1),
-                size(col("ws")) + 1) - element_at(col("starts"), j))
-              .as("chunk")))).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx"),
-        size(col("c.chunk")).cast("long").as("n_words"),
-        md5(concat_ws(" ", col("c.chunk"))).as("digest"))
+      .select(col("doc_id"),
+        explode(call_function("cdc_word_chunks",
+          TextOps.words(col("text")), lit(8))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_words"), col("c.digest"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

@@ -331,6 +331,78 @@ class ExpressionSpec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  test("pq_adc_dist equals the per-subspace l2sq HOF tree bit-for-bit") {
+    // the q119/q124 rewrite: the fused ADC loop must reproduce the
+    // slice+zip_with+aggregate column formulation exactly (same fold
+    // order per dot, same subspace term order) on real embeddings
+    GraftFunctions.ensure(spark)
+    import graft.functions.VectorOps
+    val m = 8; val ds = 8
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+    val cb = e.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    def subCents(j: Int) = array(cb.map(c =>
+      VectorOps.litArr(c.slice(j * ds, (j + 1) * ds))): _*)
+    val codes = array((0 until m).map(j => (col("vec_id") % 16).cast("int")): _*)
+    val hof = (0 until m).map { j =>
+      VectorOps.l2sq(slice(col("v"), j * ds + 1, ds),
+        element_at(subCents(j), element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _)
+    val cbLit = array(cb.map(c => VectorOps.litArr(c)): _*)
+    val both = e.withColumn("codes", codes)
+      .select(col("vec_id"), hof.as("a"),
+        call_function("pq_adc_dist", col("v"), col("codes"), cbLit, lit(ds)).as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row $r"))
+  }
+
+  test("cdc_word_chunks equals the HOF chunking pipeline bit-for-bit") {
+    // the q133 rewrite: the fused native loop must reproduce the
+    // interpreted boundary-transform + chunk-assembly + per-chunk-md5
+    // tree exactly, on real fixture text (incl. multi-byte words)
+    GraftFunctions.ensure(spark)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val starts = concat(
+      array(lit(1)),
+      when(size(col("ws")) >= 2,
+        filter(
+          transform(sequence(lit(2), size(col("ws"))),
+            i => when(
+              conv(substring(md5(concat_ws(" ",
+                element_at(col("ws"), i - 1), element_at(col("ws"), i))),
+                1, 15), 16, 10).cast("long") % 8 === 0, i)),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>")))
+    val viaHof = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("starts", starts)
+      .select(col("doc_id"), col("ws"),
+        explode(transform(sequence(lit(1), size(col("starts"))), j =>
+          struct(j.cast("long").as("chunk_idx"),
+            slice(col("ws"), element_at(col("starts"), j),
+              coalesce(try_element_at(col("starts"), j + 1),
+                size(col("ws")) + 1) - element_at(col("starts"), j))
+              .as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"),
+        size(col("c.chunk")).cast("long").as("n_words"),
+        md5(concat_ws(" ", col("c.chunk"))).as("digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .collect().map(_.toString).toSeq
+    val viaNative = docs
+      .select(col("doc_id"),
+        explode(call_function("cdc_word_chunks",
+          split(col("text"), " "), lit(8))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_words"), col("c.digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .collect().map(_.toString).toSeq
+    assert(viaNative == viaHof && viaNative.nonEmpty)
+  }
+
   test("int8_quant_stats: a NULL element yields NULL, never quantizes as 0.0") {
     // r8 advice: parquet reads embeddings as containsNull=true, so a
     // sparse vintage must surface as NULL (filtered like zero vectors)

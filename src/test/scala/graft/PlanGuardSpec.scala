@@ -76,7 +76,11 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q123 broadcasts the 64-row weight table onto the token stream") {
-    val plan = SparkEntry.queries("q123_linear_classifier")(spark, sf("sf0.001"))
+    // materialize=false: the shipped form checkpoints its result (so
+    // q139's two branches reuse it) and its executedPlan is just the
+    // RDD scan — the plan claim is about the compute DAG underneath
+    val plan = graft.queries.TextQueries
+      .classify(Tables.documents(spark, sf("sf0.001")), materialize = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"weight join must broadcast:\n$plan")
