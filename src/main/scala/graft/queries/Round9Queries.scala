@@ -35,14 +35,38 @@ object Round9Queries extends QueryPack {
       .orderBy(col("word"))                              // presentation sort (total: word is the group key)
   }
 
+  /** q155: the windowed counterpart of q154 — Beam's
+    * `WindowInto(FixedWindows(1 day)) | CombinePerKey` authored through
+    * the veneer's [[graft.dsl.BeamOps.PWindowed.windowIntoFixed]] (the
+    * window struct joins the grouping key, exactly Beam's model) and
+    * put under the DuckDB hash gate. Its answer is definitionally
+    * q21's, so a green row certifies the MIGRATION SPELLING of
+    * event-time windowing, not just the column form. */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    import graft.dsl.BeamOps._
+    import graft.util.Det._
+    Tables.events(s, d)
+      .windowIntoFixed("ts", "1 day", col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q154_beam_wordcount" -> q154 _
+    "q154_beam_wordcount" -> q154 _,
+    "q155_beam_windowed"  -> q155 _
   )
 
   override val oracle: Map[String, String] = Map(
     "q154_beam_wordcount" -> """
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-      GROUP BY word ORDER BY word"""
+      GROUP BY word ORDER BY word""",
+    "q155_beam_windowed" -> """
+      SELECT epoch_us(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS w_start_us,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -47,53 +47,85 @@ object SimilarityQueries extends QueryPack {
     * 4·sx ≤ 5·sy ∧ 4·sy ≤ 5·sx; the final test J ≥ 0.8 is 5·∩ ≥ 4·∪. */
   def q108(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
+    // EXACT-SET COLLAPSE first (q114/q137's discipline, applied here
+    // after the round-9 sf10 sweep caught q108 at 410 s): on a
+    // clone-heavy corpus (the sf10 fixture is 1/100-unique by
+    // construction; a real crawl is the same shape) every stage of a
+    // set-similarity join degrades quadratically IN THE CLONE FACTOR
+    // if clones enter the join — K copies per doc square into K² work
+    // per candidate bucket. Collapsing to one representative per
+    // DISTINCT token set first bounds the entire PPJoin by unique
+    // content; clones re-enter only in the final pair EXPANSION, which
+    // is output-bound (the answer itself is clone-quadratic — every
+    // member pair is a true J=1.0 pair — so Ω(output) is the floor).
+    // sf10: 410 s → join work at sf0.1 scale + output expansion.
     val base = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"),
         array_distinct(call_function("shingles3", col("ws"))).as("shs"))
       .select(col("doc_id"), transform(col("shs"),
         sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long")).as("hs"))
-      .persist() // the md5 pass feeds both the df build and the join below
-    val ex = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    // group key = the SORTED token set (engine-internal, never output,
+    // so the digest needs no cross-engine parity)
+    val sets = base
+      .select(col("doc_id"), col("hs"),
+        md5(concat_ws(",", transform(sort_array(col("hs")),
+          x => x.cast("string")))).as("gk"))
+      .select(col("doc_id"), col("hs"), col("gk"))
+      .persist() // feeds reps, members, and both expansion sides
+    val members = sets.select(col("gk"), col("doc_id"))
+    val reps = sets.groupBy(col("gk")).agg(min(col("doc_id")).as("doc_id"))
+      .join(sets.select(col("gk"), col("doc_id"), col("hs")), Seq("gk", "doc_id"))
+    val ex = reps.select(col("gk"), explode(col("hs")).as("h"))
+    // df over UNIQUE sets (any fixed global order satisfies the prefix
+    // lemma; rep-level df keeps the order clone-invariant)
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // canonical per-doc token order: (df asc, digest asc) — a fixed
-    // global total order, so the prefix-filter lemma applies
-    // the ordered-token signature table is the expensive stage (md5 over
-    // every shingle, df enrichment, per-doc sort) and has FOUR consumers
-    // (both prefix sides, both verification sides) — persist it once,
-    // eagerly checkpoint the tiny pair output, release (q33's pattern);
-    // at 100 TB this is the materialize-the-signature-table step
+    // canonical per-set token order: (df asc, digest asc); the ordered
+    // signature table has four consumers (both prefix sides, both
+    // verification sides) — persist once, checkpoint the tiny pair
+    // output, release (q33's pattern)
     val ordered = ex.join(dfreq, Seq("h"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("gk"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"))
-      .select(col("doc_id"),
+      .select(col("gk"),
         transform(col("ts"), t => t.getField("h")).as("toks"),
         size(col("ts")).as("sz"))
       .persist()
-    // PPJoin positional filter (lossless, so the oracle's plain prefix
-    // filter yields the same OUTPUT): a pair first sharing the token at
-    // 1-based positions (ix, iy) can overlap at most
+    // PPJoin positional filter (lossless): a pair first sharing the
+    // token at 1-based positions (ix, iy) can overlap at most
     // 1 + min(sx−ix, sy−iy), which must reach the J ≥ 0.8 overlap
-    // requirement ⌈4(sx+sy)/9⌉ — cuts candidates 3× (4.57M → 1.51M at
-    // sf1), and the verification joins shrink with them
-    val pre = ordered.select(col("doc_id"), col("sz"),
+    // requirement ⌈4(sx+sy)/9⌉ — cuts candidates 3× at sf1
+    val pre = ordered.select(col("gk"), col("sz"),
         posexplode(expr("slice(toks, 1, sz - (4*sz + 4) DIV 5 + 1)")))
       .withColumnRenamed("col", "h")
     val cand = pre.as("x").join(pre.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.h") === col("y.h") && col("x.gk") < col("y.gk") &&
         col("x.sz") * 4 <= col("y.sz") * 5 && col("y.sz") * 4 <= col("x.sz") * 5 &&
         expr("1 + least(x.sz - x.pos - 1, y.sz - y.pos - 1) >= (4*(x.sz + y.sz) + 8) DIV 9"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val out = cand
-      .join(ordered.select(col("doc_id").as("a"), col("toks").as("ta"), col("sz").as("sa")), Seq("a"))
-      .join(ordered.select(col("doc_id").as("b"), col("toks").as("tb"), col("sz").as("sb")), Seq("b"))
+      .select(col("x.gk").as("gka"), col("y.gk").as("gkb")).distinct()
+    val uniqPairs = cand
+      .join(ordered.select(col("gk").as("gka"), col("toks").as("ta"), col("sz").as("sa")), Seq("gka"))
+      .join(ordered.select(col("gk").as("gkb"), col("toks").as("tb"), col("sz").as("sb")), Seq("gkb"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("un", col("sa") + col("sb") - col("inter"))
       .filter(col("inter") * 5 >= col("un") * 4)
-      .select(col("a"), col("b"), expr("(10000 * inter) DIV un").as("jac_bp"))
+      .select(col("gka"), col("gkb"), expr("(10000 * inter) DIV un").as("jac_bp"))
+    // EXPANSION: cross-group pairs inherit the group-level Jaccard
+    // (identical sets ⇒ identical jac for every member pair); clone
+    // siblings within a group are exact J=1.0 pairs
+    val cross = uniqPairs
+      .join(members.select(col("gk").as("gka"), col("doc_id").as("da")), Seq("gka"))
+      .join(members.select(col("gk").as("gkb"), col("doc_id").as("db")), Seq("gkb"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("jac_bp"))
+    val within = members.as("m").join(members.as("n"),
+        col("m.gk") === col("n.gk") && col("m.doc_id") < col("n.doc_id"))
+      .select(col("m.doc_id").as("a"), col("n.doc_id").as("b"),
+        lit(10000L).as("jac_bp"))
+    val out = cross.union(within)
       .orderBy(col("a"), col("b"))
       .localCheckpoint(true)
-    ordered.unpersist(); base.unpersist()
+    ordered.unpersist(); sets.unpersist()
     out
   }
 

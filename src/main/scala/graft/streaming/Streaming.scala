@@ -473,6 +473,111 @@ object Streaming {
         implicitly[org.apache.spark.sql.Encoder[SessionSignal]])
   }
 
+  // ---- triggered panes: Beam early/on-time/late firings -----------------
+
+  /** One fired pane: Beam's `PaneInfo` essentials — `pane` is the
+    * 0-based firing index for the (key, window), `timing` is
+    * EARLY / ON_TIME / LATE. In accumulating mode `n` is the running
+    * window total at firing time (Beam ACCUMULATING); in discarding
+    * mode it is the delta since the previous pane (Beam DISCARDING). */
+  case class PaneOut(user_id: Long, w_start_ms: Long, n: Long, pane: Int, timing: String)
+
+  private case class PaneSt(n: Long, emitted: Long, pane: Int, onTimeFired: Boolean)
+
+  /** Beam's `AfterWatermark.pastEndOfWindow().withEarlyFirings(...)
+    * .withLateFirings(...)` + `allowed_lateness` + accumulation mode —
+    * the trigger surface SURVEY §2.9 carried as a documented gap —
+    * emulated on `transformWithState` with event-time timers:
+    *
+    *  - EARLY panes: one per micro-batch that brings new data before
+    *    the on-time firing (the micro-batch is Spark's processing-time
+    *    quantum, playing Beam's early-firing interval);
+    *  - ON_TIME pane: an event-time timer at window end fires when the
+    *    watermark passes it — emitted even if no batch arrived since
+    *    the last early pane, exactly Beam's on-time pane;
+    *  - LATE panes: one per micro-batch that brings data after the
+    *    on-time firing; admission is bounded by the WATERMARK DELAY,
+    *    which must be set to the allowed lateness (Spark drops
+    *    below-watermark rows before any stateful operator, so the
+    *    delayed Spark watermark plays Beam's "watermark + allowed
+    *    lateness" admission bound);
+    *  - timer arithmetic: with Spark-wm = maxEventTime − lateness, the
+    *    on-time timer sits at wEnd − lateness (it fires exactly when
+    *    maxEventTime — the emulated zero-lag Beam watermark — passes
+    *    the window end, while rows in [Spark-wm, wEnd) stay admissible
+    *    as Beam's late data), and the gc timer at wEnd fires when Beam
+    *    wm passes wEnd + lateness — state scales with |open windows|,
+    *    not |ever-seen windows|. A timer at wEnd itself would make
+    *    late panes UNREACHABLE: by the time it fired, every row of the
+    *    window would already be below the Spark watermark. Boundary:
+    *    Spark's watermark floors at 0, so a window with
+    *    end − lateness ≤ 0 (epoch-adjacent) fires its on-time pane on
+    *    the first watermark update — real event-time domains sit far
+    *    from epoch.
+    *
+    * StreamingSpec drives both accumulation modes through MemoryStream:
+    * early→early→on-time→late with accumulating totals 2,3,3,4 and
+    * discarding deltas 2,1,0,1 on the same input. */
+  class TriggeredPaneProcessor(windowMs: Long, latenessMs: Long, accumulating: Boolean)
+      extends StatefulProcessor[(Long, Long), Ev, PaneOut] {
+    @transient private var st: ValueState[PaneSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PaneSt]("pane", Encoders.product[PaneSt], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[PaneOut] = {
+      val c = rows.size.toLong
+      if (c == 0) return Iterator.empty
+      val wEnd = key._2 + windowMs
+      val fresh = !st.exists()
+      val cur = if (fresh) PaneSt(0L, 0L, 0, onTimeFired = false) else st.get()
+      if (fresh) {
+        getHandle.registerTimer(wEnd - latenessMs) // on-time firing
+        // gc timer; with lateness 0 it would collide with the on-time
+        // timestamp ((key, ts) is the timer identity), so the on-time
+        // handler clears state itself in that case
+        if (latenessMs > 0) getHandle.registerTimer(wEnd)
+      }
+      val n2 = cur.n + c
+      val out = if (accumulating) n2 else n2 - cur.emitted
+      st.update(PaneSt(n2, n2, cur.pane + 1, cur.onTimeFired))
+      Iterator.single(PaneOut(key._1, key._2, out,
+        cur.pane, if (cur.onTimeFired) "LATE" else "EARLY"))
+    }
+
+    override def handleExpiredTimer(key: (Long, Long), timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[PaneOut] = {
+      if (!st.exists()) return Iterator.empty
+      val wEnd = key._2 + windowMs
+      val at = expired.getExpiryTimeInMs
+      if (at == wEnd - latenessMs) {
+        val cur = st.get()
+        val out = if (accumulating) cur.n else cur.n - cur.emitted
+        if (latenessMs == 0) st.clear() // doubles as the gc firing
+        else st.update(PaneSt(cur.n, cur.n, cur.pane + 1, onTimeFired = true))
+        Iterator.single(PaneOut(key._1, key._2, out, cur.pane, "ON_TIME"))
+      } else { // wEnd: Beam wm passed wEnd + lateness — closed for good
+        st.clear()
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Builder: tumbling-window counts with Beam trigger semantics over a
+    * stream of [[Ev]]. The watermark delay is pinned to `latenessMs` —
+    * see [[TriggeredPaneProcessor]] for why that IS the allowed-
+    * lateness bound under Spark's row admission. */
+  def triggeredPanes(events: Dataset[Ev], windowMs: Long, latenessMs: Long,
+                     accumulating: Boolean): Dataset[PaneOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", s"$latenessMs milliseconds")
+      .groupByKey(e => (e.user_id, Math.floorDiv(e.ts.getTime, windowMs) * windowMs))
+      .transformWithState(new TriggeredPaneProcessor(windowMs, latenessMs, accumulating),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[PaneOut]])
+  }
+
   // ---- streaming LSH near-dup (Tier-L × streams) ------------------------
 
   /** Persisted LSH index over a bounded corpus — the static side of the

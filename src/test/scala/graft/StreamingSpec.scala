@@ -343,6 +343,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("triggered panes: early / on-time / late firings in both accumulation modes") {
+    // the Beam trigger surface (AfterWatermark + early/late firings +
+    // allowed_lateness + ACCUMULATING/DISCARDING) that SURVEY carried
+    // as a documented gap — same input through both modes:
+    // window [0,10s), lateness 10s, user 7 gets 2 early batches, the
+    // watermark (maxEv) passes the window end, then one late event
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(uid: Long, ms: Long) =
+        Streaming.Ev(ms, new java.sql.Timestamp(ms), uid, "click", 1.0)
+      def run(accumulating: Boolean, name: String): Seq[(Long, Int, String)] = {
+        val mem = MemoryStream[Streaming.Ev]
+        val q = Streaming.triggeredPanes(mem.toDS(), windowMs = 10000L,
+            latenessMs = 10000L, accumulating = accumulating)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        // window [100s, 110s) — away from epoch: Spark's watermark
+        // floors at 0, so a window whose (end - lateness) is <= 0 would
+        // fire its on-time pane immediately (the documented boundary)
+        mem.addData(ev(7, 101000), ev(7, 102000)); q.processAllAvailable() // EARLY n=2
+        mem.addData(ev(7, 105000)); q.processAllAvailable()                // EARLY +1
+        // maxEv passes window end (112000 >= 110000) -> on-time; second
+        // push lets the timer see the advanced watermark
+        mem.addData(ev(99, 112000)); q.processAllAvailable()
+        mem.addData(ev(99, 113000)); q.processAllAvailable()
+        mem.addData(ev(7, 106000)); q.processAllAvailable()                // LATE +1
+        // push Beam-wm past wEnd + lateness -> gc
+        mem.addData(ev(99, 135000)); q.processAllAvailable()
+        mem.addData(ev(99, 145000)); q.processAllAvailable()
+        q.stop()
+        spark.table(name).filter(col("user_id") === 7L)
+          .orderBy(col("pane"))
+          .collect().map(r => (r.getAs[Long]("n"), r.getAs[Int]("pane"),
+            r.getAs[String]("timing"))).toSeq
+      }
+      assert(run(accumulating = true, "t_panes_acc") == Seq(
+        (2L, 0, "EARLY"), (3L, 1, "EARLY"), (3L, 2, "ON_TIME"), (4L, 3, "LATE")))
+      assert(run(accumulating = false, "t_panes_disc") == Seq(
+        (2L, 0, "EARLY"), (1L, 1, "EARLY"), (0L, 2, "ON_TIME"), (1L, 3, "LATE")))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState TTL: a silent key's state is evicted and its count restarts") {
     // the bounded-state knob for 100 TB streams: footprint tracks
     // ACTIVE keys. TTL is processing-time by API contract, so this test
