@@ -288,6 +288,12 @@ object SimilarityQueries extends QueryPack {
   val SurpriseKeep = 31000L
 
   def q111(s: SparkSession, d: String): DataFrame = {
+    // Measured dead end (round 9, BENCH_SCALING round9_q111_race): collapsing
+    // bg to per-doc bigram TYPE counts (groupBy doc_id,w1,w2 + persist) before
+    // deriving uni/big was 1.7x SLOWER at sf0.1 and sf1 — bigram types are
+    // ~unique per doc (k~1), so the corpus-sized hash aggregate costs more
+    // than the narrow re-explosion it saves. The sf0.1 gap vs the oracle is
+    // multi-job fixed overhead: 8.1x targeted at sf0.1 -> 1.79x at sf1.
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(
