@@ -53,9 +53,47 @@ object Round9Queries extends QueryPack {
       .orderBy(col("w_start_us"), col("event_type"))
   }
 
+  /** q156: Avro sink+source under the oracle — events written through
+    * [[graft.sources.AvroIO]] (8 container shards, deterministic sync
+    * markers, write-once via [[Round8Queries.ensureScratch]]) and read
+    * back with COLUMN PROJECTION pushed into the Avro reader schema
+    * (event_id/props are skip-decoded, exercising `ReadFromAvro
+    * (columns=...)`), then aggregated per event_type with exact integer
+    * checksums: row count, Σ micros-of-day of every timestamp (pins the
+    * timestamp-micros logical-type round-trip to the microsecond), Σ
+    * user_id, and the house decimal-cents value sum. The oracle
+    * computes the same from the ORIGINAL parquet, so a framing, schema
+    * -mapping, or projection bug that drops, duplicates, or shifts one
+    * record breaks the hash. IoSpec covers the full-schema round-trip
+    * (nulls, binary, arrays) and the loud unsupported-type /
+    * missing-column failures; this row pins end-to-end data fidelity. */
+  def q156(s: SparkSession, d: String): DataFrame = {
+    import graft.util.Det._
+    val base = Round8Queries.ensureScratch(s, "avro", d) { b =>
+      graft.sources.AvroIO.write(
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(8),
+        s"$b/data")
+    }
+    graft.sources.AvroIO.read(s, s"$base/data",
+        columns = Seq("ts", "user_id", "event_type", "value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // micros-of-day, not raw epoch micros: Σ epoch_us overflows
+        // BIGINT by ~20x at sf0.1 row counts (1.8e15 × 1e5 rows); the
+        // day-fraction still pins every row's timestamp to the micro
+        sum(unix_micros(col("ts")) % lit(86400000000L)).as("ts_day_us_sum"),
+        sum(col("user_id")).as("uid_sum"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_beam_wordcount" -> q154 _,
-    "q155_beam_windowed"  -> q155 _
+    "q155_beam_windowed"  -> q155 _,
+    "q156_avro_io"        -> q156 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -67,6 +105,12 @@ object Round9Queries extends QueryPack {
       SELECT epoch_us(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS w_start_us,
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q156_avro_io" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS BIGINT) AS ts_day_us_sum,
+             CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
