@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder, SchemaCompatibility}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
@@ -221,33 +221,106 @@ object AvroIO {
     val readerJson = readerSchema.toString
 
     val rdd = spark.sparkContext.parallelize(files.toSeq, files.length)
-      .flatMap { file =>
-        val w = new Schema.Parser().parse(writerJson)
-        val r = new Schema.Parser().parse(readerJson)
-        val path = new Path(file)
-        val in = path.getFileSystem(conf.value).open(path)
-        val stream = new DataFileStream[GenericRecord](
-          in, new GenericDatumReader[GenericRecord](w, r))
-        // never leak the handle: close on task end (limit/take) and on
-        // any mid-iteration decode failure (the TFRecordIO discipline)
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit] { _ => stream.close(); in.close() })
-        val fields = catalystSchema.fields
-        new Iterator[Row] {
-          override def hasNext: Boolean = stream.hasNext
-          override def next(): Row = {
-            val rec = try stream.next()
-              catch { case e: Throwable => stream.close(); in.close(); throw e }
-            val vals = new Array[Any](fields.length)
-            var i = 0
-            while (i < fields.length) {
-              vals(i) = fromAvro(rec.get(fields(i).name), fields(i).dataType)
-              i += 1
-            }
-            Row.fromSeq(vals.toIndexedSeq)
-          }
-        }
-      }
+      .flatMap(rowsFromFile(conf, Some(writerJson), readerJson, catalystSchema))
     spark.createDataFrame(rdd, catalystSchema)
+  }
+
+  /** Evolution-aware read across Avro table vintages — the Avro twin of
+    * [[EvolvedRead]] for parquet, except the resolution engine is
+    * Avro's OWN (the reason the format exists): each file resolves
+    * against `reader` using the writer schema in ITS OWN header, so
+    * vintages with different schemas coexist in one scan. The caller's
+    * `reader` StructType is the one contract; per the Avro spec it
+    * gets: added nullable fields null-filled (union-null default),
+    * dropped fields skip-decoded, int→long / float→double promotion,
+    * and historical names matched via `aliases` (current → old names,
+    * the catalog metadata a rename leaves behind).
+    *
+    * Every vintage's header schema is checked against `reader` with
+    * `SchemaCompatibility` ON THE DRIVER, so an irreconcilable vintage
+    * (e.g. a non-null reader field absent from an old writer, or a
+    * narrowing long→int) fails at PLAN time with the vintage path in
+    * the message — the same loudness contract as [[EvolvedRead]].
+    * One header read per vintage directory, not per file. */
+  def readEvolved(spark: SparkSession, dirs: Seq[String], reader: StructType,
+                  aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    require(dirs.nonEmpty, "AvroIO: evolved read needs at least one vintage dir")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // same record name as write() emits: Avro record resolution matches
+    // by (unqualified) name, so the reader must not invent a new one
+    val readerSchema = {
+      val base = avroSchemaFor(reader, "GraftRecord")
+      if (aliases.isEmpty) base
+      else {
+        val fields = base.getFields.asScala.map { f =>
+          val nf = new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
+          aliases.getOrElse(f.name(), Nil).foreach(nf.addAlias)
+          nf
+        }
+        val rec = Schema.createRecord("GraftRecord", null, "graft.avro", false)
+        rec.setFields(java.util.List.of(fields.toSeq: _*))
+        rec
+      }
+    }
+    val files = dirs.flatMap { d =>
+      val root = new Path(d)
+      val fs = root.getFileSystem(conf.value)
+      val fl = fs.globStatus(new Path(root, "*.avro")).map(_.getPath.toString).sorted
+      require(fl.nonEmpty, s"AvroIO: no .avro files under $d")
+      val in = fs.open(new Path(fl.head))
+      val w = try new DataFileStream(in, new GenericDatumReader[GenericRecord]()).getSchema
+        finally in.close()
+      // applyAliases first: SchemaCompatibility does not consult aliases,
+      // but the runtime ResolvingDecoder does — check what will actually run
+      val compat = SchemaCompatibility.checkReaderWriterCompatibility(
+        readerSchema, Schema.applyAliases(w, readerSchema))
+      if (compat.getType != SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE)
+        throw new IllegalArgumentException(
+          s"AvroIO: vintage $d cannot evolve to the reader schema: " +
+            compat.getResult.getIncompatibilities.asScala.map(_.getMessage).mkString("; "))
+      fl
+    }
+    val catalystSchema = structTypeFor(readerSchema)
+    val readerJson = readerSchema.toString
+    val rdd = spark.sparkContext.parallelize(files, files.length)
+      .flatMap(rowsFromFile(conf, None, readerJson, catalystSchema))
+    spark.createDataFrame(rdd, catalystSchema)
+  }
+
+  /** Open one container and stream it as Rows under the reader schema.
+    * `writerJson = None` ⇒ take the writer schema from the file's own
+    * header (the evolved-read path). Never leaks the handle: closes on
+    * task end (limit/take) and on any mid-iteration decode failure. */
+  private def rowsFromFile(
+      conf: org.apache.spark.util.SerializableConfiguration,
+      writerJson: Option[String], readerJson: String,
+      catalystSchema: StructType)(file: String): Iterator[Row] = {
+    val r = new Schema.Parser().parse(readerJson)
+    val datumReader = writerJson match {
+      case Some(w) => new GenericDatumReader[GenericRecord](
+        new Schema.Parser().parse(w), r)
+      case None => new GenericDatumReader[GenericRecord](null, r)
+    }
+    val path = new Path(file)
+    val in = path.getFileSystem(conf.value).open(path)
+    val stream = new DataFileStream[GenericRecord](in, datumReader)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ => stream.close(); in.close() })
+    val fields = catalystSchema.fields
+    new Iterator[Row] {
+      override def hasNext: Boolean = stream.hasNext
+      override def next(): Row = {
+        val rec = try stream.next()
+          catch { case e: Throwable => stream.close(); in.close(); throw e }
+        val vals = new Array[Any](fields.length)
+        var i = 0
+        while (i < fields.length) {
+          vals(i) = fromAvro(rec.get(fields(i).name), fields(i).dataType)
+          i += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
   }
 }

@@ -204,6 +204,53 @@ class IoSpec extends SparkSpec {
     assert(shardMd5() == shardMd5())
   }
 
+  test("avro evolved read: per-file resolution widens, null-fills, renames via alias") {
+    import graft.sources.AvroIO
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // vintage 1: n is INT, the string column is still called `gone`
+    val v1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = false),
+      StructField("gone", StringType, nullable = true)))
+    // vintage 2: n widened to LONG, column renamed to `s`
+    val v2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val d1 = tmp() + "/av_v1"; val d2 = tmp() + "/av_v2"
+    AvroIO.write(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 7, "a"), Row(2L, 8, null)), 1), v1), d1)
+    AvroIO.write(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(3L, 9L, "c")), 1), v2), d2)
+    // reader contract: widened n, renamed s (alias to the v1 name), and
+    // a brand-new nullable column absent from both vintages
+    val reader = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("extra", IntegerType, nullable = true)))
+    val back = AvroIO.readEvolved(spark, Seq(d1, d2), reader,
+      aliases = Map("s" -> Seq("gone")))
+    assert(back.schema.fieldNames.toSeq == Seq("id", "n", "s", "extra"))
+    assert(back.collect().map(_.toSeq).toSet == Set(
+      Seq(1L, 7L, "a", null), Seq(2L, 8L, null, null), Seq(3L, 9L, "c", null)))
+    // irreconcilable vintage fails at PLAN time, naming the vintage:
+    // reader narrows v2's long n to int
+    val narrow = StructType(Seq(StructField("n", IntegerType, nullable = false)))
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.readEvolved(spark, Seq(d2), narrow)
+    }
+    assert(e.getMessage.contains("cannot evolve") && e.getMessage.contains("av_v2"))
+    // so does a non-null reader column no vintage can supply
+    val orphan = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("mandatory", LongType, nullable = false)))
+    val e2 = intercept[IllegalArgumentException] {
+      AvroIO.readEvolved(spark, Seq(d1), orphan)
+    }
+    assert(e2.getMessage.contains("cannot evolve"))
+  }
+
   test("accumulators count side observations (Beam metrics counter)") {
     import spark.implicits._
     val malformed = spark.sparkContext.longAccumulator("malformed")
