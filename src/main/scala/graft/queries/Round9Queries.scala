@@ -90,10 +90,47 @@ object Round9Queries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** q157: CSV sink+source fidelity under the oracle — the q156 pattern
+    * applied to the OTHER spec-only text interchange surface. Events
+    * are written through the engine's CSV sink (8 shards, header,
+    * write-once via [[Round8Queries.ensureScratch]]; timestamps
+    * serialized as exact integer micros) and read back with an explicit
+    * schema, then aggregated with checksums that pin every fidelity
+    * hazard CSV has: row count (framing), Σ micros-of-day (numeric
+    * text round-trip), Σ user_id, an md5-prefix checksum over `props`
+    * — a JSON string, so EVERY row round-trips through CSV
+    * quote-escaping; one mangled quote breaks the hash — and the house
+    * decimal-cents value sum (doubles survive via shortest-repr
+    * serialization). The oracle computes identical checksums from the
+    * ORIGINAL parquet. */
+  def q157(s: SparkSession, d: String): DataFrame = {
+    import graft.util.Det._
+    val base = Round8Queries.ensureScratch(s, "csv", d) { b =>
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .repartition(8)
+        .write.option("header", "true").csv(s"$b/data")
+    }
+    s.read.option("header", "true")
+      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .csv(s"$base/data")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ts_us") % lit(86400000000L)).as("ts_day_us_sum"),
+        sum(col("user_id")).as("uid_sum"),
+        sum(conv(substring(md5(col("props")), 1, 8), 16, 10).cast("long"))
+          .as("props_ck"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_beam_wordcount" -> q154 _,
     "q155_beam_windowed"  -> q155 _,
-    "q156_avro_io"        -> q156 _
+    "q156_avro_io"        -> q156 _,
+    "q157_csv_io"         -> q157 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -110,6 +147,13 @@ object Round9Queries extends QueryPack {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS BIGINT) AS ts_day_us_sum,
              CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q157_csv_io" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS BIGINT) AS ts_day_us_sum,
+             CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+             CAST(SUM(CAST(('0x' || substr(md5(props), 1, 8)) AS BIGINT)) AS BIGINT) AS props_ck,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type"""
   )
