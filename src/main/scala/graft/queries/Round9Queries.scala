@@ -126,11 +126,44 @@ object Round9Queries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** q158: JSON-lines sink+source fidelity under the oracle — completes
+    * the q156/q157 interchange-format trio. The fidelity hazard JSON
+    * adds over CSV is STRING ESCAPING of structured content: `props` is
+    * itself a JSON document, so every row round-trips a JSON string
+    * embedded in JSON (quote/backslash escaping both directions); the
+    * md5-prefix checksum breaks if one escape is mangled. Timestamps
+    * travel as exact integer micros and doubles as shortest-repr
+    * literals, pinned by the same integer/decimal-cents checksums as
+    * q156/q157 against the ORIGINAL parquet. */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    import graft.util.Det._
+    val base = Round8Queries.ensureScratch(s, "json", d) { b =>
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .repartition(8)
+        .write.json(s"$b/data")
+    }
+    s.read
+      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .json(s"$base/data")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ts_us") % lit(86400000000L)).as("ts_day_us_sum"),
+        sum(col("user_id")).as("uid_sum"),
+        sum(conv(substring(md5(col("props")), 1, 8), 16, 10).cast("long"))
+          .as("props_ck"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_beam_wordcount" -> q154 _,
     "q155_beam_windowed"  -> q155 _,
     "q156_avro_io"        -> q156 _,
-    "q157_csv_io"         -> q157 _
+    "q157_csv_io"         -> q157 _,
+    "q158_json_io"        -> q158 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -150,6 +183,13 @@ object Round9Queries extends QueryPack {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""",
     "q157_csv_io" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS BIGINT) AS ts_day_us_sum,
+             CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+             CAST(SUM(CAST(('0x' || substr(md5(props), 1, 8)) AS BIGINT)) AS BIGINT) AS props_ck,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q158_json_io" -> """
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS BIGINT) AS ts_day_us_sum,
              CAST(SUM(user_id) AS BIGINT) AS uid_sum,
