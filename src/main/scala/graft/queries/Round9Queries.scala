@@ -158,12 +158,37 @@ object Round9Queries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** q159: text-lines sink+source fidelity under the oracle — Beam's
+    * founding IO pair (`ReadFromText`/`WriteToText`, the wordcount
+    * example's source) promoted from spec-only to the hash gate. The
+    * corpus is written as raw lines (write-once, 8 shards) and read
+    * back; 16 md5 buckets each carry a row count, a character-length
+    * sum, and an md5-prefix checksum, so a dropped, split, or mutated
+    * line breaks the hash. The lines format carries a precondition the
+    * fixtures satisfy (and the oracle would catch if they stopped to):
+    * no embedded newlines. */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    val base = Round8Queries.ensureScratch(s, "text", d) { b =>
+      Tables.documents(s, d).select(col("text")).repartition(8)
+        .write.text(s"$b/data")
+    }
+    s.read.text(s"$base/data")
+      .select(col("value").as("text"))
+      .groupBy(substring(md5(col("text")), 1, 1).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).cast("long").as("len_sum"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_ck"))
+      .orderBy(col("bucket"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_beam_wordcount" -> q154 _,
     "q155_beam_windowed"  -> q155 _,
     "q156_avro_io"        -> q156 _,
     "q157_csv_io"         -> q157 _,
-    "q158_json_io"        -> q158 _
+    "q158_json_io"        -> q158 _,
+    "q159_text_io"        -> q159 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -195,6 +220,11 @@ object Round9Queries extends QueryPack {
              CAST(SUM(user_id) AS BIGINT) AS uid_sum,
              CAST(SUM(CAST(('0x' || substr(md5(props), 1, 8)) AS BIGINT)) AS BIGINT) AS props_ck,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY event_type ORDER BY event_type"""
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q159_text_io" -> """
+      SELECT substr(md5(text), 1, 1) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(length(text)) AS BIGINT) AS len_sum,
+             CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_ck
+      FROM documents GROUP BY 1 ORDER BY 1"""
   )
 }
