@@ -182,13 +182,47 @@ object Round9Queries extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  /** q160: deterministic epoch shuffle — the seeded global permutation
+    * + shard manifest an LLM training pipeline needs for REPRODUCIBLE
+    * batch order (re-running the pipeline must yield byte-identical
+    * shard contents in byte-identical order; a new epoch is a new seed
+    * string, nothing re-read). Permutation = order by
+    * md5(doc_id ":" seed) — doc_id is unique so the order is total;
+    * shard = leading key byte mod 8, so shard membership and
+    * within-shard position both derive from the key alone. The oracle
+    * row pins ORDER, not just membership: each shard's checksum is
+    * Σ rank×(doc_id mod 9973) over the within-shard rank, which any
+    * swap, drop, or duplication perturbs.
+    *
+    * Scale shape: hash-then-sort is the standard distributed shuffle —
+    * shard count (thousands at 100 TB) sets the parallelism, each
+    * shard sorts independently (the window partitions by shard), and
+    * the manifest the trainer's loader consumes is |shards| rows. No
+    * global sort, no driver materialization. */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":epoch0"))).as("k"))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 2), 16, 10).cast("long") % 8).cast("int"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("k"))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("first_key"),
+        sum(col("rank") * (col("doc_id") % 9973)).cast("long").as("order_ck"))
+      .orderBy(col("shard"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_beam_wordcount" -> q154 _,
     "q155_beam_windowed"  -> q155 _,
     "q156_avro_io"        -> q156 _,
     "q157_csv_io"         -> q157 _,
     "q158_json_io"        -> q158 _,
-    "q159_text_io"        -> q159 _
+    "q159_text_io"        -> q159 _,
+    "q160_epoch_shuffle"  -> q160 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -225,6 +259,16 @@ object Round9Queries extends QueryPack {
       SELECT substr(md5(text), 1, 1) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(length(text)) AS BIGINT) AS len_sum,
              CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_ck
-      FROM documents GROUP BY 1 ORDER BY 1"""
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q160_epoch_shuffle" -> """
+      WITH k AS (SELECT doc_id, md5(doc_id || ':epoch0') AS k FROM documents),
+      s AS (SELECT doc_id, k,
+              CAST(('0x' || substr(k, 1, 2)) AS BIGINT) % 8 AS shard FROM k),
+      r AS (SELECT shard, k, doc_id,
+              row_number() OVER (PARTITION BY shard ORDER BY k) AS rank FROM s)
+      SELECT CAST(shard AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n,
+             min(k) AS first_key,
+             CAST(SUM(rank * (doc_id % 9973)) AS BIGINT) AS order_ck
+      FROM r GROUP BY shard ORDER BY shard"""
   )
 }
