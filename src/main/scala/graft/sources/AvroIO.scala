@@ -26,13 +26,16 @@ import org.apache.spark.sql.types._
   * time (the EvolvedRead lesson: a mapping surprise must never surface
   * mid-job as a executor cast error).
   *
-  * Scale shape mirrors [[TFRecordIO]]: one `.avro` container per input
-  * partition on write (task-attempt temp + rename-on-commit, so
-  * speculation can't interleave a shard), one read task per file.
-  * Unlike TFRecord, Avro containers ARE internally blocked (sync
-  * markers every ~64 KB), so a future split-by-sync read is possible —
-  * at this engine's file-per-partition layout the file is already the
-  * parallel unit, which is also Beam's default sharding. Records
+  * Scale shape: one `.avro` container per input partition on write
+  * (task-attempt temp + rename-on-commit, so speculation can't
+  * interleave a shard), and on read one task per SYNC-ALIGNED BYTE
+  * RANGE, not per file — Avro containers are internally blocked with
+  * a 16-byte sync marker terminating the header and every block, so a
+  * split seeks to the first sync after its start offset and stops
+  * past the first sync after its end (the format's own parallelism
+  * contract; `splitBytes` defaults to 32 MiB). A 150 MB shard thus
+  * reads as ~5 tasks — read parallelism follows BYTES, not the
+  * writer's sharding, which is what a 100 TB table requires. Records
   * stream through both directions in constant memory; the writer's
   * sync marker is derived deterministically from (dir, partition) so a
   * shard's bytes are a pure function of its input — which is what lets
@@ -179,19 +182,21 @@ object AvroIO {
     }
   }
 
-  /** Read every `.avro` container under `dir`, one task per file.
-    * `columns`, if non-empty, is pushed into the Avro READER schema so
-    * dropped fields are skip-decoded, and fixes the output column
-    * order. Schema is taken from the first shard's header on the
-    * driver; a shard written with a different schema fails its task
-    * loudly (Avro schema-resolution error), never silently coerces. */
-  def read(spark: SparkSession, dir: String, columns: Seq[String] = Nil): DataFrame = {
+  /** Read every `.avro` container under `dir`, one task per
+    * sync-aligned byte range of ≤`splitBytes`. `columns`, if
+    * non-empty, is pushed into the Avro READER schema so dropped
+    * fields are skip-decoded, and fixes the output column order.
+    * Schema is taken from the first shard's header on the driver; a
+    * shard written with a different schema fails its task loudly
+    * (Avro schema-resolution error), never silently coerces. */
+  def read(spark: SparkSession, dir: String, columns: Seq[String] = Nil,
+           splitBytes: Long = 32L << 20): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
-    val files = fs.globStatus(new Path(root, "*.avro"))
-      .map(_.getPath.toString).sorted
+    val statuses = fs.globStatus(new Path(root, "*.avro")).sortBy(_.getPath.toString)
+    val files = statuses.map(_.getPath.toString)
     require(files.nonEmpty, s"AvroIO: no .avro files under $dir")
 
     // writer schema from the first shard's header (driver-side, no rows)
@@ -220,8 +225,9 @@ object AvroIO {
     val writerJson = writerSchema.toString
     val readerJson = readerSchema.toString
 
-    val rdd = spark.sparkContext.parallelize(files.toSeq, files.length)
-      .flatMap(rowsFromFile(conf, Some(writerJson), readerJson, catalystSchema))
+    val splits = toSplits(statuses.map(s => s.getPath.toString -> s.getLen), splitBytes)
+    val rdd = spark.sparkContext.parallelize(splits, splits.length)
+      .flatMap(rowsFromSplit(conf, Some(writerJson), readerJson, catalystSchema))
     spark.createDataFrame(rdd, catalystSchema)
   }
 
@@ -243,7 +249,8 @@ object AvroIO {
     * the message — the same loudness contract as [[EvolvedRead]].
     * One header read per vintage directory, not per file. */
   def readEvolved(spark: SparkSession, dirs: Seq[String], reader: StructType,
-                  aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
+                  aliases: Map[String, Seq[String]] = Map.empty,
+                  splitBytes: Long = 32L << 20): DataFrame = {
     require(dirs.nonEmpty, "AvroIO: evolved read needs at least one vintage dir")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -263,12 +270,12 @@ object AvroIO {
         rec
       }
     }
-    val files = dirs.flatMap { d =>
+    val sized = dirs.flatMap { d =>
       val root = new Path(d)
       val fs = root.getFileSystem(conf.value)
-      val fl = fs.globStatus(new Path(root, "*.avro")).map(_.getPath.toString).sorted
-      require(fl.nonEmpty, s"AvroIO: no .avro files under $d")
-      val in = fs.open(new Path(fl.head))
+      val sts = fs.globStatus(new Path(root, "*.avro")).sortBy(_.getPath.toString)
+      require(sts.nonEmpty, s"AvroIO: no .avro files under $d")
+      val in = fs.open(sts.head.getPath)
       val w = try new DataFileStream(in, new GenericDatumReader[GenericRecord]()).getSchema
         finally in.close()
       // applyAliases first: SchemaCompatibility does not consult aliases,
@@ -279,40 +286,55 @@ object AvroIO {
         throw new IllegalArgumentException(
           s"AvroIO: vintage $d cannot evolve to the reader schema: " +
             compat.getResult.getIncompatibilities.asScala.map(_.getMessage).mkString("; "))
-      fl
+      sts.map(s => s.getPath.toString -> s.getLen)
     }
     val catalystSchema = structTypeFor(readerSchema)
     val readerJson = readerSchema.toString
-    val rdd = spark.sparkContext.parallelize(files, files.length)
-      .flatMap(rowsFromFile(conf, None, readerJson, catalystSchema))
+    val splits = toSplits(sized, splitBytes)
+    val rdd = spark.sparkContext.parallelize(splits, splits.length)
+      .flatMap(rowsFromSplit(conf, None, readerJson, catalystSchema))
     spark.createDataFrame(rdd, catalystSchema)
   }
 
-  /** Open one container and stream it as Rows under the reader schema.
-    * `writerJson = None` ⇒ take the writer schema from the file's own
-    * header (the evolved-read path). Never leaks the handle: closes on
-    * task end (limit/take) and on any mid-iteration decode failure. */
-  private def rowsFromFile(
+  /** Chop (file, length) pairs into sync-split byte ranges. */
+  private def toSplits(sized: Seq[(String, Long)], splitBytes: Long): Seq[(String, Long, Long)] = {
+    require(splitBytes > 0, s"AvroIO: splitBytes must be positive, got $splitBytes")
+    sized.flatMap { case (f, len) =>
+      if (len == 0) Seq((f, 0L, 0L))
+      else (0L until len by splitBytes).map(s => (f, s, math.min(s + splitBytes, len)))
+    }
+  }
+
+  /** Open one sync-aligned byte range of a container and stream it as
+    * Rows under the reader schema: seek to the first sync point after
+    * `start`, stop past the first sync point after `end` — every block
+    * is read by exactly one split (the Avro container's own split
+    * contract). `writerJson = None` ⇒ take the writer schema from the
+    * file's own header (the evolved-read path). Never leaks the
+    * handle: closes on task end (limit/take) and on any mid-iteration
+    * decode failure. */
+  private def rowsFromSplit(
       conf: org.apache.spark.util.SerializableConfiguration,
       writerJson: Option[String], readerJson: String,
-      catalystSchema: StructType)(file: String): Iterator[Row] = {
+      catalystSchema: StructType)(split: (String, Long, Long)): Iterator[Row] = {
+    val (file, start, end) = split
     val r = new Schema.Parser().parse(readerJson)
     val datumReader = writerJson match {
       case Some(w) => new GenericDatumReader[GenericRecord](
         new Schema.Parser().parse(w), r)
       case None => new GenericDatumReader[GenericRecord](null, r)
     }
-    val path = new Path(file)
-    val in = path.getFileSystem(conf.value).open(path)
-    val stream = new DataFileStream[GenericRecord](in, datumReader)
+    val in = new org.apache.avro.mapred.FsInput(new Path(file), conf.value)
+    val reader = org.apache.avro.file.DataFileReader.openReader(in, datumReader)
+    reader.sync(start) // lands on the header's trailing sync when start = 0
     Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit] { _ => stream.close(); in.close() })
+      _.addTaskCompletionListener[Unit] { _ => reader.close(); in.close() })
     val fields = catalystSchema.fields
     new Iterator[Row] {
-      override def hasNext: Boolean = stream.hasNext
+      override def hasNext: Boolean = reader.hasNext && !reader.pastSync(end)
       override def next(): Row = {
-        val rec = try stream.next()
-          catch { case e: Throwable => stream.close(); in.close(); throw e }
+        val rec = try reader.next()
+          catch { case e: Throwable => reader.close(); in.close(); throw e }
         val vals = new Array[Any](fields.length)
         var i = 0
         while (i < fields.length) {

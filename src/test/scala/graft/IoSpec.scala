@@ -204,6 +204,26 @@ class IoSpec extends SparkSpec {
     assert(shardMd5() == shardMd5())
   }
 
+  test("avro sync-split read: byte ranges partition one container without loss or dup") {
+    import graft.sources.AvroIO
+    val dir = tmp() + "/avro_s"
+    // ONE container, so any parallelism must come from sync splits
+    AvroIO.write(Tables.events(spark, sf("sf0.01"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+      .coalesce(1), dir)
+    val whole = AvroIO.read(spark, dir)
+    val split = AvroIO.read(spark, dir, splitBytes = 64 * 1024)
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected multiple sync splits, got ${split.rdd.getNumPartitions}")
+    assert(split.count() == whole.count())
+    assert(split.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet)
+    // each block lands in exactly one split: position-insensitive but
+    // multiplicity-sensitive checksum
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("event_id")), count(lit(1))).collect()(0).toSeq
+    assert(ck(split) == ck(whole))
+  }
+
   test("avro evolved read: per-file resolution widens, null-fills, renames via alias") {
     import graft.sources.AvroIO
     import org.apache.spark.sql.types._
