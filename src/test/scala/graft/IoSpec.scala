@@ -327,6 +327,29 @@ class IoSpec extends SparkSpec {
       "dynamic overwrite must not clobber other batches")
   }
 
+  test("streaming Avro sink: per-batch dirs make foreachBatch replay idempotent (WriteToAvro)") {
+    // the Avro analogue of the parquet idempotent sink above: key the
+    // output by batch id and let AvroIO.write's delete-then-write make
+    // a crash-replayed batch land on top of its previous attempt —
+    // exactly-once files under at-least-once foreachBatch, with other
+    // batches' containers untouched. Shard bytes are deterministic
+    // (sync marker from (dir, pid)), so the replay is byte-identical.
+    import spark.implicits._
+    import graft.sources.AvroIO
+    val dir = tmp()
+    def deliver(rows: Seq[Long], batchId: Long): Unit =
+      AvroIO.write(rows.toDF("v"), s"$dir/out/batch-$batchId")
+    deliver(Seq(1L, 2L, 3L), 0L)
+    deliver(Seq(4L, 5L), 1L)
+    deliver(Seq(4L, 5L), 1L) // crash-replay of batch 1
+    val batches = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.toString).sorted
+    assert(batches.length == 2)
+    val out = batches.map(AvroIO.read(spark, _)).reduce(_ union _)
+    assert(out.count() == 5, "replayed batch must not duplicate")
+    assert(out.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("evolved read reconciles renamed, added, and widened columns across vintages") {
     import graft.sources.EvolvedRead
     val dir = tmp()
