@@ -37,7 +37,12 @@ class AnsiParitySpec extends SparkSpec {
     "q88_rank_filter",       // Zipf rank gate
     "q17_json_extract",      // string->typed extraction
     "q42_token_count",       // regex token arithmetic
-    "q97_funnel")            // ordered-step state machine
+    "q97_funnel",            // ordered-step state machine
+    "q156_avro_io",          // round 9: Σ micros-of-day + decimal-cents checksums
+    "q157_csv_io",           // round 9: conv(hex)->long props checksum over CSV
+    "q158_json_io",          // round 9: same checksum class over JSON-lines
+    "q159_text_io",          // round 9: md5-bucket length/checksum sums
+    "q160_epoch_shuffle")    // round 9: rank x (doc_id mod p) order checksum
 
   private def resultHash(name: String): String = {
     val rows = SparkEntry.queries(name)(spark, sf("sf0.001")).collect()
