@@ -21,7 +21,8 @@ object SparkEntry {
     GovernanceQueries,
     SimilarityQueries,
     Round8Queries,
-    Round9Queries
+    Round9Queries,
+    Round10Queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

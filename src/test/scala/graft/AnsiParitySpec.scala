@@ -42,7 +42,9 @@ class AnsiParitySpec extends SparkSpec {
     "q157_csv_io",           // round 9: conv(hex)->long props checksum over CSV
     "q158_json_io",          // round 9: same checksum class over JSON-lines
     "q159_text_io",          // round 9: md5-bucket length/checksum sums
-    "q160_epoch_shuffle")    // round 9: rank x (doc_id mod p) order checksum
+    "q160_epoch_shuffle",    // round 9: rank x (doc_id mod p) order checksum
+    "q161_orc_io",           // round 10: conv(hex)->long props checksum over ORC
+    "q163_hamming_ann")      // round 10: sign-bit packing + xor/bit_count ranking
 
   private def resultHash(name: String): String = {
     val rows = SparkEntry.queries(name)(spark, sf("sf0.001")).collect()

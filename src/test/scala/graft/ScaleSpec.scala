@@ -92,6 +92,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join (might_contain in plan, rows unchanged)") {
+    // The third shuffle-reduction lever next to broadcast and bucketing:
+    // when the dim side is filtered but too big to broadcast, Spark's
+    // InjectRuntimeFilter builds a bloom filter from the dim keys and
+    // applies might_contain on the fact scan — at 100 TB the fact rows
+    // that would never match die before the exchange instead of after
+    // it. Thresholds are lowered so fixture-scale data trips the rule
+    // (the 10 GB application-side default is a real-cluster number);
+    // the rows must be identical with the rule on and off.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def revenueByPriority(): (String, Map[String, Double]) = {
+      val ord = Tables.orders(spark, sf("sf0.001"))
+        .filter(col("o_totalprice") > 200000.0)           // selective dim filter
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(spark, sf("sf0.001"))
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      val rows = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      (df.queryExecution.executedPlan.toString, rows)
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (plan, withBloom) = revenueByPriority()
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan side:\n$plan")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val (_, plain) = revenueByPriority()
+      assert(withBloom == plain, "bloom-filtered join changed the result")
+      assert(withBloom.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals a plain join under a forced shuffle join, including left no-match rows") {
     import spark.implicits._
     // hot key 1L carries 90% of the big side; key 99L has NO match in
