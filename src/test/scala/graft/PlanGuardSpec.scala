@@ -64,6 +64,28 @@ class PlanGuardSpec extends SparkSpec {
       s"ADC scan must broadcast the query side:\n$adc")
   }
 
+  test("q162/q163/q164 retrieval: broadcast query side, heap-collected shortlist, no corpus exchange") {
+    // the round-10 retrievers share q119's scale shape — the corpus
+    // never shuffles on vec_id, the (bounded) query set broadcasts,
+    // and shortlists ride the bounded-heap collector instead of a
+    // window sort over the candidate fanout. q163's sf0.1 gap vs the
+    // integer-cheap DuckDB brute force is the settled multi-job
+    // overhead class (targeted race: 3.1x sf0.1 -> 1.64x sf3,
+    // BENCH_SCALING round10_newqueries_targeted); this pin keeps the
+    // efficient shape so the gap can only shrink with sf.
+    graft.GraftFunctions.ensure(spark)
+    for (name <- Seq("q162_mrl_ann", "q163_hamming_ann", "q164_maxsim")) {
+      val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!requiredCorpusExchange(plan, "vec_id"),
+        s"corpus-wide exchange on vec_id in $name:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must broadcast the query/shortlist side:\n$plan")
+      assert(plan.contains("collect_top_k"),
+        s"$name shortlist must use the bounded-heap collector:\n$plan")
+    }
+  }
+
   test("q124 IVFADC: literal-model encode, no corpus exchange, broadcast probe") {
     graft.GraftFunctions.ensure(spark)
     val plan = SparkEntry.queries("q124_ivfpq_adc")(spark, sf("sf0.001"))
