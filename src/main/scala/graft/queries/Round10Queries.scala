@@ -228,31 +228,66 @@ object Round10Queries extends QueryPack {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // q165: hard-negative mining ---------------------------------------------
+
+  private val HnK = 5
+  private val HnQ = 8
+
+  /** Contrastive-training hard negatives: for each query vector, the
+    * top-k most-similar vectors with a DIFFERENT label — the rows a
+    * contrastive loss learns the most from (they sit closest to the
+    * boundary). The label inequality rides the broadcast-join
+    * predicate so positives never reach the scorer; ranking is the
+    * bounded heap. At 100 TB this is the same one-pass scan shape as
+    * q35's baseline — in production the scan side would be an ANN
+    * shortlist (q57/q163) instead of the full corpus; the mining
+    * semantics are identical. */
+  def q165(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < HnQ)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val cand = e.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("sim"))
+    heapTopK(cand, -col("sim"), HnK)
+      .select(col("q_id"), col("rn"), col("vec_id"), (-col("hk")).as("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // q166: reciprocal-rank fusion of two retrievers ---------------------------
+
+  private val RrfC = 60      // the standard RRF dampening constant
+  private val RrfK = 3
+
+  /** Hybrid-retrieval rank fusion (Cormack et al. 2009): fuse the MRL
+    * (q162) and Hamming (q163) result lists per query with
+    * RRF(d) = Σ_lists 1/(C + rank_d) — here in exact integer
+    * micro-units, floor(10⁶/(60+rank)), absent-from-list = 0, so the
+    * fused order is bit-deterministic. Fusion consumes only the two
+    * retrievers' top-k lists (|queries|×k rows each), never the
+    * corpus — the production shape where the lists come from separate
+    * vector/keyword systems and the fuser is a metadata-sized join. */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    val a = q162(s, d).select(col("q_id"), col("vec_id"),
+      floor(lit(1000000) / (lit(RrfC) + col("rn"))).cast("long").as("ra"))
+    val b = q163(s, d).select(col("q_id"), col("vec_id"),
+      floor(lit(1000000) / (lit(RrfC) + col("rn"))).cast("long").as("rb"))
+    val fused = a.join(b, Seq("q_id", "vec_id"), "full_outer")
+      .select(col("q_id"), col("vec_id"),
+        (coalesce(col("ra"), lit(0L)) + coalesce(col("rb"), lit(0L))).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf").desc, col("vec_id"))
+    fused.withColumn("rn", row_number().over(w))   // fused lists: ≤ 8×10 rows
+      .filter(col("rn") <= RrfK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("rrf"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   // Oracle twins -----------------------------------------------------------
 
-  private def maxSimSql(q: String, dcol: String): String =
-    (0 until MsM).map { i =>
-      "greatest(" + (0 until MsM).map { j =>
-        s"CAST(floor(${odot(q, i * MsDs, dcol, j * MsDs, MsDs)} / (sqrt(${odot(q, i * MsDs, q, i * MsDs, MsDs)}) * sqrt(${odot(dcol, j * MsDs, dcol, j * MsDs, MsDs)})) * 10000) AS BIGINT)"
-      }.mkString(", ") + ")"
-    }.mkString("(", " + ", ")")
-
-  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q161_orc_io"      -> q161 _,
-    "q162_mrl_ann"     -> q162 _,
-    "q163_hamming_ann" -> q163 _,
-    "q164_maxsim"      -> q164 _
-  )
-
-  override val oracle: Map[String, String] = Map(
-    "q161_orc_io" -> """
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS BIGINT) AS ts_day_us_sum,
-             CAST(SUM(user_id) AS BIGINT) AS uid_sum,
-             CAST(SUM(CAST(('0x' || substr(md5(props), 1, 8)) AS BIGINT)) AS BIGINT) AS props_ck,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY event_type ORDER BY event_type""",
-    "q162_mrl_ann" -> s"""
+  private lazy val mrlSql: String = s"""
       WITH p AS (
         SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
                ${pcosSql("q.embedding", "e.embedding", MrlDims)} AS psim,
@@ -264,8 +299,9 @@ object Round10Queries extends QueryPack {
             FROM s WHERE rn1 <= $MrlShort),
       f AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM r)
       SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, sim_q
-      FROM f WHERE rn <= $MrlK ORDER BY q_id, rn""",
-    "q163_hamming_ann" -> s"""
+      FROM f WHERE rn <= $MrlK ORDER BY q_id, rn"""
+
+  private lazy val hammingSql: String = s"""
       WITH sg AS (
         SELECT vec_id, embedding,
                ${signWordSql("embedding", 0)} AS lo,
@@ -282,7 +318,55 @@ object Round10Queries extends QueryPack {
             FROM s WHERE rn1 <= $HamShort),
       f AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM r)
       SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ham, sim_q
-      FROM f WHERE rn <= $HamK ORDER BY q_id, rn""",
+      FROM f WHERE rn <= $HamK ORDER BY q_id, rn"""
+
+  private def maxSimSql(q: String, dcol: String): String =
+    (0 until MsM).map { i =>
+      "greatest(" + (0 until MsM).map { j =>
+        s"CAST(floor(${odot(q, i * MsDs, dcol, j * MsDs, MsDs)} / (sqrt(${odot(q, i * MsDs, q, i * MsDs, MsDs)}) * sqrt(${odot(dcol, j * MsDs, dcol, j * MsDs, MsDs)})) * 10000) AS BIGINT)"
+      }.mkString(", ") + ")"
+    }.mkString("(", " + ", ")")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_orc_io"        -> q161 _,
+    "q162_mrl_ann"       -> q162 _,
+    "q163_hamming_ann"   -> q163 _,
+    "q164_maxsim"        -> q164 _,
+    "q165_hard_negatives" -> q165 _,
+    "q166_rrf_fusion"    -> q166 _
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q161_orc_io" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS BIGINT) AS ts_day_us_sum,
+             CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+             CAST(SUM(CAST(('0x' || substr(md5(props), 1, 8)) AS BIGINT)) AS BIGINT) AS props_ck,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q162_mrl_ann" -> mrlSql,
+    "q163_hamming_ann" -> hammingSql,
+    "q165_hard_negatives" -> s"""
+      WITH p AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               ${cosineSql("q.embedding", "e.embedding")} AS sim_q
+        FROM embeddings q JOIN embeddings e
+          ON e.vec_id <> q.vec_id AND e.label <> q.label
+        WHERE q.vec_id < $HnQ),
+      f AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM p)
+      SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, sim_q
+      FROM f WHERE rn <= $HnK ORDER BY q_id, rn""",
+    "q166_rrf_fusion" -> s"""
+      WITH a AS ($mrlSql),
+      b AS ($hammingSql),
+      u AS (SELECT coalesce(a.q_id, b.q_id) AS q_id,
+                   coalesce(a.vec_id, b.vec_id) AS vec_id,
+                   coalesce(CAST(floor(1000000 / ($RrfC + a.rn)) AS BIGINT), 0) +
+                   coalesce(CAST(floor(1000000 / ($RrfC + b.rn)) AS BIGINT), 0) AS rrf
+            FROM a FULL JOIN b ON a.q_id = b.q_id AND a.vec_id = b.vec_id),
+      f AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS rn FROM u)
+      SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, rrf
+      FROM f WHERE rn <= $RrfK ORDER BY q_id, rn""",
     "q164_maxsim" -> s"""
       WITH p AS (
         SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

@@ -44,7 +44,8 @@ class AnsiParitySpec extends SparkSpec {
     "q159_text_io",          // round 9: md5-bucket length/checksum sums
     "q160_epoch_shuffle",    // round 9: rank x (doc_id mod p) order checksum
     "q161_orc_io",           // round 10: conv(hex)->long props checksum over ORC
-    "q163_hamming_ann")      // round 10: sign-bit packing + xor/bit_count ranking
+    "q163_hamming_ann",      // round 10: sign-bit packing + xor/bit_count ranking
+    "q166_rrf_fusion")       // round 10: integer micro-unit rank fusion with DIV
 
   private def resultHash(name: String): String = {
     val rows = SparkEntry.queries(name)(spark, sf("sf0.001")).collect()

@@ -74,7 +74,8 @@ class PlanGuardSpec extends SparkSpec {
     // BENCH_SCALING round10_newqueries_targeted); this pin keeps the
     // efficient shape so the gap can only shrink with sf.
     graft.GraftFunctions.ensure(spark)
-    for (name <- Seq("q162_mrl_ann", "q163_hamming_ann", "q164_maxsim")) {
+    for (name <- Seq("q162_mrl_ann", "q163_hamming_ann", "q164_maxsim",
+        "q165_hard_negatives")) {
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
       assert(!requiredCorpusExchange(plan, "vec_id"),

@@ -163,6 +163,52 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  // --- q165 hard negatives -------------------------------------------------
+
+  test("q165 returns only cross-label pairs and exactly the brute-force hard negatives") {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("q165_hard_negatives")(spark, dir)
+      .select("q_id", "rn", "vec_id", "sim_q").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(2)),
+        s"positive (same-label) pair leaked into hard negatives: ${r.getLong(0)}->${r.getLong(2)}")
+      assert(r.getLong(3) == cosBp(vecs(r.getLong(0)), vecs(r.getLong(2))))
+    }
+    // exact-set check vs local brute force over cross-label candidates
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      val expect = vecs.toSeq
+        .filter { case (id, _) => id != q && labels(id) != labels(q) }
+        .map { case (id, v) => (cosBp(vecs(q), v), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2)
+      assert(rows.sortBy(_.getAs[Number]("rn").longValue()).map(_.getLong(2)).toSeq == expect,
+        s"q165 top-5 for query $q diverges from brute force")
+    }
+  }
+
+  // --- q166 RRF fusion -------------------------------------------------------
+
+  test("q166 fused scores equal RRF recomputed from the two retrievers' lists") {
+    // integer division = floor here (all positive), matching both engines
+    def ranksL(name: String): Map[(Long, Long), Long] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("q_id", "vec_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (1000000L / (60L + r.getAs[Number]("rn").longValue()))).toMap
+    val a = ranksL("q162_mrl_ann"); val b = ranksL("q163_hamming_ann")
+    val out = SparkEntry.queries("q166_rrf_fusion")(spark, dir)
+      .select("q_id", "vec_id", "rrf").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == a.getOrElse(k, 0L) + b.getOrElse(k, 0L),
+        s"rrf drift for $k")
+    }
+  }
+
   // --- q164 MaxSim properties ----------------------------------------------
 
   test("maxsim self-score is 8 sub-vectors at ~1.0 cosine; pair scores match a local reference") {
