@@ -214,8 +214,7 @@ class PlanGuardSpec extends SparkSpec {
     // threshold. Disable auto-broadcast to expose which side is hinted
     // (at fixture scale AQE happily broadcasts the tiny table itself —
     // that runtime choice is correct and not what this guards).
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val plan = SparkEntry.queries("q111_bigram_surprise")(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
       val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
@@ -223,7 +222,7 @@ class PlanGuardSpec extends SparkSpec {
         s"exactly the unigram join must carry the broadcast hint (found $broadcasts):\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"the unhinted bigram-type join must shuffle under threshold -1:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
   }
 
   test("dimension joins broadcast (no shuffle of the fact table for enrichment)") {

@@ -19,19 +19,19 @@ class ScaleSpec extends SparkSpec {
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("lineitem_b")
       // co-located: both sides pre-partitioned on the join key
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
-        col("o_orderkey") === col("l_orderkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"bucketed join must not shuffle:\n$plan")
-      // and it is still correct
-      val expected = Tables.orders(spark, sf("sf0.001"))
-        .join(Tables.lineitem(spark, sf("sf0.001")),
-          col("o_orderkey") === col("l_orderkey")).count()
-      assert(joined.count() == expected)
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val joined = spark.table("orders_b").join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle:\n$plan")
+        // and it is still correct
+        val expected = Tables.orders(spark, sf("sf0.001"))
+          .join(Tables.lineitem(spark, sf("sf0.001")),
+            col("o_orderkey") === col("l_orderkey")).count()
+        assert(joined.count() == expected)
+      }
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("USE default")
@@ -142,8 +142,7 @@ class ScaleSpec extends SparkSpec {
       Seq(99L, 99L)).zipWithIndex.map { case (k, i) => (k, i.toLong) }
       .toDF("k", "row_id")
     val small = (1L to 40L).map(k => (k, s"dim$k")).toDF("k", "name")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-    try {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") { // force SMJ
       for (jt <- Seq("inner", "left")) {
         val plain = big.join(small, Seq("k"), jt)
           .groupBy("k").agg(count(lit(1)).as("n"), sum("row_id").as("rs"),
@@ -163,7 +162,7 @@ class ScaleSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         graft.functions.Skew.saltedJoin(big, small, Seq("k"), 8, "right")
       }
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
   }
 
   test("GroupIntoBatches streams a 10^6-event hot key in O(1) task memory") {
@@ -187,8 +186,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("broadcast hint flips a shuffle join to broadcast") {
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val c = Tables.customer(spark, sf("sf0.001"))
       val o = Tables.orders(spark, sf("sf0.001"))
       val noHint = o.join(c, col("o_custkey") === col("c_custkey"))
@@ -196,8 +194,6 @@ class ScaleSpec extends SparkSpec {
       val hinted = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
       assert(noHint.count() == hinted.count())
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
 
