@@ -109,6 +109,16 @@ object GraftFunctions {
     // collect_topk(x, k, reverse): reverse=false → k largest,
     // descending; reverse=true → k smallest, ascending. Works on any
     // orderable type incl. struct (lexicographic).
+    (new FunctionIdentifier("maxsim_score"),
+      new ExpressionInfo(classOf[graft.expressions.MaxSimScore].getName,
+        "maxsim_score"),
+      (children: Seq[Expression]) => (children match {
+        case Seq(qv, v, m: Literal, ds: Literal) =>
+          graft.expressions.MaxSimScore(qv, v,
+            m.value.asInstanceOf[Int], ds.value.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "maxsim_score expects (array<double>, array<double>, int literal m, int literal ds)")
+      }): Expression),
     (new FunctionIdentifier("collect_topk"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge.type].getName,

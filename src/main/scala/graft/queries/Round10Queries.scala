@@ -205,11 +205,20 @@ object Round10Queries extends QueryPack {
   private val MsK = 5
   private val MsQ = 4
 
-  /** Σ_i max_j cos_bp(q_i, d_j) over the 8×8 sub-vector grid — all 64
-    * sub-cosines are native codegen calls inside one projection, so
-    * scoring is a zero-shuffle map over the broadcast-joined scan;
-    * only |queries|×k rows reach the heap. */
+  /** Σ_i max_j cos_bp(q_i, d_j) over the 8×8 sub-vector grid, through
+    * the fused native expression (expressions/MaxSimScore — one codegen
+    * loop per candidate row, document sub-norms computed once and
+    * shared across all query sub-vectors, zero slice copies; the
+    * column-tree form evaluated 64 separate cosine calls over 128
+    * allocated slices per row — 23.7→4.6 s at sf10, bit-equality
+    * pinned in ExpressionSpec). Scoring stays a zero-shuffle map over
+    * the broadcast-joined scan; only |queries|×k rows reach the heap. */
   private def maxSim(qv: Column, v: Column): Column =
+    call_function("maxsim_score", qv, v, lit(MsM), lit(MsDs))
+
+  /** The column-tree reference form of [[maxSim]] (ExpressionSpec pins
+    * bit-equality; kept as the executable spec of the scoring math). */
+  private[graft] def maxSimColumns(qv: Column, v: Column): Column =
     (0 until MsM).map { i =>
       greatest((0 until MsM).map { j =>
         cosBp(slice(qv, i * MsDs + 1, MsDs), slice(v, j * MsDs + 1, MsDs))

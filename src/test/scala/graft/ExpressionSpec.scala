@@ -361,6 +361,26 @@ class ExpressionSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row $r"))
   }
 
+  test("maxsim_score equals the 64-term greatest/floor column tree bit-for-bit") {
+    // the q164 rewrite: the fused MaxSim loop (document sub-norms
+    // computed once, no slice copies) must reproduce the
+    // slice+cosine_sim+FLOOR+greatest column formulation exactly on
+    // real embedding pairs — every query (vec_id<8) against the corpus
+    GraftFunctions.ensure(spark)
+    import graft.functions.VectorOps
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), VectorOps.toD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val both = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.queries.Round10Queries.maxSimColumns(col("qv"), col("v")).as("a"),
+        call_function("maxsim_score", col("qv"), col("v"), lit(8), lit(8)).as("b"))
+      .collect()
+    assert(both.length > 1000)
+    both.foreach(r => assert(r.getLong(2) == r.getLong(3), s"row $r"))
+  }
+
   test("cdc_word_chunks equals the HOF chunking pipeline bit-for-bit") {
     // the q133 rewrite: the fused native loop must reproduce the
     // interpreted boundary-transform + chunk-assembly + per-chunk-md5
