@@ -87,6 +87,28 @@ object Round10Queries extends QueryPack {
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
 
+  /** The derived ANN index layout, written ONCE per fixture (the
+    * ingest-time artifact the q162/q163 scaladocs promise): one narrow
+    * parquet with `vec_id`, the two packed sign words (q163's 8-byte
+    * Hamming index), and the 16-dim prefix (q162's matryoshka
+    * sub-embedding). Stage-1 scans read ONLY their index columns —
+    * parquet pruning makes the Hamming pass a 24-byte-per-row scan and
+    * the prefix pass a 16-double scan instead of the 256-byte
+    * embedding payload; PlanGuardSpec pins that `embedding` never
+    * appears in a stage-1 ReadSchema. The rerank fetches full vectors
+    * from the BASE table by id, exactly the serve-time split. */
+  private[graft] def annIndex(s: SparkSession, d: String): String = {
+    val base = Round8Queries.ensureScratch(s, "annidx", d) { b =>
+      corpus(s, d)
+        .select(col("vec_id"),
+          signWord(col("v"), 0).as("lo"), signWord(col("v"), 32).as("hi"),
+          slice(col("v"), 1, MrlDims).as("prefix"))
+        .repartition(8)
+        .write.parquet(s"$b/index")
+    }
+    s"$base/index"
+  }
+
   /** floor(cos·10⁴) through the native codegen expression. */
   private def cosBp(a: Column, b: Column): Column =
     floor(call_function("cosine_sim", a, b) * 10000).cast("long")
@@ -120,24 +142,26 @@ object Round10Queries extends QueryPack {
   private val MrlK = 5       // final top-k
   private val MrlQ = 8       // queries = vec_id < MrlQ
 
-  /** Stage 1 ranks by cosine over dims 1..16 only (at 100 TB this is
-    * the 4×-cheaper scan — or a physically separate 16-dim column) and
-    * keeps a 32-candidate shortlist per query via the bounded heap;
-    * stage 2 re-fetches ONLY the shortlist rows by id (broadcast
-    * semi-fetch against the corpus scan) and reranks by exact full-dim
-    * cosine. The corpus never shuffles; shuffled bytes are
-    * |queries|×32 ids. */
+  /** Stage 1 ranks by cosine over the 16-dim PREFIX COLUMN of the
+    * write-once [[annIndex]] layout — parquet pruning means the scan
+    * reads 16 doubles per row, never the 256-byte embedding payload
+    * (PlanGuard-pinned) — and keeps a 32-candidate shortlist per query
+    * via the bounded heap; stage 2 re-fetches ONLY the shortlist rows
+    * by id from the BASE table and reranks by exact full-dim cosine.
+    * The corpus never shuffles; shuffled bytes are |queries|×32 ids. */
   def q162(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
+    val idx = s.read.parquet(annIndex(s, d)).select(col("vec_id"), col("prefix"))
+    val qp = idx.filter(col("vec_id") < MrlQ)
+      .select(col("vec_id").as("q_id"), col("prefix").as("qp"))
+    val cand = idx.join(broadcast(qp), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosBp(col("qp"), col("prefix")).as("psim"))
+    val short = heapTopK(cand, -col("psim"), MrlShort)
+      .select(col("q_id"), col("vec_id"))
+    // rerank: fetch shortlist vectors by id from the base table
     val e = corpus(s, d)
     val q = e.filter(col("vec_id") < MrlQ)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosBp(slice(col("qv"), 1, MrlDims), slice(col("v"), 1, MrlDims)).as("psim"))
-    val short = heapTopK(cand, -col("psim"), MrlShort)
-      .select(col("q_id"), col("vec_id"))
-    // rerank: fetch shortlist vectors by id, rescore full-dim
     val rer = e.join(broadcast(short), Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("fsim"))
@@ -164,16 +188,15 @@ object Round10Queries extends QueryPack {
   private def signWordSql(v: String, off: Int): String =
     s"CAST(list_sum([CASE WHEN CAST($v[$off+i] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << (32-i)) ELSE 0 END for i in generate_series(1, 32)]) AS BIGINT)"
 
-  /** Candidate ranking is bit_count(xor) over the two packed words —
-    * 8 bytes per vector instead of 256, integer-exact, and at 100 TB
-    * the Hamming scan is the only full-corpus pass (the sign-bit
-    * "index" is a narrow derived column written by ingest). Exact
-    * cosine reranks the 32-candidate shortlist. */
+  /** Candidate ranking is bit_count(xor) over the two packed words of
+    * the write-once [[annIndex]] layout — the stage-1 scan reads 8
+    * index bytes + the id per vector instead of the 256-byte embedding
+    * payload (PlanGuard-pinned), integer-exact, and at 100 TB the
+    * Hamming pass is the only full-corpus scan. Exact cosine reranks
+    * the 32-candidate shortlist fetched by id from the BASE table. */
   def q163(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
-    val e = corpus(s, d)
-    val sg = e.select(col("vec_id"),
-      signWord(col("v"), 0).as("lo"), signWord(col("v"), 32).as("hi"))
+    val sg = s.read.parquet(annIndex(s, d)).select(col("vec_id"), col("lo"), col("hi"))
     val qs = sg.filter(col("vec_id") < HamQ)
       .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
     val cand = sg.join(broadcast(qs), col("vec_id") =!= col("q_id"))
@@ -182,7 +205,8 @@ object Round10Queries extends QueryPack {
          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("ham"))
     val short = heapTopK(cand, col("ham"), HamShort)
       .select(col("q_id"), col("vec_id"), col("hk").as("ham"))
-    val q = corpus(s, d).filter(col("vec_id") < HamQ)
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") < HamQ)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val rer = e.join(broadcast(short), Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))

@@ -85,6 +85,21 @@ class PlanGuardSpec extends SparkSpec {
       assert(plan.contains("collect_top_k"),
         s"$name shortlist must use the bounded-heap collector:\n$plan")
     }
+    // the stage-1 index scans must be PRUNED to the index columns: at
+    // least one parquet scan reads the prefix (q162) / sign words
+    // (q163) WITHOUT the 256-byte embedding payload — the whole point
+    // of the write-once annIndex layout
+    def hasPrunedIndexScan(plan: String, idxCol: String): Boolean =
+      plan.linesIterator.exists(l => l.contains("FileScan parquet") &&
+        l.contains(idxCol) && !l.contains("embedding"))
+    val p162 = SparkEntry.queries("q162_mrl_ann")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(hasPrunedIndexScan(p162, "prefix"),
+      s"q162 stage-1 must scan the index prefix column, not the embedding:\n$p162")
+    val p163 = SparkEntry.queries("q163_hamming_ann")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(hasPrunedIndexScan(p163, "lo"),
+      s"q163 stage-1 must scan the packed sign words, not the embedding:\n$p163")
   }
 
   test("q124 IVFADC: literal-model encode, no corpus exchange, broadcast probe") {
