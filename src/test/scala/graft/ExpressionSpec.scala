@@ -381,6 +381,35 @@ class ExpressionSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(2) == r.getLong(3), s"row $r"))
   }
 
+  test("maxsim_score: codegen equals interpreted eval on the same vectors") {
+    // constant-folded literal inputs run nullSafeEval at optimization
+    // time; a DataFrame column runs the doGenCode loop — both must
+    // produce the identical long (the int8_quant_stats parity pattern)
+    GraftFunctions.ensure(spark)
+    val a = (0 until 64).map(i => ((i * 37 % 101) - 50) / 50.0)
+    val b = (0 until 64).map(i => ((i * 53 % 97) - 48) / 48.0)
+    def arr(v: Seq[Double]) = array(v.map(lit): _*)
+    val folded = spark.range(1)
+      .select(call_function("maxsim_score", arr(a), arr(b), lit(8), lit(8)).as("s"))
+      .head().getLong(0)
+    import spark.implicits._
+    val viaCol = Seq((a, b)).toDF("a", "b")
+      .select(call_function("maxsim_score", col("a"), col("b"), lit(8), lit(8)).as("s"))
+      .head().getLong(0)
+    assert(folded == viaCol)
+    // and both equal the plain-Scala reference
+    def refMaxSim(x: Seq[Double], y: Seq[Double]): Long =
+      (0 until 8).map { i =>
+        (0 until 8).map { j =>
+          val dot = (0 until 8).map(t => x(i * 8 + t) * y(j * 8 + t)).foldLeft(0.0)(_ + _)
+          val nx = math.sqrt((0 until 8).map(t => x(i * 8 + t) * x(i * 8 + t)).foldLeft(0.0)(_ + _))
+          val ny = math.sqrt((0 until 8).map(t => y(j * 8 + t) * y(j * 8 + t)).foldLeft(0.0)(_ + _))
+          math.floor(dot / (nx * ny) * 10000.0).toLong
+        }.max
+      }.sum
+    assert(folded == refMaxSim(a, b))
+  }
+
   test("cdc_word_chunks equals the HOF chunking pipeline bit-for-bit") {
     // the q133 rewrite: the fused native loop must reproduce the
     // interpreted boundary-transform + chunk-assembly + per-chunk-md5
