@@ -98,9 +98,12 @@ object Round10Queries extends QueryPack {
     * appears in a stage-1 ReadSchema. The rerank fetches full vectors
     * from the BASE table by id, exactly the serve-time split. */
   private[graft] def annIndex(s: SparkSession, d: String): String = {
-    val base = Round8Queries.ensureScratch(s, "annidx", d) { b =>
-      corpus(s, d)
-        .select(col("vec_id"),
+    // tag v2: the layout gained the label column for filtered search
+    // (q167); a new tag forces stale v1 scratch dirs to rebuild
+    val base = Round8Queries.ensureScratch(s, "annidx2", d) { b =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+        .select(col("vec_id"), col("label"),
           signWord(col("v"), 0).as("lo"), signWord(col("v"), 32).as("hi"),
           slice(col("v"), 1, MrlDims).as("prefix"))
         .repartition(8)
@@ -217,6 +220,53 @@ object Round10Queries extends QueryPack {
       .partitionBy(col("q_id")).orderBy(col("fsim").desc, col("vec_id"))
     rer.withColumn("rn", row_number().over(w))   // shortlist rows only: 8×32
       .filter(col("rn") <= HamK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("ham"),
+        col("fsim").as("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // q167: filtered (category-restricted) ANN --------------------------------
+
+  private val FaLabel = 3
+  private val FaShort = 32
+  private val FaK = 5
+  private val FaQ = 8
+
+  /** Filtered vector search — the vector-DB "metadata filter" shape:
+    * top-k among ONLY the vectors satisfying a predicate (here
+    * label = 3; in production a language/source/licence gate). The
+    * predicate is applied to the INDEX SCAN, so parquet row-group
+    * statistics and pushdown prune non-matching candidates before any
+    * distance math (PlanGuard pins `EqualTo(label,3)` in the scan's
+    * PushedFilters) — the pre-filtered shape, which unlike post-filter
+    * rerank never returns fewer than k survivors when the category has
+    * them. Stage 1 Hamming-ranks the filtered candidates; exact cosine
+    * reranks the shortlist fetched by id from the base table. */
+  def q167(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val idxPath = annIndex(s, d)
+    val cands = s.read.parquet(idxPath)
+      .filter(col("label") === FaLabel)
+      .select(col("vec_id"), col("lo"), col("hi"))
+    val qs = s.read.parquet(idxPath).filter(col("vec_id") < FaQ)
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val cand = cands.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+         bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("ham"))
+    val short = heapTopK(cand, col("ham"), FaShort)
+      .select(col("q_id"), col("vec_id"), col("hk").as("ham"))
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") < FaQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rer = e.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("ham"),
+        cosBp(col("qv"), col("v")).as("fsim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("fsim").desc, col("vec_id"))
+    rer.withColumn("rn", row_number().over(w))   // shortlist rows only
+      .filter(col("rn") <= FaK)
       .select(col("q_id"), col("rn"), col("vec_id"), col("ham"),
         col("fsim").as("sim_q"))
       .orderBy(col("q_id"), col("rn"))
@@ -366,7 +416,8 @@ object Round10Queries extends QueryPack {
     "q163_hamming_ann"   -> q163 _,
     "q164_maxsim"        -> q164 _,
     "q165_hard_negatives" -> q165 _,
-    "q166_rrf_fusion"    -> q166 _
+    "q166_rrf_fusion"    -> q166 _,
+    "q167_filtered_ann"  -> q167 _
   )
 
   override val oracle: Map[String, String] = Map(
@@ -389,6 +440,24 @@ object Round10Queries extends QueryPack {
       f AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM p)
       SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, sim_q
       FROM f WHERE rn <= $HnK ORDER BY q_id, rn""",
+    "q167_filtered_ann" -> s"""
+      WITH sg AS (
+        SELECT vec_id, label, embedding,
+               ${signWordSql("embedding", 0)} AS lo,
+               ${signWordSql("embedding", 32)} AS hi
+        FROM embeddings),
+      p AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               CAST(bit_count(xor(q.lo, e.lo)) + bit_count(xor(q.hi, e.hi)) AS BIGINT) AS ham,
+               q.embedding AS qe, e.embedding AS ee
+        FROM sg q JOIN sg e ON e.vec_id <> q.vec_id AND e.label = $FaLabel
+        WHERE q.vec_id < $FaQ),
+      s AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rn1 FROM p),
+      r AS (SELECT q_id, vec_id, ham, ${cosineSql("qe", "ee")} AS sim_q
+            FROM s WHERE rn1 <= $FaShort),
+      f AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn FROM r)
+      SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ham, sim_q
+      FROM f WHERE rn <= $FaK ORDER BY q_id, rn""",
     "q166_rrf_fusion" -> s"""
       WITH a AS ($mrlSql),
       b AS ($hammingSql),

@@ -100,6 +100,14 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(hasPrunedIndexScan(p163, "lo"),
       s"q163 stage-1 must scan the packed sign words, not the embedding:\n$p163")
+    // q167: the metadata predicate must reach the index scan as a
+    // pushed filter (pre-filtered search, not post-filter rerank)
+    val p167 = SparkEntry.queries("q167_filtered_ann")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p167.linesIterator.exists(l => l.contains("FileScan parquet") &&
+        l.contains("PushedFilters") && l.contains("EqualTo(label,3)") &&
+        !l.contains("embedding")),
+      s"q167's label predicate must be pushed into the pruned index scan:\n$p167")
   }
 
   test("q124 IVFADC: literal-model encode, no corpus exchange, broadcast probe") {

@@ -189,6 +189,23 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  // --- q167 filtered ANN -----------------------------------------------------
+
+  test("q167 returns only label-3 vectors and exactly the brute-force filtered top-5") {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("q167_filtered_ann")(spark, dir)
+      .select("q_id", "rn", "vec_id", "sim_q").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(labels(r.getLong(2)) == 3,
+      s"non-label-3 vector ${r.getLong(2)} leaked through the filter"))
+    // the Hamming shortlist (32) covers most of the small label-3 set at
+    // sf0.001 (43 vectors), so the exact filtered top-5 must survive it;
+    // verify sim_q exactness on every returned row
+    out.foreach(r => assert(r.getLong(3) == cosBp(vecs(r.getLong(0)), vecs(r.getLong(2)))))
+  }
+
   // --- q166 RRF fusion -------------------------------------------------------
 
   test("q166 fused scores equal RRF recomputed from the two retrievers' lists") {
