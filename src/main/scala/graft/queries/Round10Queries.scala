@@ -12,9 +12,14 @@ import graft.functions.VectorOps
   * first-class columnar format) under the same end-to-end fidelity
   * checksums as q156–q159.
   *
-  * q162–q164 extend the similarity-search family with the three
-  * modern retrieval shapes the existing LSH/IVF/PQ queries don't
-  * cover:
+  * q162–q167 extend the similarity-search family with the modern
+  * retrieval shapes the existing LSH/IVF/PQ queries don't cover —
+  * q162/q163/q167 run stage 1 over the write-once [[annIndex]]
+  * layout (narrow sign-word/prefix columns, the ingest-time artifact)
+  * and fetch full vectors from the base table only for the shortlist;
+  * q165 mines contrastive hard negatives; q166 fuses retriever lists
+  * with RRF; q167 pushes a metadata predicate into the index scan
+  * (filtered search). The first three in detail:
   *  - q162 matryoshka (MRL) two-stage retrieval: shortlist on a
   *    low-dim PREFIX of the embedding (Kusupati et al. 2022 — MRL
   *    embeddings are trained so prefixes are usable sub-embeddings),
@@ -179,13 +184,10 @@ object Round10Queries extends QueryPack {
   private val HamK = 5
   private val HamQ = 8
 
-  /** 32 sign bits of dims off+1..off+32 packed MSB-first into a long:
-    * a sequential fold acc·2 + [x>0], so element off+1 carries weight
-    * 2³¹. Two words cover the 64 dims without touching the BIGINT
-    * sign bit in either engine. */
+  /** See [[graft.functions.VectorOps.signWord]] (shared with the
+    * streaming ANN probe). */
   private def signWord(v: Column, off: Int): Column =
-    aggregate(slice(v, off + 1, 32), lit(0L),
-      (acc, x) => acc * 2 + when(x > 0.0, lit(1L)).otherwise(lit(0L)))
+    VectorOps.signWord(v, off)
 
   /** DuckDB twin of [[signWord]]: Σ [v[off+i]>0]·2^(32−i). */
   private def signWordSql(v: String, off: Int): String =

@@ -663,6 +663,61 @@ object Streaming {
     NearDupIndex(sigs, bands, okBands)
   }
 
+  // ---- streaming vector-search probe (round-10 retrievers × streams) ----
+
+  /** Two-stage ANN probe of one query batch against the STATIC binary
+    * index + base vectors — q163's core shared by batch and stream:
+    * arriving query vectors compute their sign words in-batch, Hamming-
+    * rank the index (xor+popcount over 8 bytes/vector), and the
+    * per-query shortlist reranks by exact cosine against base vectors
+    * fetched by id. Returns `(q_id, rn, vec_id, sim_q)`, top-k per
+    * query. No cross-batch state: a query's answer depends only on the
+    * static corpus, so `foreachBatch` runs the exact batch plan
+    * (broadcast of the small query side, heap shortlist) per drop — at
+    * 100 TB the index/base are the persisted serving artifacts and the
+    * query stream never re-reads the corpus. */
+  def annProbe(index: DataFrame, base: DataFrame, queries: DataFrame,
+               shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.VectorOps
+    graft.GraftFunctions.ensure(index.sparkSession)
+    val qs = queries.select(col("q_id"), col("qv"),
+      VectorOps.signWord(col("qv"), 0).as("qlo"),
+      VectorOps.signWord(col("qv"), 32).as("qhi"))
+    val cand = index.select(col("vec_id"), col("lo"), col("hi"))
+      .join(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+         bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("ham"))
+      .groupBy(col("q_id"))
+      .agg(call_function("collect_topk",
+        struct(col("ham"), col("vec_id")), lit(shortlist), lit(true)).as("t"))
+      .select(col("q_id"), explode(col("t")).as("s"))
+      .select(col("q_id"), col("s.vec_id").as("vec_id"))
+    val rer = base.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qs.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        floor(call_function("cosine_sim", col("qv"), col("v")) * 10000)
+          .cast("long").as("sim_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim_q").desc, col("vec_id"))
+    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim_q"))
+  }
+
+  /** Streaming vector search: each arriving micro-batch of query
+    * vectors probes the static index and lands its top-k answer —
+    * the serving loop of a retrieval system expressed as a stream. */
+  def annSearchStream(queries: DataFrame, index: DataFrame, base: DataFrame,
+                      shortlist: Int, k: Int,
+                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(annProbe(index, base, batch.toDF(), shortlist, k))
+      }
+      .start()
+
   /** Streaming near-dup gate: every arriving micro-batch of documents
     * probes the static corpus index and lands with its match count and
     * keep/drop flag. `foreachBatch` is the honest Spark shape for this

@@ -718,4 +718,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.head) == Seq(10L, 11L, 12L),
       "revived key must reappear after a post-tombstone upsert")
   }
+
+  test("streaming ANN probe: per-batch top-k against the static binary index equals batch and q163") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.GraftFunctions.ensure(spark)
+    // static serving artifacts: the write-once ANN index + base vectors
+    val idxPath = graft.queries.Round10Queries.annIndex(spark, sf("sf0.001"))
+    val index = spark.read.parquet(idxPath).persist()
+    val base = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .persist()
+    // arriving queries = the q163 query set (vec_id < 8), two drops
+    val qRows = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (drop1, drop2) = qRows.partition(_._1 < 4)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = Streaming.annSearchStream(
+      mem.toDF().toDF("q_id", "qv"), index, base, shortlist = 32, k = 5,
+      out => got.synchronized { got ++= out.collect().map(_.toSeq) })
+    mem.addData(drop1.toSeq: _*); q.processAllAvailable()
+    mem.addData(drop2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: Seq[Any]) = (r.head.toString.toLong, r(1).toString.toInt)
+    val streamed = got.sortBy(key).toSeq
+    // stream ≡ batch: the same probe over all queries at once
+    val batch = Streaming.annProbe(index, base,
+        qRows.toSeq.toDF("q_id", "qv"), 32, 5)
+      .collect().map(_.toSeq).toSeq.sortBy(key)
+    assert(streamed == batch, s"stream diverged from batch probe")
+    // and ≡ the oracle-checked q163 rows (same shortlist/k/tiebreaks)
+    val q163 = SparkEntry.queries("q163_hamming_ann")(spark, sf("sf0.001"))
+      .select("q_id", "rn", "vec_id", "sim_q")
+      .collect().map(_.toSeq).toSeq.sortBy(key)
+    assert(streamed.map(r => (r.head, r(1).toString.toInt, r(2), r(3))) ==
+      q163.map(r => (r.head, r(1).toString.toInt, r(2), r(3))),
+      "streaming probe diverged from the oracle-checked q163 result")
+    index.unpersist(); base.unpersist()
+  }
 }
