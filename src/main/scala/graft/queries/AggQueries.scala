@@ -10,9 +10,12 @@ import graft.util.Det._
   * custom Aggregators (Beam CombineFn), approximate aggregates, a
   * deterministic sample, set ops, rollup, and in-memory Create/VALUES.
   *
-  * q47/q48 (HLL distinct, approx quantiles) have no exact SQL twin —
-  * they are rows-only for the driver and tolerance-bounded in the
-  * scalatest suite instead.
+  * q47/q48/q145 (HLL distinct, approx quantiles, t-digest) have no
+  * exact SQL twin for the sketch VALUE — so each emits the EXACT
+  * value (oracle-computable) plus a deterministic tolerance verdict
+  * as an int: the engine checks the sketch against the exact answer
+  * in integer arithmetic and outputs 1; the oracle computes the same
+  * exact answer and a literal 1. The hash gate then applies in full.
   */
 object AggQueries extends QueryPack {
 
@@ -40,41 +43,96 @@ object AggQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
-  /** q47 (rows-only): HLL++ approximate distinct vs exact. */
+  /** q47: HLL++ approximate distinct, made hash-checkable. The sketch
+    * value itself can never hash-match a different engine, so the query
+    * emits the EXACT distinct count plus the 5 % tolerance verdict that
+    * the in-repo spec pins: |approx − exact|·100 ≤ 5·exact, all-long
+    * arithmetic. The oracle computes the exact count and a literal 1.
+    * rsd = 0.01 (≈12k registers, constant memory) so the 5 % gate
+    * carries a 5σ margin — the default 0.05 misses 5 % on the sf0.1
+    * fixture's 1500 distinct users. */
   def q47(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"),
         countDistinct(col("user_id")).as("exact_users"))
-      .select(col("approx_users"), col("exact_users"))
+      .select(col("exact_users"),
+        (abs(col("approx") - col("exact_users")) * lit(100L) <=
+          col("exact_users") * lit(5L)).cast("int").as("approx_within_5pc"))
 
-  /** q48 (rows-only): approximate quantiles of event value. */
-  def q48(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .agg(percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
-        lit(10000)).as("q"))
+  /** q48: approximate quantiles of event value, made hash-checkable.
+    * Emits EXACT interpolated p25/p50/p75 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the q61 precedent) plus a rank-error verdict on
+    * the percentile_approx estimates: for each p, the estimate's rank
+    * (count of values ≤ it) must sit within 1 % + 1 row of p·n —
+    * integer basis points throughout. Two scans by construction (the
+    * estimate must exist before its rank can be counted); both are
+    * map-combined aggregates, so the shape holds at any scale. */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("value"))
+    // Scalar (not array) stats columns: max(double)/max(long) over the
+    // broadcast constants keeps the rank pass in HashAggregate — first()
+    // over an array buffer would demote it to a whole-table SortAggregate.
+    val stats = ev.agg(
+        percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("qa"),
+        expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("qe"),
+        count(lit(1)).as("cnt"))
       .select(
-        col("q").getItem(0).as("p25"),
-        col("q").getItem(1).as("p50"),
-        col("q").getItem(2).as("p75"))
+        col("qa").getItem(0).as("a25"), col("qa").getItem(1).as("a50"),
+        col("qa").getItem(2).as("a75"),
+        col("qe").getItem(0).as("e25"), col("qe").getItem(1).as("e50"),
+        col("qe").getItem(2).as("e75"), col("cnt"))
+    def rankOk(c: org.apache.spark.sql.Column, pBp: Long) =
+      abs(c * lit(10000L) - lit(pBp) * col("n")) <= lit(100L) * col("n") + lit(10000L)
+    ev.crossJoin(broadcast(stats))
+      .groupBy()
+      .agg(
+        sum(when(col("value") <= col("a25"), 1L).otherwise(0L)).as("c25"),
+        sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("c50"),
+        sum(when(col("value") <= col("a75"), 1L).otherwise(0L)).as("c75"),
+        max(col("e25")).as("p25"), max(col("e50")).as("p50"),
+        max(col("e75")).as("p75"), max(col("cnt")).as("n"))
+      .select(col("p25"), col("p50"), col("p75"),
+        (rankOk(col("c25"), 2500L) && rankOk(col("c50"), 5000L) &&
+          rankOk(col("c75"), 7500L)).cast("int").as("approx_rank_ok"))
+  }
 
-  /** q145 (rows-only): per-key approximate quantiles through graft's
-    * own mergeable t-digest (expressions/TDigestAgg — the
-    * TypedImperativeAggregate sketch rung next to CMS/Bloom/HLL).
-    * Estimates are merge-order-sensitive in the last decimals, so the
-    * oracle contract is q47/q48's rows-only; SketchSpec pins ≤ 1 %
-    * rank error against exact `percentile` and merge-order stability
-    * of the bound. q61 stays the exact oracle-checked counterpart. */
+  /** q145: per-key approximate quantiles through graft's own mergeable
+    * t-digest (expressions/TDigestAgg), made hash-checkable the same
+    * way as q48: emit EXACT per-key p50/p95/p99 plus a rank-error
+    * verdict on the t-digest estimates at SketchSpec's pinned ≤ 1 %
+    * bound (+1 row of small-n slack). The 5-row estimate table
+    * broadcasts back onto events for the rank count — the second scan
+    * is a map-combined aggregate, never a re-sort. */
   def q145(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(call_function("tdigest_quantiles", col("value"),
-        typedLit(Array(0.5, 0.95, 0.99))).as("q"))
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(
+        call_function("tdigest_quantiles", col("value"),
+          typedLit(Array(0.5, 0.95, 0.99))).as("qa"),
+        expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("qe"),
+        count(lit(1)).as("cnt"))
       .select(col("event_type"),
-        col("q").getItem(0).as("p50"),
-        col("q").getItem(1).as("p95"),
-        col("q").getItem(2).as("p99"))
+        col("qa").getItem(0).as("a50"), col("qa").getItem(1).as("a95"),
+        col("qa").getItem(2).as("a99"),
+        col("qe").getItem(0).as("e50"), col("qe").getItem(1).as("e95"),
+        col("qe").getItem(2).as("e99"), col("cnt"))
+    def rankOk(c: org.apache.spark.sql.Column, pBp: Long) =
+      abs(c * lit(10000L) - lit(pBp) * col("n")) <= lit(100L) * col("n") + lit(10000L)
+    // Scalar stats columns for the same HashAggregate reason as q48.
+    ev.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("c50"),
+        sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("c95"),
+        sum(when(col("value") <= col("a99"), 1L).otherwise(0L)).as("c99"),
+        max(col("e50")).as("p50"), max(col("e95")).as("p95"),
+        max(col("e99")).as("p99"), max(col("cnt")).as("n"))
+      .select(col("event_type"), col("p50"), col("p95"), col("p99"),
+        (rankOk(col("c50"), 5000L) && rankOk(col("c95"), 9500L) &&
+          rankOk(col("c99"), 9900L)).cast("int").as("tdigest_rank_ok"))
       .orderBy(col("event_type"))
   }
 
@@ -281,6 +339,23 @@ object AggQueries extends QueryPack {
                AS var_value
       FROM (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events)
       GROUP BY event_type ORDER BY event_type""",
+    "q47_approx_distinct" -> """
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             1 AS approx_within_5pc
+      FROM events""",
+    "q48_approx_quantiles" -> """
+      SELECT quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.5)  AS p50,
+             quantile_cont(value, 0.75) AS p75,
+             1 AS approx_rank_ok
+      FROM events""",
+    "q145_tdigest_quantiles" -> """
+      SELECT event_type,
+             quantile_cont(value, 0.5)  AS p50,
+             quantile_cont(value, 0.95) AS p95,
+             quantile_cont(value, 0.99) AS p99,
+             1 AS tdigest_rank_ok
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q49_sample_det" -> """
       SELECT o_orderkey, o_totalprice
       FROM (SELECT o_orderkey, o_totalprice,

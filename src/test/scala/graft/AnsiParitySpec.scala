@@ -45,7 +45,10 @@ class AnsiParitySpec extends SparkSpec {
     "q160_epoch_shuffle",    // round 9: rank x (doc_id mod p) order checksum
     "q161_orc_io",           // round 10: conv(hex)->long props checksum over ORC
     "q163_hamming_ann",      // round 10: sign-bit packing + xor/bit_count ranking
-    "q166_rrf_fusion")       // round 10: integer micro-unit rank fusion with DIV
+    "q166_rrf_fusion",       // round 10: integer micro-unit rank fusion with DIV
+    "q47_approx_distinct",   // round 11: |approx-exact|*100 <= 5*exact long math
+    "q48_approx_quantiles",  // round 11: rank-bp tolerance verdict in long math
+    "q145_tdigest_quantiles")// round 11: per-key rank-bp verdict in long math
 
   private def resultHash(name: String): String = {
     val rows = SparkEntry.queries(name)(spark, sf("sf0.001")).collect()
