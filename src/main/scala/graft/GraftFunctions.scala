@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 import graft.expressions.{BloomFilterAgg, BloomMightContain, CdcStarts, CdcWordChunks, CosineSimilarity, CountMinSketchAgg, MinHashSigs, NearestCells, Shingles2, Shingles3, Simhash16, WordFingerprint, ZorderKey}
 
 /** Registration of graft's native Catalyst expressions.
@@ -63,9 +64,8 @@ object GraftFunctions {
     (new FunctionIdentifier("pq_adc_dist"),
       new ExpressionInfo(classOf[graft.expressions.PqAdcDist].getName, "pq_adc_dist"),
       (children: Seq[Expression]) => (children match {
-        case Seq(qv, codes, cbl, d: Literal) if cbl.foldable =>
-          graft.expressions.PqAdcDist(qv, codes, literalMatrix(cbl),
-            d.value.asInstanceOf[Int])
+        case Seq(qv, codes, cbl, Literal(d: Int, IntegerType)) if cbl.foldable =>
+          graft.expressions.PqAdcDist(qv, codes, literalMatrix(cbl), d)
         case _ => throw new IllegalArgumentException(
           "pq_adc_dist expects (array<double>, array<int>, " +
           "array<array<double>> literal codebook, int literal ds)")
@@ -73,16 +73,16 @@ object GraftFunctions {
     (new FunctionIdentifier("cdc_word_chunks"),
       new ExpressionInfo(classOf[CdcWordChunks].getName, "cdc_word_chunks"),
       (children: Seq[Expression]) => (children match {
-        case Seq(ws, m: Literal) =>
-          CdcWordChunks(ws, m.value.asInstanceOf[Int])
+        case Seq(ws, Literal(m: Int, IntegerType)) =>
+          CdcWordChunks(ws, m)
         case _ => throw new IllegalArgumentException(
           "cdc_word_chunks expects (array<string>, int literal mod)")
       }): Expression),
     (new FunctionIdentifier("cdc_starts"),
       new ExpressionInfo(classOf[CdcStarts].getName, "cdc_starts"),
       (children: Seq[Expression]) => (children match {
-        case Seq(bin, w: Literal, m: Literal) =>
-          CdcStarts(bin, w.value.asInstanceOf[Int], m.value.asInstanceOf[Int])
+        case Seq(bin, Literal(w: Int, IntegerType), Literal(m: Int, IntegerType)) =>
+          CdcStarts(bin, w, m)
         case _ => throw new IllegalArgumentException(
           "cdc_starts expects (binary, int literal window, int literal mod)")
       }): Expression),
@@ -95,9 +95,9 @@ object GraftFunctions {
       (children: Seq[Expression]) => (children match {
         case Seq(c, ps) if ps.foldable =>
           graft.expressions.TDigestAgg(c, literalDoubles(ps)).toAggregateExpression()
-        case Seq(c, ps, d: Literal) if ps.foldable =>
-          graft.expressions.TDigestAgg(c, literalDoubles(ps),
-            d.value.asInstanceOf[Int]).toAggregateExpression()
+        case Seq(c, ps, Literal(d: Int, IntegerType)) if ps.foldable =>
+          graft.expressions.TDigestAgg(c, literalDoubles(ps), d)
+            .toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "tdigest_quantiles expects (numeric, array<double> literal[, int literal delta])")
       }): Expression),
@@ -113,9 +113,8 @@ object GraftFunctions {
       new ExpressionInfo(classOf[graft.expressions.MaxSimScore].getName,
         "maxsim_score"),
       (children: Seq[Expression]) => (children match {
-        case Seq(qv, v, m: Literal, ds: Literal) =>
-          graft.expressions.MaxSimScore(qv, v,
-            m.value.asInstanceOf[Int], ds.value.asInstanceOf[Int])
+        case Seq(qv, v, Literal(m: Int, IntegerType), Literal(ds: Int, IntegerType)) =>
+          graft.expressions.MaxSimScore(qv, v, m, ds)
         case _ => throw new IllegalArgumentException(
           "maxsim_score expects (array<double>, array<double>, int literal m, int literal ds)")
       }): Expression),
@@ -124,10 +123,9 @@ object GraftFunctions {
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge.type].getName,
         "collect_topk"),
       (children: Seq[Expression]) => (children match {
-        case Seq(c, k: Literal, rev: Literal) =>
+        case Seq(c, Literal(k: Int, IntegerType), Literal(rev: Boolean, BooleanType)) =>
           org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge
-            .collectTopK(c, k.value.asInstanceOf[Int],
-              rev.value.asInstanceOf[Boolean])
+            .collectTopK(c, k, rev)
             .toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "collect_topk expects (expr, int literal k, boolean literal reverse)")

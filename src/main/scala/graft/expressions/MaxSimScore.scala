@@ -47,6 +47,12 @@ case class MaxSimScore(qv: Expression, v: Expression, m: Int, ds: Int)
   override def nullSafeEval(qa: Any, va: Any): Any = {
     val q = qa.asInstanceOf[ArrayData]
     val d = va.asInstanceOf[ArrayData]
+    // ArrayData.getDouble on UnsafeArrayData is an unchecked offset
+    // read — a short array would silently score adjacent memory.
+    if (q.numElements() < m * ds || d.numElements() < m * ds)
+      throw new IllegalArgumentException(
+        s"maxsim_score: inputs must have at least ${m * ds} elements " +
+        s"(m=$m, ds=$ds), got ${q.numElements()} and ${d.numElements()}")
     // per-sub-vector norms, each the same sequential fold as the
     // column form's cosine_sim over slice(x, k*ds+1, ds)
     val qn = new Array[Double](m)
@@ -95,6 +101,11 @@ case class MaxSimScore(qv: Expression, v: Expression, m: Int, ds: Int)
       val dot = ctx.freshName("dot"); val bp = ctx.freshName("bp")
       val best = ctx.freshName("best"); val total = ctx.freshName("total")
       s"""
+        if ($q.numElements() < ${m * ds} || $d.numElements() < ${m * ds}) {
+          throw new IllegalArgumentException(
+            "maxsim_score: inputs must have at least ${m * ds} elements (m=$m, ds=$ds), got "
+            + $q.numElements() + " and " + $d.numElements());
+        }
         double[] $qn = new double[$m];
         double[] $dn = new double[$m];
         for (int $k = 0; $k < $m; $k++) {

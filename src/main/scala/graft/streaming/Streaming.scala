@@ -675,9 +675,16 @@ object Streaming {
     * static corpus, so `foreachBatch` runs the exact batch plan
     * (broadcast of the small query side, heap shortlist) per drop — at
     * 100 TB the index/base are the persisted serving artifacts and the
-    * query stream never re-reads the corpus. */
+    * query stream never re-reads the corpus.
+    *
+    * `excludeSelf` = true treats q_id as sharing the corpus id space
+    * and drops the corpus vector whose vec_id equals the query's q_id
+    * (self-query semantics, as in the q163 parity test). External query
+    * streams whose ids are unrelated to corpus ids keep the default
+    * false so an accidental id collision can't silently drop a
+    * candidate. */
   def annProbe(index: DataFrame, base: DataFrame, queries: DataFrame,
-               shortlist: Int, k: Int): DataFrame = {
+               shortlist: Int, k: Int, excludeSelf: Boolean = false): DataFrame = {
     import graft.functions.VectorOps
     graft.GraftFunctions.ensure(index.sparkSession)
     val qs = queries.select(col("q_id"), col("qv"),
@@ -685,7 +692,7 @@ object Streaming {
       VectorOps.signWord(col("qv"), 32).as("qhi"))
     val cand = index.select(col("vec_id"), col("lo"), col("hi"))
       .join(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))),
-        col("vec_id") =!= col("q_id"))
+        if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vec_id"),
         (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("ham"))
@@ -710,11 +717,12 @@ object Streaming {
     * the serving loop of a retrieval system expressed as a stream. */
   def annSearchStream(queries: DataFrame, index: DataFrame, base: DataFrame,
                       shortlist: Int, k: Int,
-                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                      sink: DataFrame => Unit,
+                      excludeSelf: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(annProbe(index, base, batch.toDF(), shortlist, k))
+        sink(annProbe(index, base, batch.toDF(), shortlist, k, excludeSelf))
       }
       .start()
 

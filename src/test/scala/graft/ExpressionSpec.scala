@@ -410,6 +410,40 @@ class ExpressionSpec extends SparkSpec {
     assert(folded == refMaxSim(a, b))
   }
 
+  test("maxsim_score rejects short arrays on both eval paths and non-int literals") {
+    // ArrayData.getDouble is an unchecked offset read — without the
+    // guard a 32-element array would silently score adjacent memory
+    GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val short = (0 until 32).map(_.toDouble)
+    val full = (0 until 64).map(_ / 64.0 + 0.01)
+    // codegen path (column input)
+    val exCg = intercept[Exception] {
+      Seq((short, full)).toDF("a", "b")
+        .select(call_function("maxsim_score", col("a"), col("b"), lit(8), lit(8)))
+        .head()
+    }
+    assert(exCg.getMessage.contains("maxsim_score") ||
+      Option(exCg.getCause).exists(_.getMessage.contains("maxsim_score")))
+    // interpreted path (constant-folded literal input)
+    def arr(v: Seq[Double]) = array(v.map(lit): _*)
+    val exIn = intercept[Exception] {
+      spark.range(1)
+        .select(call_function("maxsim_score", arr(full), arr(short), lit(8), lit(8)))
+        .head()
+    }
+    assert(exIn.getMessage.contains("maxsim_score") ||
+      Option(exIn.getCause).exists(_.getMessage.contains("maxsim_score")))
+    // a LONG literal for m must hit the descriptive error, not a raw
+    // ClassCastException from value.asInstanceOf[Int]
+    val exLit = intercept[IllegalArgumentException] {
+      Seq((full, full)).toDF("a", "b")
+        .select(call_function("maxsim_score", col("a"), col("b"), lit(8L), lit(8)))
+        .head()
+    }
+    assert(exLit.getMessage.contains("maxsim_score expects"))
+  }
+
   test("cdc_word_chunks equals the HOF chunking pipeline bit-for-bit") {
     // the q133 rewrite: the fused native loop must reproduce the
     // interpreted boundary-transform + chunk-assembly + per-chunk-md5

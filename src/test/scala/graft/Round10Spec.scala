@@ -191,7 +191,7 @@ class Round10Spec extends SparkSpec {
 
   // --- q167 filtered ANN -----------------------------------------------------
 
-  test("q167 returns only label-3 vectors and exactly the brute-force filtered top-5") {
+  test("q167 returns only label-3 vectors and exactly the local two-stage reference top-5") {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -200,10 +200,35 @@ class Round10Spec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach(r => assert(labels(r.getLong(2)) == 3,
       s"non-label-3 vector ${r.getLong(2)} leaked through the filter"))
-    // the Hamming shortlist (32) covers most of the small label-3 set at
-    // sf0.001 (43 vectors), so the exact filtered top-5 must survive it;
-    // verify sim_q exactness on every returned row
     out.foreach(r => assert(r.getLong(3) == cosBp(vecs(r.getLong(0)), vecs(r.getLong(2)))))
+    // exact-set check vs a LOCAL two-stage reference (the q165 pattern):
+    // Hamming-shortlist 32 among label-3 vectors by (ham, vec_id), then
+    // exact-cosine top-5 by (sim desc, vec_id) — the engine's own
+    // algorithm recomputed driver-side, so shortlist truncation effects
+    // are reproduced rather than assumed away (the exact brute-force
+    // top-5 is NOT guaranteed to survive a 32-candidate shortlist).
+    def signWord(v: Array[Double], off: Int): Long = {
+      var acc = 0L; var i = 0
+      while (i < 32) { acc = acc * 2 + (if (v(off + i) > 0.0) 1L else 0L); i += 1 }
+      acc
+    }
+    def ham(a: Array[Double], b: Array[Double]): Long =
+      java.lang.Long.bitCount(signWord(a, 0) ^ signWord(b, 0)).toLong +
+        java.lang.Long.bitCount(signWord(a, 32) ^ signWord(b, 32)).toLong
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == vecs.keySet.filter(_ < 8),
+      "every query id < 8 must produce rows")
+    byQ.foreach { case (q, rows) =>
+      val qv = vecs(q)
+      val shortlist = vecs.toSeq
+        .filter { case (id, _) => id != q && labels(id) == 3 }
+        .map { case (id, v) => (ham(qv, v), id) }
+        .sortBy(identity).take(32).map(_._2)
+      val expect = shortlist.map(id => (cosBp(qv, vecs(id)), id))
+        .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2)
+      assert(rows.sortBy(_.getAs[Number]("rn").longValue()).map(_.getLong(2)).toSeq == expect,
+        s"q167 top-5 for query $q diverges from the two-stage reference")
+    }
   }
 
   // --- q166 RRF fusion -------------------------------------------------------

@@ -738,7 +738,8 @@ class StreamingSpec extends SparkSpec {
     val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     val q = Streaming.annSearchStream(
       mem.toDF().toDF("q_id", "qv"), index, base, shortlist = 32, k = 5,
-      out => got.synchronized { got ++= out.collect().map(_.toSeq) })
+      out => got.synchronized { got ++= out.collect().map(_.toSeq) },
+      excludeSelf = true) // q_id IS a corpus vec_id here (q163 parity)
     mem.addData(drop1.toSeq: _*); q.processAllAvailable()
     mem.addData(drop2.toSeq: _*); q.processAllAvailable()
     q.stop()
@@ -746,7 +747,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = got.sortBy(key).toSeq
     // stream ≡ batch: the same probe over all queries at once
     val batch = Streaming.annProbe(index, base,
-        qRows.toSeq.toDF("q_id", "qv"), 32, 5)
+        qRows.toSeq.toDF("q_id", "qv"), 32, 5, excludeSelf = true)
       .collect().map(_.toSeq).toSeq.sortBy(key)
     assert(streamed == batch, s"stream diverged from batch probe")
     // and ≡ the oracle-checked q163 rows (same shortlist/k/tiebreaks)
