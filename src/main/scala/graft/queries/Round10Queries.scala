@@ -61,17 +61,20 @@ object Round10Queries extends QueryPack {
     * Known ORC limitation (pinned in Round10Spec): timestamps inside
     * the one-second window just before the epoch read back +1 s
     * (seconds/nanos split uses truncating instead of floor division
-    * at seconds = −1). The fixtures are post-epoch so q161 is
-    * unaffected; corpora that can carry 1969-12-31 23:59:59.xxx
-    * should interchange via parquet/Avro, which round-trip exactly. */
+    * at seconds = −1). Round 11: the house sink ([[graft.sources.OrcIO]])
+    * REJECTS such rows at write time with a named ORC_PRE_EPOCH error
+    * instead of landing silently-corrupting values (Round11Spec);
+    * corpora that can carry 1969-12-31 23:59:59.xxx should interchange
+    * via parquet/Avro, which round-trip exactly. */
   def q161(s: SparkSession, d: String): DataFrame = {
     import graft.util.Det._
     val base = Round8Queries.ensureScratch(s, "orc", d) { b =>
-      Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .repartition(8)
-        .write.orc(s"$b/data")
+      graft.sources.OrcIO.write(
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(8),
+        s"$b/data")
     }
     s.read.orc(s"$base/data")
       .select(col("ts"), col("user_id"), col("event_type"), col("value"),
@@ -103,14 +106,25 @@ object Round10Queries extends QueryPack {
     * appears in a stage-1 ReadSchema. The rerank fetches full vectors
     * from the BASE table by id, exactly the serve-time split. */
   private[graft] def annIndex(s: SparkSession, d: String): String = {
-    // tag v2: the layout gained the label column for filtered search
-    // (q167); a new tag forces stale v1 scratch dirs to rebuild
-    val base = Round8Queries.ensureScratch(s, "annidx2", d) { b =>
-      Tables.embeddings(s, d)
+    // tag v3: the layout gained the IVFPQ columns — coarse `cell` +
+    // residual PQ `codes` (q124) and raw PQ `rcodes` (q119) — so ADC
+    // serving reads the ingest-time artifact instead of re-encoding
+    // per query. All encode columns are one zero-shuffle map pass over
+    // the same scan (no self-joins); parquet column pruning keeps every
+    // consumer's stage-1 scan as narrow as before (v2: label for q167's
+    // filtered search; v1: sign words + prefix).
+    val base = Round8Queries.ensureScratch(s, "annidx3", d) { b =>
+      val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+      val vecs = e.select(col("vec_id"), col("v"))
+      val cents = LlmQueries.ivfCentroids(vecs)
+      val cb = LlmQueries.pqCodebook(vecs)
+      LlmQueries.ivfPqEncode(e, cents, cb)
         .select(col("vec_id"), col("label"),
           signWord(col("v"), 0).as("lo"), signWord(col("v"), 32).as("hi"),
-          slice(col("v"), 1, MrlDims).as("prefix"))
+          slice(col("v"), 1, MrlDims).as("prefix"),
+          col("cell"), col("codes"),
+          LlmQueries.pqCodesFor(col("v"), cb).as("rcodes"))
         .repartition(8)
         .write.parquet(s"$b/index")
     }

@@ -119,6 +119,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("nearestcells"), "assignment/encode must use the native expression")
     assert(plan.contains("BroadcastHashJoin"),
       s"cell probe must broadcast the query side:\n$plan")
+    // round 11: the corpus side serves from the write-once annIndex —
+    // the ADC probe scan must read ONLY (vec_id, cell, codes): never
+    // the embedding payload, never the other index columns, and the
+    // corpus must not be re-encoded (no corpus-side nearest_cells —
+    // the one in the plan belongs to the 5-row query side)
+    assert(plan.linesIterator.exists(l => l.contains("FileScan parquet") &&
+        l.contains("cell") && l.contains("codes") &&
+        !l.contains("embedding") && !l.contains("prefix") && !l.contains("rcodes")),
+      s"q124's ADC scan must be pruned to (vec_id, cell, codes):\n$plan")
+    // q119 likewise serves raw-PQ codes from the index: (vec_id, rcodes)
+    val p119 = SparkEntry.queries("q119_pq_adc")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p119.linesIterator.exists(l => l.contains("FileScan parquet") &&
+        l.contains("rcodes") && !l.contains("embedding") && !l.contains("prefix")),
+      s"q119's ADC scan must be pruned to (vec_id, rcodes):\n$p119")
   }
 
   test("q123 broadcasts the 64-row weight table onto the token stream") {
