@@ -117,19 +117,40 @@ object Round10Queries extends QueryPack {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
       val vecs = e.select(col("vec_id"), col("v"))
-      val cents = LlmQueries.ivfCentroids(vecs)
-      val cb = LlmQueries.pqCodebook(vecs)
-      LlmQueries.ivfPqEncode(e, cents, cb)
-        .select(col("vec_id"), col("label"),
-          signWord(col("v"), 0).as("lo"), signWord(col("v"), 32).as("hi"),
-          slice(col("v"), 1, MrlDims).as("prefix"),
-          col("cell"), col("codes"),
-          LlmQueries.pqCodesFor(col("v"), cb).as("rcodes"))
+      annIndexRows(e, LlmQueries.ivfCentroids(vecs), LlmQueries.pqCodebook(vecs))
         .repartition(8)
         .write.parquet(s"$b/index")
     }
     s"$base/index"
   }
+
+  /** The index-row encode pass shared by the initial [[annIndex]] build
+    * and [[appendToAnnIndex]]: input (vec_id, label, v) → the full
+    * annidx3 row. One zero-shuffle map; the IVFPQ model (cents, cb) is
+    * a bounded literal artifact, so an append encodes EXACTLY like the
+    * initial build and the incremental index is bit-identical to a
+    * from-scratch rebuild over the union (pinned in StreamingSpec). */
+  private[graft] def annIndexRows(e: DataFrame,
+      cents: IndexedSeq[(Long, IndexedSeq[Double])],
+      cb: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    LlmQueries.ivfPqEncode(e, cents, cb)
+      .select(col("vec_id"), col("label"),
+        signWord(col("v"), 0).as("lo"), signWord(col("v"), 32).as("hi"),
+        slice(col("v"), 1, MrlDims).as("prefix"),
+        col("cell"), col("codes"),
+        LlmQueries.pqCodesFor(col("v"), cb).as("rcodes"))
+
+  /** Incremental index maintenance: encode a new vector drop with the
+    * index's FROZEN model artifacts and fold it into the layout as
+    * appended parquet files — O(|drop|) work, no rebuild, no touch of
+    * existing files (parquet append = new part files). The serving
+    * contract after an append: probes see old ∪ new exactly as if the
+    * index had been built from the union (same model ⇒ same rows).
+    * Caller owns id-uniqueness across drops, as with any ingest loop. */
+  private[graft] def appendToAnnIndex(newRows: DataFrame, idxPath: String,
+      cents: IndexedSeq[(Long, IndexedSeq[Double])],
+      cb: IndexedSeq[IndexedSeq[Double]]): Unit =
+    annIndexRows(newRows, cents, cb).write.mode("append").parquet(idxPath)
 
   /** floor(cos·10⁴) through the native codegen expression. */
   private def cosBp(a: Column, b: Column): Column =

@@ -759,4 +759,55 @@ class StreamingSpec extends SparkSpec {
       "streaming probe diverged from the oracle-checked q163 result")
     index.unpersist(); base.unpersist()
   }
+
+  test("ANN index ingest loop: appends are served exactly like a from-scratch rebuild") {
+    import graft.queries.Round10Queries
+    graft.GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    // the IVFPQ model artifacts are FROZEN at initial build time (the
+    // first 8/16 vectors — all inside the base slice), exactly like a
+    // trained model file that later drops must reuse
+    val vecs = e.select(col("vec_id"), col("v"))
+    val cents = graft.queries.LlmQueries.ivfCentroids(vecs)
+    val cb = graft.queries.LlmQueries.pqCodebook(vecs)
+    val base = e.filter(col("vec_id") < 400)
+    val drop1 = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val drop2 = e.filter(col("vec_id") >= 450)
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_ingest").toString
+    val idx = s"$root/incremental"
+    Round10Queries.annIndexRows(base, cents, cb).write.parquet(idx)
+    val baseRows = spark.read.parquet(idx).collect().map(_.toSeq).toSet
+    // two ingest iterations
+    Round10Queries.appendToAnnIndex(drop1, idx, cents, cb)
+    Round10Queries.appendToAnnIndex(drop2, idx, cents, cb)
+    // 1) pre-append rows are untouched: parquet append only adds files
+    val afterBaseRows = spark.read.parquet(idx)
+      .filter(col("vec_id") < 400).collect().map(_.toSeq).toSet
+    assert(afterBaseRows == baseRows, "append must not disturb existing index rows")
+    // 2) incremental ≡ rebuild: the appended index serves probes exactly
+    //    like one built from the full corpus in a single pass
+    val full = s"$root/rebuilt"
+    Round10Queries.annIndexRows(e, cents, cb).write.parquet(full)
+    val bv = e.select(col("vec_id"), col("v"))
+    // queries INCLUDE appended vectors (two from each drop) — top-1 of a
+    // self-query (excludeSelf=false) must be the vector itself at
+    // 10000 bp, proving the new drops are findable through the index
+    val qs = e.filter(col("vec_id").isin(100L, 410L, 420L, 460L, 470L))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def probe(path: String): Seq[Seq[Any]] =
+      Streaming.annProbe(spark.read.parquet(path), bv, qs, shortlist = 32, k = 5)
+        .collect().map(_.toSeq).toSeq
+        .sortBy(r => (r.head.toString.toLong, r(1).toString.toInt))
+    val inc = probe(idx)
+    assert(inc == probe(full), "incremental index diverged from a from-scratch rebuild")
+    val top1 = inc.filter(_(1).toString.toInt == 1)
+      .map(r => r.head.toString.toLong -> (r(2).toString.toLong, r(3).toString.toLong)).toMap
+    for (q <- Seq(410L, 420L, 460L, 470L)) {
+      // self-cosine floors to 9999 or 10000 bp depending on fp rounding
+      assert(top1(q)._1 == q && top1(q)._2 >= 9999L,
+        s"appended vector $q must be findable as its own nearest neighbor, got ${top1(q)}")
+    }
+  }
 }
