@@ -22,7 +22,8 @@ object SparkEntry {
     SimilarityQueries,
     Round8Queries,
     Round9Queries,
-    Round10Queries
+    Round10Queries,
+    Round11Queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

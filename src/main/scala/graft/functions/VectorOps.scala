@@ -105,9 +105,9 @@ object VectorOps {
       s"LSH bits must be in [1, $MaxLshBits], got $bits")
 
   /** `bits`-bit LSH bucket id: bit h set iff dot(v, plane_h) >= 0. */
-  def lshBucket(v: Column, bits: Int = LshBits): Column = {
-    checkBits(bits)
-    allPlanes.take(bits).zipWithIndex.map { case (p, h) =>
+  def lshBucket(v: Column, bits: Int = LshBits, from: Int = 0): Column = {
+    checkBits(from + bits)
+    allPlanes.slice(from, from + bits).zipWithIndex.map { case (p, h) =>
       when(dot(v, litArr(p)) >= 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
   }
@@ -122,10 +122,13 @@ object VectorOps {
     array(bucket +: (0 until bits).map(b => bucket.bitwiseXOR(lit(1 << b))): _*)
   }
 
-  /** DuckDB SQL for the same bucket id over a FLOAT[] column name. */
-  def lshBucketSql(col: String, bits: Int = LshBits): String = {
-    checkBits(bits)
-    allPlanes.take(bits).zipWithIndex.map { case (p, h) =>
+  /** DuckDB SQL for the same bucket id over a FLOAT[] column name.
+    * `from` selects the plane window [from, from+bits) — independent
+    * LSH tables for multi-table seeding (q168) reuse the same plane
+    * pool at disjoint offsets, mirroring [[lshBucket]]. */
+  def lshBucketSql(col: String, bits: Int = LshBits, from: Int = 0): String = {
+    checkBits(from + bits)
+    allPlanes.slice(from, from + bits).zipWithIndex.map { case (p, h) =>
       val lits = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_sum([CAST($col[i] AS DOUBLE) * ($lits)[i] for i in generate_series(1, $Dim)]) >= 0 THEN ${1 << h} ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Round-11 operators: corpus-wide kNN-graph construction — the
+  * large-scale primitive behind semantic-dedup clustering that the
+  * per-query ANN family (q35–q37, q57, q119, q124, q162–q167)
+  * approximates one query at a time.
+  */
+object Round11Queries extends QueryPack {
+
+  /** Float embedding → double array (one cast, shared by all stages). */
+  private def toD(c: Column): Column = transform(c, _.cast("double"))
+
+  /** floor(cos·10⁴) through the native codegen expression. */
+  private def cosBp(a: Column, b: Column): Column =
+    floor(call_function("cosine_sim", a, b) * 10000).cast("long")
+
+  // q168: kNN graph (multi-table LSH seed + one NN-descent round) --------
+
+  private val KgK = 5       // neighbors per node in the final graph
+  private val KgCap = 64    // per-(table, bucket) candidate cap
+  private val KgTables = 4  // independent LSH tables
+  private val KgBits = 4    // bits per table (planes [t·4, t·4+4))
+
+  /** q168: build the k-nearest-neighbor GRAPH of the whole corpus —
+    * every vector gets its top-[[KgK]] neighbors — with the NN-descent
+    * recipe (Dong, Moses & Li 2011, "Efficient K-Nearest Neighbor
+    * Graph Construction for Generic Similarity Measures", WWW):
+    * initialize each node's neighbor list cheaply, then improve it by
+    * scoring neighbors-of-neighbors, exploiting that a neighbor's
+    * neighbor is likely a neighbor.
+    *
+    *  - SEED: [[KgTables]] independent random-hyperplane LSH tables
+    *    ([[KgBits]] bits each, disjoint plane windows of the house
+    *    pool). A node's seed candidates are the union of its capped
+    *    bucket-mates across tables (per-bucket cap [[KgCap]] in
+    *    (md5(id), id) order — the q49/q64 pseudo-random sample); it
+    *    keeps its top-[[KgK]] by (cos bp desc, id asc).
+    *  - REFINE (one NN-descent round): undirected seed edges (forward
+    *    ∪ reverse), composed once — candidates(a) = und(a) ∪
+    *    { c : (a,b), (b,c) ∈ und, c ≠ a } — deduplicated, rescored,
+    *    top-[[KgK]] kept. Everything is integer-bp sims with id
+    *    tiebreaks and set-dedup, so DuckDB replays the exact algorithm
+    *    and the driver's hash gate applies; the recall floor vs exact
+    *    brute force is pinned in Round11Spec.
+    *
+    * Scale shape (100 TB): seed candidate generation is LINEAR —
+    * ≤ tables·cap pairs per node, never Σ|bucket|² (the q33 BandCap
+    * lesson applied to graph init; at corpus scale pick bits ≈
+    * log2(n/cap) so buckets approach the cap). The refine round works
+    * on the EDGE LIST — n·k three-column rows — so the
+    * neighbor-of-neighbor join shuffles id pairs, not vectors
+    * (≤ 4·n·k² candidate rows), and scoring joins candidate ids back
+    * to the vector table. Top-k selection is the bounded-heap
+    * collector at both stages: n·k rows cross each ranking shuffle,
+    * no window sort of the candidate fanout. The per-bucket cap rank
+    * plans as WindowGroupLimit (map-side partial top-cap). */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    // table membership: one row per (node, table) with that table's bucket
+    val memb = b.select(col("vec_id"), explode(array((0 until KgTables).map(t =>
+        struct(lit(t).as("t"),
+          VectorOps.lshBucket(col("v"), KgBits, t * KgBits).as("bk"))): _*)).as("m"))
+      .select(col("vec_id"), col("m.t").as("t"), col("m.bk").as("bk"))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("bk"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val capped = memb.withColumn("br", row_number().over(wCap))
+      .filter(col("br") <= KgCap)
+      .select(col("t"), col("bk"), col("vec_id").as("nb"))
+    val seedCand = memb.select(col("vec_id").as("src"), col("t"), col("bk"))
+      .join(capped, Seq("t", "bk"))
+      .filter(col("src") =!= col("nb"))
+      .select(col("src"), col("nb")).distinct()
+    val seed = topK(score(b, seedCand))
+    // one NN-descent round over the undirected edge list
+    val und = seed.select(col("src"), col("nb"))
+      .union(seed.select(col("nb").as("src"), col("src").as("nb")))
+    val cand = und
+      .union(und.select(col("src"), col("nb").as("mid"))
+        .join(und.select(col("src").as("mid"), col("nb").as("nb2")), Seq("mid"))
+        .filter(col("nb2") =!= col("src"))
+        .select(col("src"), col("nb2").as("nb")))
+      .distinct()
+    topK(score(b, cand))
+      .select(col("src").as("vec_id"), col("rn"), col("nb").as("nb_id"),
+        col("sim").as("sim_bp"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** Score id pairs by id-fetch from the vector table (corpus never
+    * rides the candidate shuffles — only (src, nb) id pairs do). */
+  private def score(b: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(b.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(b.select(col("vec_id").as("nb"), col("v").as("nv")), Seq("nb"))
+      .select(col("src"), col("nb"), cosBp(col("sv"), col("nv")).as("sim"))
+
+  /** Bounded-heap top-[[KgK]] per src by (sim desc, nb asc). */
+  private def topK(cand: DataFrame): DataFrame =
+    cand.groupBy(col("src"))
+      .agg(call_function("collect_topk",
+        struct((-col("sim")).as("nsim"), col("nb")), lit(KgK), lit(true)).as("t"))
+      .select(col("src"), posexplode(col("t")).as(Seq("p", "e")))
+      .select(col("src"), (col("p") + 1).as("rn"),
+        col("e.nb").as("nb"), (-col("e.nsim")).as("sim"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_knn_graph" -> q168 _
+  )
+
+  override val oracle: Map[String, String] = {
+    val membSql = (0 until KgTables).map(t =>
+      s"""SELECT vec_id, $t AS t,
+          ${VectorOps.lshBucketSql("embedding", KgBits, t * KgBits)} AS bk
+          FROM b""").mkString("\n        UNION ALL ")
+    Map(
+      "q168_knn_graph" -> s"""
+      WITH b AS (SELECT vec_id, embedding FROM embeddings),
+      memb AS (
+        $membSql),
+      capped AS (
+        SELECT t, bk, vec_id AS nb
+        FROM (SELECT *, row_number() OVER (PARTITION BY t, bk
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS br
+              FROM memb)
+        WHERE br <= $KgCap),
+      seedcand AS (
+        SELECT DISTINCT m.vec_id AS src, c.nb
+        FROM memb m JOIN capped c
+          ON m.t = c.t AND m.bk = c.bk AND m.vec_id <> c.nb),
+      seed AS (
+        SELECT src, nb
+        FROM (SELECT src, nb, row_number() OVER (PARTITION BY src
+                ORDER BY sim DESC, nb) AS rn
+              FROM (SELECT sc.src, sc.nb,
+                           ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
+                    FROM seedcand sc
+                    JOIN b x ON sc.src = x.vec_id
+                    JOIN b y ON sc.nb = y.vec_id))
+        WHERE rn <= $KgK),
+      und AS (
+        SELECT src, nb FROM seed
+        UNION
+        SELECT nb AS src, src AS nb FROM seed),
+      cand AS (
+        SELECT src, nb FROM und
+        UNION
+        SELECT u1.src, u2.nb
+        FROM und u1 JOIN und u2 ON u1.nb = u2.src
+        WHERE u2.nb <> u1.src),
+      scored AS (
+        SELECT c.src, c.nb,
+               ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
+        FROM cand c
+        JOIN b x ON c.src = x.vec_id
+        JOIN b y ON c.nb = y.vec_id)
+      SELECT src AS vec_id, rn, nb AS nb_id, sim AS sim_bp
+      FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
+              ORDER BY sim DESC, nb) AS rn
+            FROM scored)
+      WHERE rn <= $KgK
+      ORDER BY vec_id, rn""")
+  }
+}
