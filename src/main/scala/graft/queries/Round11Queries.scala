@@ -51,34 +51,53 @@ object Round11Queries extends QueryPack {
     * Scale shape (100 TB): seed candidate generation is LINEAR —
     * ≤ tables·cap pairs per node, never Σ|bucket|² (the q33 BandCap
     * lesson applied to graph init; at corpus scale pick bits ≈
-    * log2(n/cap) so buckets approach the cap). The refine round works
-    * on the EDGE LIST — n·k three-column rows — so the
-    * neighbor-of-neighbor join shuffles id pairs, not vectors
-    * (≤ 4·n·k² candidate rows), and scoring joins candidate ids back
-    * to the vector table. Top-k selection is the bounded-heap
-    * collector at both stages: n·k rows cross each ranking shuffle,
-    * no window sort of the candidate fanout. The per-bucket cap rank
-    * plans as WindowGroupLimit (map-side partial top-cap). */
+    * log2(n/cap) so buckets approach the cap) — and seed pairs are
+    * scored INSIDE the bucket join, where both vectors sit on the
+    * joined row after one co-partitioning shuffle of n·tables vector
+    * rows; pairs leave the join as 24-byte (src, nb, sim) triples.
+    * (Scoring seeds by id-join instead ships a 512-byte vector per
+    * PAIR — n·tables·cap wide rows, ~280 GB at sf100 — the measured
+    * single-box killer.) The refine round works on the EDGE LIST —
+    * n·k three-column rows — so the neighbor-of-neighbor join
+    * shuffles id pairs, not vectors (≤ ~4·n·k² candidate rows); its
+    * rescoring joins candidates back to the vector table by id, which
+    * moves pairs·dim·8 bytes once (≈ n·4k²·512 B — ~100 GB at sf100's
+    * 2 M nodes: routine for a cluster shuffle, beyond one box's free
+    * disk, measured and recorded in BENCH_SCALING round11_sf100).
+    * Top-k selection is the bounded-heap collector at both stages:
+    * n·k rows cross each ranking shuffle, no window sort of the
+    * candidate fanout. The per-bucket cap rank plans as
+    * WindowGroupLimit (map-side partial top-cap). */
   def q168(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
     val b = Tables.embeddings(s, d)
       .select(col("vec_id"), toD(col("embedding")).as("v"))
-    // table membership: one row per (node, table) with that table's bucket
-    val memb = b.select(col("vec_id"), explode(array((0 until KgTables).map(t =>
-        struct(lit(t).as("t"),
-          VectorOps.lshBucket(col("v"), KgBits, t * KgBits).as("bk"))): _*)).as("m"))
-      .select(col("vec_id"), col("m.t").as("t"), col("m.bk").as("bk"))
+    // table membership: one row per (node, table) with that table's
+    // bucket — the vector rides along so seed pairs can be scored
+    // INSIDE the bucket join (both vectors co-located after ONE linear
+    // shuffle of n·tables vector rows); scoring seed pairs by id-join
+    // instead would ship a 512-byte payload per PAIR (n·tables·cap
+    // rows), which is what actually exhausts a single box at sf100
+    val memb = b.select(col("vec_id"), col("v"),
+        explode(array((0 until KgTables).map(t =>
+          struct(lit(t).as("t"),
+            VectorOps.lshBucket(col("v"), KgBits, t * KgBits).as("bk"))): _*)).as("m"))
+      .select(col("vec_id"), col("v"), col("m.t").as("t"), col("m.bk").as("bk"))
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy(col("t"), col("bk"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     val capped = memb.withColumn("br", row_number().over(wCap))
       .filter(col("br") <= KgCap)
-      .select(col("t"), col("bk"), col("vec_id").as("nb"))
-    val seedCand = memb.select(col("vec_id").as("src"), col("t"), col("bk"))
+      .select(col("t"), col("bk"), col("vec_id").as("nb"), col("v").as("nv"))
+    // pairs leave the join as (src, nb, sim) — 24 narrow bytes; the
+    // same (src, nb) from two tables carries the same sim, so the
+    // cross-table dedup is a distinct over narrow rows
+    val seedCand = memb.select(col("vec_id").as("src"), col("v"), col("t"), col("bk"))
       .join(capped, Seq("t", "bk"))
       .filter(col("src") =!= col("nb"))
-      .select(col("src"), col("nb")).distinct()
-    val seed = topK(score(b, seedCand))
+      .select(col("src"), col("nb"), cosBp(col("v"), col("nv")).as("sim"))
+      .distinct()
+    val seed = topK(seedCand)
     // one NN-descent round over the undirected edge list
     val und = seed.select(col("src"), col("nb"))
       .union(seed.select(col("nb").as("src"), col("src").as("nb")))
