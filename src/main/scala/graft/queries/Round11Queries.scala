@@ -25,6 +25,7 @@ object Round11Queries extends QueryPack {
   private val KgCap = 64    // per-(table, bucket) candidate cap
   private val KgTables = 4  // independent LSH tables
   private val KgBits = 4    // bits per table (planes [t·4, t·4+4))
+  private val KgUnd = 10    // undirected-degree cap before composition (2k)
 
   /** q168: build the k-nearest-neighbor GRAPH of the whole corpus —
     * every vector gets its top-[[KgK]] neighbors — with the NN-descent
@@ -57,13 +58,12 @@ object Round11Queries extends QueryPack {
     * rows; pairs leave the join as 24-byte (src, nb, sim) triples.
     * (Scoring seeds by id-join instead ships a 512-byte vector per
     * PAIR — n·tables·cap wide rows, ~280 GB at sf100 — the measured
-    * single-box killer.) The refine round works on the EDGE LIST —
-    * n·k three-column rows — so the neighbor-of-neighbor join
-    * shuffles id pairs, not vectors (≤ ~4·n·k² candidate rows); its
-    * rescoring joins candidates back to the vector table by id, which
-    * moves pairs·dim·8 bytes once (≈ n·4k²·512 B — ~100 GB at sf100's
-    * 2 M nodes: routine for a cluster shuffle, beyond one box's free
-    * disk, measured and recorded in BENCH_SCALING round11_sf100).
+    * single-box killer.) The refine round applies the same rule to the
+    * neighbor-of-neighbor fanout: vectors attach to the two undirected
+    * EDGE-LIST sides (2·n·k rows each) before the compose join, the
+    * ≤ 4·n·k² candidate pairs are born inside the join and score
+    * in-map, leaving as 24-byte triples — total vector traffic stays
+    * O(n·(tables + k)·dim), linear in the corpus at every stage.
     * Top-k selection is the bounded-heap collector at both stages:
     * n·k rows cross each ranking shuffle, no window sort of the
     * candidate fanout. The per-bucket cap rank plans as
@@ -97,35 +97,54 @@ object Round11Queries extends QueryPack {
       .filter(col("src") =!= col("nb"))
       .select(col("src"), col("nb"), cosBp(col("v"), col("nv")).as("sim"))
       .distinct()
-    val seed = topK(seedCand)
-    // one NN-descent round over the undirected edge list
-    val und = seed.select(col("src"), col("nb"))
-      .union(seed.select(col("nb").as("src"), col("src").as("nb")))
-    val cand = und
-      .union(und.select(col("src"), col("nb").as("mid"))
-        .join(und.select(col("src").as("mid"), col("nb").as("nb2")), Seq("mid"))
-        .filter(col("nb2") =!= col("src"))
-        .select(col("src"), col("nb2").as("nb")))
-      .distinct()
-    topK(score(b, cand))
+    // the seed graph is read five times downstream (forward, reverse,
+    // and three compose/union branches) — without persist() the whole
+    // bucket-join + distinct + heap pipeline recomputes per branch
+    // (measured: minutes per pass at sf10). n·k narrow rows, so the
+    // cache is id-pair-sized at any corpus scale (the q93 pattern).
+    val seed = topK(seedCand).persist()
+    // one NN-descent round: undirected seed edges (sims already known —
+    // cosine is symmetric), composed once. Vectors attach to the two
+    // EDGE-LIST sides (2·n·k rows each) BEFORE the compose join, so the
+    // n·k² candidate fanout is born inside the join, scores in-map, and
+    // leaves as 24-byte triples — O(n·k·dim) vector bytes moved, vs
+    // O(n·k²·dim) if the fanout were rescored through id-joins
+    // (measured: the 2-minute vs 10+-minute difference per pass at
+    // sf10, and the difference between fitting and not fitting a
+    // single box at sf100).
+    val undS = seed.select(col("src"), col("nb"), col("sim"))
+      .union(seed.select(col("nb").as("src"), col("src").as("nb"), col("sim")))
+    // HUB CAP before composition: a node's undirected degree is k
+    // forward edges plus an UNBOUNDED number of reverse edges — on
+    // clone-heavy corpora (exact-dup training data) a vector's lowest-id
+    // clones collect reverse edges from every other clone, and the
+    // compose join is quadratic in hub degree (measured: ~10⁹ pairs
+    // through a handful of hubs at sf100). Composing from the top-
+    // [[KgUnd]] undirected edges per node (sim desc, id asc — the most
+    // useful neighbors anyway, NN-descent's reverse-sample ρ) restores
+    // the n·R² bound. ALL undirected edges still enter the final
+    // candidate set — their sims are already known, so they cost
+    // nothing to keep.
+    val undC = topK(undS.distinct(), KgUnd)
+      .select(col("src"), col("nb"), col("sim"))
+    val u1 = undC.select(col("src"), col("nb").as("mid"))
+      .join(b.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
+    val u2 = undC.select(col("src").as("mid"), col("nb"))
+      .join(b.select(col("vec_id").as("nb"), col("v").as("nv")), Seq("nb"))
+    val composeS = u1.join(u2, Seq("mid"))
+      .filter(col("nb") =!= col("src"))
+      .select(col("src"), col("nb"), cosBp(col("sv"), col("nv")).as("sim"))
+    topK(undS.union(composeS).distinct())
       .select(col("src").as("vec_id"), col("rn"), col("nb").as("nb_id"),
         col("sim").as("sim_bp"))
       .orderBy(col("vec_id"), col("rn"))
   }
 
-  /** Score id pairs by id-fetch from the vector table (corpus never
-    * rides the candidate shuffles — only (src, nb) id pairs do). */
-  private def score(b: DataFrame, pairs: DataFrame): DataFrame =
-    pairs
-      .join(b.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
-      .join(b.select(col("vec_id").as("nb"), col("v").as("nv")), Seq("nb"))
-      .select(col("src"), col("nb"), cosBp(col("sv"), col("nv")).as("sim"))
-
-  /** Bounded-heap top-[[KgK]] per src by (sim desc, nb asc). */
-  private def topK(cand: DataFrame): DataFrame =
+  /** Bounded-heap top-k per src by (sim desc, nb asc). */
+  private def topK(cand: DataFrame, k: Int = KgK): DataFrame =
     cand.groupBy(col("src"))
       .agg(call_function("collect_topk",
-        struct((-col("sim")).as("nsim"), col("nb")), lit(KgK), lit(true)).as("t"))
+        struct((-col("sim")).as("nsim"), col("nb")), lit(k), lit(true)).as("t"))
       .select(col("src"), posexplode(col("t")).as(Seq("p", "e")))
       .select(col("src"), (col("p") + 1).as("rn"),
         col("e.nb").as("nb"), (-col("e.nsim")).as("sim"))
@@ -155,8 +174,8 @@ object Round11Queries extends QueryPack {
         FROM memb m JOIN capped c
           ON m.t = c.t AND m.bk = c.bk AND m.vec_id <> c.nb),
       seed AS (
-        SELECT src, nb
-        FROM (SELECT src, nb, row_number() OVER (PARTITION BY src
+        SELECT src, nb, sim
+        FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
                 ORDER BY sim DESC, nb) AS rn
               FROM (SELECT sc.src, sc.nb,
                            ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
@@ -165,14 +184,20 @@ object Round11Queries extends QueryPack {
                     JOIN b y ON sc.nb = y.vec_id))
         WHERE rn <= $KgK),
       und AS (
-        SELECT src, nb FROM seed
+        SELECT src, nb, sim FROM seed
         UNION
-        SELECT nb AS src, src AS nb FROM seed),
+        SELECT nb AS src, src AS nb, sim FROM seed),
+      undc AS (
+        SELECT src, nb
+        FROM (SELECT src, nb, row_number() OVER (PARTITION BY src
+                ORDER BY sim DESC, nb) AS rn
+              FROM und)
+        WHERE rn <= $KgUnd),
       cand AS (
         SELECT src, nb FROM und
         UNION
         SELECT u1.src, u2.nb
-        FROM und u1 JOIN und u2 ON u1.nb = u2.src
+        FROM undc u1 JOIN undc u2 ON u1.nb = u2.src
         WHERE u2.nb <> u1.src),
       scored AS (
         SELECT c.src, c.nb,
