@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Aggs
@@ -48,14 +48,23 @@ object AggQueries extends QueryPack {
     * emits the EXACT distinct count plus the 5 % tolerance verdict that
     * the in-repo spec pins: |approx − exact|·100 ≤ 5·exact, all-long
     * arithmetic. The oracle computes the exact count and a literal 1.
-    * rsd = 0.01 (≈12k registers, constant memory) so the 5 % gate
-    * carries a 5σ margin — the default 0.05 misses 5 % on the sf0.1
-    * fixture's 1500 distinct users. */
+    * rsd = 0.02 (≈2.8k registers, constant memory) gives the 5 % gate
+    * a 2.5σ margin — and because the HLL sketch is hash-of-value based
+    * it is DETERMINISTIC per dataset, so "passes on the fixtures" is a
+    * stable property, not a coin flip (the default 0.05 misses 5 % on
+    * the sf0.1 fixture's 1500 distinct users). Both aggregates run over
+    * the DEDUPLICATED key set: HLL is duplicate-insensitive, so
+    * approx(distinct x) ≡ approx(x), and pre-deduping turns the plan
+    * into two stacked HashAggregates (map-side partial distinct, then
+    * one count+HLL pass over ~distinct rows) instead of the Expand
+    * double-scan that mixing countDistinct with another aggregate
+    * plans — the round-11 6× bench regression. */
   def q47(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .select(col("user_id")).distinct()
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx"),
-        countDistinct(col("user_id")).as("exact_users"))
+        approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        count(lit(1)).as("exact_users"))
       .select(col("exact_users"),
         (abs(col("approx") - col("exact_users")) * lit(100L) <=
           col("exact_users") * lit(5L)).cast("int").as("approx_within_5pc"))
@@ -64,10 +73,15 @@ object AggQueries extends QueryPack {
     * Emits EXACT interpolated p25/p50/p75 (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, the q61 precedent) plus a rank-error verdict on
     * the percentile_approx estimates: for each p, the estimate's rank
-    * (count of values ≤ it) must sit within 1 % + 1 row of p·n —
-    * integer basis points throughout. Two scans by construction (the
-    * estimate must exist before its rank can be counted); both are
-    * map-combined aggregates, so the shape holds at any scale. */
+    * INTERVAL [count(< est), count(≤ est)] must come within 1 % + 1 row
+    * of p·n — integer basis points throughout. The interval (not just
+    * the ≤ count) makes the verdict insensitive to duplicate runs at a
+    * quantile boundary: an estimate landing on a heavy duplicate value
+    * spans many ranks, and p·n falling anywhere in (or within tolerance
+    * of) that span means the estimator did its job (round-11 ADVICE).
+    * Two scans by construction (the estimate must exist before its rank
+    * can be counted); both are map-combined aggregates, so the shape
+    * holds at any scale. */
   def q48(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("value"))
     // Scalar (not array) stats columns: max(double)/max(long) over the
@@ -83,19 +97,32 @@ object AggQueries extends QueryPack {
         col("qa").getItem(2).as("a75"),
         col("qe").getItem(0).as("e25"), col("qe").getItem(1).as("e50"),
         col("qe").getItem(2).as("e75"), col("cnt"))
-    def rankOk(c: org.apache.spark.sql.Column, pBp: Long) =
-      abs(c * lit(10000L) - lit(pBp) * col("n")) <= lit(100L) * col("n") + lit(10000L)
     ev.crossJoin(broadcast(stats))
       .groupBy()
       .agg(
         sum(when(col("value") <= col("a25"), 1L).otherwise(0L)).as("c25"),
         sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("c50"),
         sum(when(col("value") <= col("a75"), 1L).otherwise(0L)).as("c75"),
+        sum(when(col("value") < col("a25"), 1L).otherwise(0L)).as("s25"),
+        sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("s50"),
+        sum(when(col("value") < col("a75"), 1L).otherwise(0L)).as("s75"),
         max(col("e25")).as("p25"), max(col("e50")).as("p50"),
         max(col("e75")).as("p75"), max(col("cnt")).as("n"))
       .select(col("p25"), col("p50"), col("p75"),
-        (rankOk(col("c25"), 2500L) && rankOk(col("c50"), 5000L) &&
-          rankOk(col("c75"), 7500L)).cast("int").as("approx_rank_ok"))
+        (rankIntervalOk(col("s25"), col("c25"), 2500L) &&
+          rankIntervalOk(col("s50"), col("c50"), 5000L) &&
+          rankIntervalOk(col("s75"), col("c75"), 7500L))
+          .cast("int").as("approx_rank_ok"))
+  }
+
+  /** Duplicate-insensitive rank verdict shared by q48/q145: the target
+    * rank p·n (in bp·rows) must land within `100·n + 10⁴` (1 % + 1 row)
+    * of the CLOSED interval [cLt·10⁴, cLe·10⁴] spanned by the estimate's
+    * duplicate run — all-long arithmetic, requires `n` in scope. */
+  private def rankIntervalOk(cLt: Column, cLe: Column, pBp: Long): Column = {
+    val target = lit(pBp) * col("n")
+    val tol = lit(100L) * col("n") + lit(10000L)
+    (target >= cLt * lit(10000L) - tol) && (target <= cLe * lit(10000L) + tol)
   }
 
   /** q145: per-key approximate quantiles through graft's own mergeable
@@ -119,20 +146,24 @@ object AggQueries extends QueryPack {
         col("qa").getItem(2).as("a99"),
         col("qe").getItem(0).as("e50"), col("qe").getItem(1).as("e95"),
         col("qe").getItem(2).as("e99"), col("cnt"))
-    def rankOk(c: org.apache.spark.sql.Column, pBp: Long) =
-      abs(c * lit(10000L) - lit(pBp) * col("n")) <= lit(100L) * col("n") + lit(10000L)
-    // Scalar stats columns for the same HashAggregate reason as q48.
+    // Scalar stats columns for the same HashAggregate reason as q48;
+    // rank verdict is the duplicate-insensitive interval form (q48 doc).
     ev.join(broadcast(est), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(
         sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("c50"),
         sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("c95"),
         sum(when(col("value") <= col("a99"), 1L).otherwise(0L)).as("c99"),
+        sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("s50"),
+        sum(when(col("value") < col("a95"), 1L).otherwise(0L)).as("s95"),
+        sum(when(col("value") < col("a99"), 1L).otherwise(0L)).as("s99"),
         max(col("e50")).as("p50"), max(col("e95")).as("p95"),
         max(col("e99")).as("p99"), max(col("cnt")).as("n"))
       .select(col("event_type"), col("p50"), col("p95"), col("p99"),
-        (rankOk(col("c50"), 5000L) && rankOk(col("c95"), 9500L) &&
-          rankOk(col("c99"), 9900L)).cast("int").as("tdigest_rank_ok"))
+        (rankIntervalOk(col("s50"), col("c50"), 5000L) &&
+          rankIntervalOk(col("s95"), col("c95"), 9500L) &&
+          rankIntervalOk(col("s99"), col("c99"), 9900L))
+          .cast("int").as("tdigest_rank_ok"))
       .orderBy(col("event_type"))
   }
 

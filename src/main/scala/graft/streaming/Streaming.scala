@@ -680,11 +680,14 @@ object Streaming {
     * `excludeSelf` = true treats q_id as sharing the corpus id space
     * and drops the corpus vector whose vec_id equals the query's q_id
     * (self-query semantics, as in the q163 parity test). External query
-    * streams whose ids are unrelated to corpus ids keep the default
-    * false so an accidental id collision can't silently drop a
-    * candidate. */
+    * streams whose ids are unrelated to corpus ids pass false so an
+    * accidental id collision can't silently drop a candidate. The
+    * parameter is REQUIRED (no default): the round-11 signature change
+    * flipped the historical default, so every caller must now state its
+    * id-space relationship explicitly rather than inherit one silently
+    * (round-11 ADVICE). */
   def annProbe(index: DataFrame, base: DataFrame, queries: DataFrame,
-               shortlist: Int, k: Int, excludeSelf: Boolean = false): DataFrame = {
+               shortlist: Int, k: Int, excludeSelf: Boolean): DataFrame = {
     import graft.functions.VectorOps
     graft.GraftFunctions.ensure(index.sparkSession)
     val qs = queries.select(col("q_id"), col("qv"),
@@ -718,7 +721,7 @@ object Streaming {
   def annSearchStream(queries: DataFrame, index: DataFrame, base: DataFrame,
                       shortlist: Int, k: Int,
                       sink: DataFrame => Unit,
-                      excludeSelf: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+                      excludeSelf: Boolean): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>

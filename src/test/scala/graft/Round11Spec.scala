@@ -55,6 +55,18 @@ class Round11Spec extends SparkSpec {
     assert(ex.getMessage.contains("ORC_PRE_EPOCH") && ex.getMessage.contains("'s'"))
   }
 
+  test("OrcIO rejects top-level TIMESTAMP_NTZ at plan time (round-trip unpinned)") {
+    import spark.implicits._
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+      .select(col("id"), col("ts").cast("timestamp_ntz").as("tsn"))
+    val ex = intercept[IllegalArgumentException] {
+      OrcIO.write(df, s"${tmp("graft_orc_ntz")}/t")
+    }
+    assert(ex.getMessage.contains("ORC_PRE_EPOCH") &&
+      ex.getMessage.contains("TIMESTAMP_NTZ") && ex.getMessage.contains("'tsn'"))
+  }
+
   test("guardPreEpoch leaves non-timestamp columns and clean plans untouched") {
     import spark.implicits._
     val df = Seq((1L, "a", 2.5)).toDF("id", "s", "v")

@@ -797,7 +797,8 @@ class StreamingSpec extends SparkSpec {
     val qs = e.filter(col("vec_id").isin(100L, 410L, 420L, 460L, 470L))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     def probe(path: String): Seq[Seq[Any]] =
-      Streaming.annProbe(spark.read.parquet(path), bv, qs, shortlist = 32, k = 5)
+      Streaming.annProbe(spark.read.parquet(path), bv, qs, shortlist = 32, k = 5,
+          excludeSelf = false) // self-query on purpose: top-1 must be the vector itself
         .collect().map(_.toSeq).toSeq
         .sortBy(r => (r.head.toString.toLong, r(1).toString.toInt))
     val inc = probe(idx)
