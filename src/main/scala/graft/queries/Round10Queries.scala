@@ -152,6 +152,62 @@ object Round10Queries extends QueryPack {
       cb: IndexedSeq[IndexedSeq[Double]]): Unit =
     annIndexRows(newRows, cents, cb).write.mode("append").parquet(idxPath)
 
+  /** Compaction for the ingest-loop index: [[appendToAnnIndex]] accretes
+    * one small part file per drop forever, and every probe's stage-1
+    * scan pays a read task per file — this pass folds the small files
+    * into ~`targetBytes` outputs and retires the originals, exactly the
+    * OPTIMIZE primitive the q136 planner models. The q136 rule runs on
+    * the REAL file manifest here: small files (< target) are laid out
+    * in name order and cut into bins by cumulative size — bin =
+    * (cumsum − bytes) DIV target — so files never split and every bin
+    * except the last closes at ≥ target. Each bin is rewritten as one
+    * parquet file and swapped in; files already ≥ target are never
+    * touched (rewrite cost is proportional to the SMALL tail, not the
+    * index). Index rows are set-semantics (probes scan everything), so
+    * regrouping rows across files cannot change any query result — the
+    * spec pins byte-identical probe output and the planned read-task
+    * collapse. Returns the number of bins written (0 = nothing to do).
+    *
+    * Scale shape: the plan runs on the manifest listing (thousands of
+    * rows at 100 TB, driver-sized like every compaction planner); each
+    * bin rewrite is a bounded distributed job over ~target bytes. The
+    * local swap (moves + deletes) stands in for the transactional
+    * manifest commit a table format provides on a real cluster. */
+  private[graft] def compactAnnIndex(s: SparkSession, idxPath: String,
+      targetBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(idxPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val small = fs.listStatus(root)
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+      .filter(_.getLen < targetBytes)
+    if (small.length <= 1) return 0
+    // q136 binning over the real manifest: prefix-sum DIV target
+    var cum = 0L
+    val binned = small.map { f => val b = (cum / targetBytes).toInt; cum += f.getLen; b -> f }
+    val tmp = new Path(idxPath + "_compact_tmp")
+    fs.delete(tmp, true)
+    val bins = binned.groupBy(_._1).toSeq.sortBy(_._1)
+    bins.foreach { case (bin, files) =>
+      s.read.parquet(files.map(_._2.getPath.toString): _*)
+        .coalesce(1)
+        .write.parquet(s"$tmp/bin=$bin")
+    }
+    // swap: land the compacted files under fresh names, retire originals
+    bins.foreach { case (bin, _) =>
+      val part = fs.listStatus(new Path(s"$tmp/bin=$bin"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new Path(root, s"compact-$bin-${part.getName}"))
+    }
+    small.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+    bins.length
+  }
+
   /** floor(cos·10⁴) through the native codegen expression. */
   private def cosBp(a: Column, b: Column): Column =
     floor(call_function("cosine_sim", a, b) * 10000).cast("long")

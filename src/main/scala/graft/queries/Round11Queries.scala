@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
 
-/** Round-11 operators: corpus-wide kNN-graph construction — the
+/** Round-11/12 operators: corpus-wide kNN-graph construction — the
   * large-scale primitive behind semantic-dedup clustering that the
   * per-query ANN family (q35–q37, q57, q119, q124, q162–q167)
-  * approximates one query at a time.
+  * approximates one query at a time. Round 11 shipped the single
+  * NN-descent round (q168); round 12 parameterizes the descent into a
+  * convergence loop (q169) — same integer-bp/id-tiebreak discipline,
+  * so DuckDB replays every round and the hash gate applies in full.
   */
 object Round11Queries extends QueryPack {
 
@@ -27,57 +30,21 @@ object Round11Queries extends QueryPack {
   private val KgBits = 4    // bits per table (planes [t·4, t·4+4))
   private val KgUnd = 10    // undirected-degree cap before composition (2k)
 
-  /** q168: build the k-nearest-neighbor GRAPH of the whole corpus —
-    * every vector gets its top-[[KgK]] neighbors — with the NN-descent
-    * recipe (Dong, Moses & Li 2011, "Efficient K-Nearest Neighbor
-    * Graph Construction for Generic Similarity Measures", WWW):
-    * initialize each node's neighbor list cheaply, then improve it by
-    * scoring neighbors-of-neighbors, exploiting that a neighbor's
-    * neighbor is likely a neighbor.
-    *
-    *  - SEED: [[KgTables]] independent random-hyperplane LSH tables
-    *    ([[KgBits]] bits each, disjoint plane windows of the house
-    *    pool). A node's seed candidates are the union of its capped
-    *    bucket-mates across tables (per-bucket cap [[KgCap]] in
-    *    (md5(id), id) order — the q49/q64 pseudo-random sample); it
-    *    keeps its top-[[KgK]] by (cos bp desc, id asc).
-    *  - REFINE (one NN-descent round): undirected seed edges (forward
-    *    ∪ reverse), composed once — candidates(a) = und(a) ∪
-    *    { c : (a,b), (b,c) ∈ und, c ≠ a } — deduplicated, rescored,
-    *    top-[[KgK]] kept. Everything is integer-bp sims with id
-    *    tiebreaks and set-dedup, so DuckDB replays the exact algorithm
-    *    and the driver's hash gate applies; the recall floor vs exact
-    *    brute force is pinned in Round11Spec.
-    *
-    * Scale shape (100 TB): seed candidate generation is LINEAR —
-    * ≤ tables·cap pairs per node, never Σ|bucket|² (the q33 BandCap
-    * lesson applied to graph init; at corpus scale pick bits ≈
-    * log2(n/cap) so buckets approach the cap) — and seed pairs are
-    * scored INSIDE the bucket join, where both vectors sit on the
-    * joined row after one co-partitioning shuffle of n·tables vector
-    * rows; pairs leave the join as 24-byte (src, nb, sim) triples.
-    * (Scoring seeds by id-join instead ships a 512-byte vector per
-    * PAIR — n·tables·cap wide rows, ~280 GB at sf100 — the measured
-    * single-box killer.) The refine round applies the same rule to the
-    * neighbor-of-neighbor fanout: vectors attach to the two undirected
-    * EDGE-LIST sides (2·n·k rows each) before the compose join, the
-    * ≤ 4·n·k² candidate pairs are born inside the join and score
-    * in-map, leaving as 24-byte triples — total vector traffic stays
-    * O(n·(tables + k)·dim), linear in the corpus at every stage.
-    * Top-k selection is the bounded-heap collector at both stages:
-    * n·k rows cross each ranking shuffle, no window sort of the
-    * candidate fanout. The per-bucket cap rank plans as
-    * WindowGroupLimit (map-side partial top-cap). */
-  def q168(s: SparkSession, d: String): DataFrame = {
-    graft.GraftFunctions.ensure(s)
-    val b = Tables.embeddings(s, d)
-      .select(col("vec_id"), toD(col("embedding")).as("v"))
-    // table membership: one row per (node, table) with that table's
-    // bucket — the vector rides along so seed pairs can be scored
-    // INSIDE the bucket join (both vectors co-located after ONE linear
-    // shuffle of n·tables vector rows); scoring seed pairs by id-join
-    // instead would ship a 512-byte payload per PAIR (n·tables·cap
-    // rows), which is what actually exhausts a single box at sf100
+  // q169: the same recipe run to convergence — a wider internal
+  // neighbor list (Dong et al.'s K), more descent rounds, output top-5.
+  private val KiK = 15      // internal neighbor-list width during descent
+  private val KiUnd = 30    // undirected-degree cap before each compose
+  private val KiRounds = 3  // descent rounds (fixed so the oracle replays)
+
+  /** The LSH-seeded top-[[kInt]] graph: every node's best `kInt`
+    * bucket-mates across [[KgTables]] tables, pairs scored INSIDE the
+    * bucket join (both vectors co-located after ONE linear shuffle of
+    * n·tables vector rows; scoring seed pairs by id-join instead ships
+    * a 512-byte payload per PAIR — n·tables·cap rows, ~280 GB at
+    * sf100, the measured single-box killer). Per-(table,bucket) cap
+    * [[KgCap]] in (md5(id), id) order keeps candidate generation
+    * LINEAR — ≤ tables·cap pairs per node, never Σ|bucket|². */
+  private[graft] def seedGraph(b: DataFrame, kInt: Int): DataFrame = {
     val memb = b.select(col("vec_id"), col("v"),
         explode(array((0 until KgTables).map(t =>
           struct(lit(t).as("t"),
@@ -97,35 +64,38 @@ object Round11Queries extends QueryPack {
       .filter(col("src") =!= col("nb"))
       .select(col("src"), col("nb"), cosBp(col("v"), col("nv")).as("sim"))
       .distinct()
-    // the seed graph is read five times downstream (forward, reverse,
-    // and three compose/union branches) — without persist() the whole
-    // bucket-join + distinct + heap pipeline recomputes per branch
-    // (measured: minutes per pass at sf10). n·k narrow rows, so the
-    // cache is id-pair-sized at any corpus scale (the q93 pattern).
-    val seed = topK(seedCand).persist()
-    // one NN-descent round: undirected seed edges (sims already known —
-    // cosine is symmetric), composed once. Vectors attach to the two
-    // EDGE-LIST sides (2·n·k rows each) BEFORE the compose join, so the
-    // n·k² candidate fanout is born inside the join, scores in-map, and
-    // leaves as 24-byte triples — O(n·k·dim) vector bytes moved, vs
-    // O(n·k²·dim) if the fanout were rescored through id-joins
-    // (measured: the 2-minute vs 10+-minute difference per pass at
-    // sf10, and the difference between fitting and not fitting a
-    // single box at sf100).
-    val undS = seed.select(col("src"), col("nb"), col("sim"))
-      .union(seed.select(col("nb").as("src"), col("src").as("nb"), col("sim")))
-    // HUB CAP before composition: a node's undirected degree is k
-    // forward edges plus an UNBOUNDED number of reverse edges — on
-    // clone-heavy corpora (exact-dup training data) a vector's lowest-id
-    // clones collect reverse edges from every other clone, and the
-    // compose join is quadratic in hub degree (measured: ~10⁹ pairs
-    // through a handful of hubs at sf100). Composing from the top-
-    // [[KgUnd]] undirected edges per node (sim desc, id asc — the most
-    // useful neighbors anyway, NN-descent's reverse-sample ρ) restores
-    // the n·R² bound. ALL undirected edges still enter the final
-    // candidate set — their sims are already known, so they cost
-    // nothing to keep.
-    val undC = topK(undS.distinct(), KgUnd)
+    topK(seedCand, kInt)
+  }
+
+  /** One NN-descent round (Dong, Moses & Li 2011): the improved graph is
+    * the top-[[kInt]] of `und(g) ∪ compose(undc(g))` where `und` is the
+    * undirected edge set (forward ∪ reverse — sims already known, cosine
+    * is symmetric) and `compose` scores neighbors-of-neighbors through
+    * the top-[[undCap]] undirected edges per node.
+    *
+    * Scale shape (100 TB): vectors attach to the two undirected
+    * EDGE-LIST sides (2·n·k rows each) BEFORE the compose join, so the
+    * ≤ n·undCap² candidate fanout is born inside the join, scores
+    * in-map, and leaves as 24-byte (src, nb, sim) triples — O(n·k·dim)
+    * vector bytes moved per round, vs O(n·k²·dim) if the fanout were
+    * rescored through id-joins (measured: the 2-minute vs 10+-minute
+    * difference per pass at sf10, and the difference between fitting
+    * and not fitting a single box at sf100). The HUB CAP before
+    * composition matters because a node's undirected degree is k
+    * forward edges plus an UNBOUNDED number of reverse edges — on
+    * clone-heavy corpora a vector's lowest-id clones collect reverse
+    * edges from every other clone, and the compose join is quadratic in
+    * hub degree (measured: ~10⁹ pairs through a handful of hubs at
+    * sf100). Composing from the top-undCap undirected edges per node
+    * (sim desc, id asc — the most useful neighbors anyway, NN-descent's
+    * reverse-sample ρ) restores the n·R² bound. ALL undirected edges
+    * still enter the final candidate set — their sims are already
+    * known, so they cost nothing to keep. */
+  private[graft] def descentRound(g: DataFrame, b: DataFrame,
+                                  kInt: Int, undCap: Int): DataFrame = {
+    val undS = g.select(col("src"), col("nb"), col("sim"))
+      .union(g.select(col("nb").as("src"), col("src").as("nb"), col("sim")))
+    val undC = topK(undS.distinct(), undCap)
       .select(col("src"), col("nb"), col("sim"))
     val u1 = undC.select(col("src"), col("nb").as("mid"))
       .join(b.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
@@ -134,10 +104,160 @@ object Round11Queries extends QueryPack {
     val composeS = u1.join(u2, Seq("mid"))
       .filter(col("nb") =!= col("src"))
       .select(col("src"), col("nb"), cosBp(col("sv"), col("nv")).as("sim"))
-    topK(undS.union(composeS).distinct())
+    topK(undS.union(composeS).distinct(), kInt)
+  }
+
+  /** The full builder: LSH seed + `rounds` NN-descent rounds, internal
+    * neighbor width `kInt`, hub cap `undCap`; returns the final graph as
+    * `(src, rn, nb, sim)` with rn dense per src. Each round's graph is
+    * lineage-truncated with a lazy `localCheckpoint` (the functions/Graph
+    * CC pattern): the n·k narrow edge list materializes ONCE at first
+    * use and is read by the next round's five branches from block
+    * storage instead of recomputing the whole bucket-join pipeline per
+    * branch (measured: minutes per pass at sf10 without it), and the
+    * checkpoint also replaces round-11's leaked `seed.persist()` —
+    * blocks are released by the ContextCleaner when the plan is GC'd
+    * rather than pinned for the session (round-11 ADVICE). On a real
+    * cluster the per-round artifact would be a reliable checkpoint
+    * (executor loss recomputes locally here); the loop is
+    * driver-COORDINATED but never driver-MATERIALIZED — no row ever
+    * reaches the driver.
+    *
+    * `minUpdateFrac` > 0 adds early termination on update rate (Dong's
+    * δ): after each round, the fraction of changed (src, nb) edges is
+    * counted (one cheap job over two checkpointed n·k edge lists) and
+    * the loop stops when it falls below the threshold. Oracle-checked
+    * queries pass 0 (fixed round count — data-dependent round counts
+    * aren't SQL-replayable); the adaptive mode is spec-pinned. */
+  def knnGraphBuild(b: DataFrame, kInt: Int, undCap: Int, rounds: Int,
+                    minUpdateFrac: Double = 0.0): DataFrame =
+    knnGraphBuildCounted(b, kInt, undCap, rounds, minUpdateFrac)._1
+
+  /** [[knnGraphBuild]] plus the number of descent rounds actually
+    * executed — the early-termination spec's observable. */
+  def knnGraphBuildCounted(b: DataFrame, kInt: Int, undCap: Int, rounds: Int,
+                           minUpdateFrac: Double = 0.0): (DataFrame, Int) = {
+    var g = seedGraph(b, kInt)
+      .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val next = descentRound(g, b, kInt, undCap)
+        .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+      if (minUpdateFrac > 0) {
+        val total = next.count()
+        val changed = next.join(g, Seq("src", "nb"), "left_anti").count()
+        converged = changed.toDouble < minUpdateFrac * total.toDouble
+      }
+      g = next
+      r += 1
+    }
+    (topK(g, kInt), r)
+  }
+
+  /** q168: build the k-nearest-neighbor GRAPH of the whole corpus —
+    * every vector gets its top-[[KgK]] neighbors — with the NN-descent
+    * recipe (Dong, Moses & Li 2011, "Efficient K-Nearest Neighbor
+    * Graph Construction for Generic Similarity Measures", WWW):
+    * initialize each node's neighbor list cheaply from [[KgTables]]
+    * independent random-hyperplane LSH tables, then improve it by one
+    * round of scoring neighbors-of-neighbors, exploiting that a
+    * neighbor's neighbor is likely a neighbor. Everything is integer-bp
+    * sims with id tiebreaks and set-dedup, so DuckDB replays the exact
+    * algorithm and the driver's hash gate applies; the recall floor vs
+    * exact brute force is pinned in Round11Spec. */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    knnGraphBuild(b, KgK, KgUnd, rounds = 1)
       .select(col("src").as("vec_id"), col("rn"), col("nb").as("nb_id"),
         col("sim").as("sim_bp"))
       .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** q169: the kNN graph run to CONVERGENCE — [[KiRounds]] NN-descent
+    * rounds over a [[KiK]]-wide internal neighbor list (Dong et al.
+    * iterate with K larger than the serving k: the extra width is what
+    * carries second-order neighbors toward each node), emitting the
+    * top-[[KgK]] per node. Same linear scale shape as q168 — per-round
+    * cost is ≤ n·undCap² 24-byte candidate triples and O(n·k·dim)
+    * vector bytes, rounds fixed at [[KiRounds]] so the oracle replays
+    * round by round. Recall@5 ≥ 0.97 vs exact brute force is pinned in
+    * Round11Spec (vs 0.52 for the single round; measured 0.9736 at
+    * sf0.001, 0.8822 at sf0.1 — the K-width was the binding lever:
+    * K=10 plateaued at 0.86 over any extra-round/cap budget). */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    knnGraphBuild(b, KiK, KiUnd, rounds = KiRounds)
+      .filter(col("rn") <= KgK)
+      .select(col("src").as("vec_id"), col("rn"), col("nb").as("nb_id"),
+        col("sim").as("sim_bp"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** q170: the kNN graph CLOSED INTO the dedup loop — semantic near-dup
+    * clusters plus the survivor/split decision, the q68/q78/q130 shape
+    * on EMBEDDING-space edges instead of MinHash bands. Two sparsifiers
+    * stack before components, because either alone is degenerate:
+    *
+    *  - MUTUAL kNN: (a, b) is an edge only if b is in a's converged
+    *    top-5 AND a is in b's — the standard kNN-graph clustering
+    *    sparsifier. Alone it PERCOLATES on smooth corpora (measured:
+    *    one giant component swallowing the sf0.001 fixture, whose max
+    *    cosine is ~0.6 — "dedup" that keeps 1 of 500 distinct docs).
+    *  - FIXED-FRACTION redundancy cut (the SemDeDup economics, Abbas et
+    *    al. 2023: prune a fraction, not a threshold — an absolute
+    *    cosine bar is degenerate the other way on clone-free corpora):
+    *    keep only mutual edges with sim ≥ the global p90 of mutual-edge
+    *    sims, so exactly the most semantically redundant decile of
+    *    pairings clusters. The cut is one scalar percentile (Spark
+    *    `percentile` ≡ DuckDB `quantile_cont`, the q48/q61 pin,
+    *    floor-quantized to a long) broadcast back over the edge list.
+    *
+    * Components label the clusters (min-id representative), every
+    * corpus vector gets a row (singleton = its own cluster), survivor =
+    * the representative, and the q130 leakage rule rides along: the
+    * train/val/test split hashes the CLUSTER id, so semantic near-dups
+    * can never straddle a split boundary.
+    *
+    * Scale shape: the mutuality check is a self-join of the n·k edge
+    * list on swapped narrow id pairs; the percentile is a map-combined
+    * scalar agg over n·k rows; components are O(log n) pointer jumping
+    * on the pruned (≤ n·k/20)-edge graph (functions/Graph, the q68
+    * machinery); the final annotate joins the cluster map back on
+    * vec_id WITHOUT a broadcast — the map is n-row, and at corpus scale
+    * it must shuffle-join, not ship to every executor. */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    val g = knnGraphBuild(b, KiK, KiUnd, rounds = KiRounds)
+      .filter(col("rn") <= KgK).select(col("src"), col("nb"), col("sim"))
+    val mutual = g.as("x").join(g.as("y"),
+        col("x.src") === col("y.nb") && col("x.nb") === col("y.src"), "left_semi")
+      .filter(col("src") < col("nb"))
+    val thr = mutual.agg(
+      floor(expr("percentile(sim, 0.9D)")).cast("long").as("thr"))
+    val edges = mutual.crossJoin(broadcast(thr))
+      .filter(col("sim") >= col("thr"))
+      .select(col("src"), col("nb"))
+    val cc = graft.functions.Graph.connectedComponents(edges)
+      .select(col("id").as("vec_id"), col("label"))
+    b.select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("vec_id")))
+      .withColumn("kept", (col("cluster_id") === col("vec_id")).cast("int"))
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10000)
+      .select(col("vec_id"), col("cluster_id"), col("kept"),
+        when(col("bucket") < 8000, lit("train"))
+          .when(col("bucket") < 9000, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("vec_id"))
   }
 
   /** Bounded-heap top-k per src by (sim desc, nb asc). */
@@ -150,17 +270,49 @@ object Round11Queries extends QueryPack {
         col("e.nb").as("nb"), (-col("e.nsim")).as("sim"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q168_knn_graph" -> q168 _
+    "q168_knn_graph" -> q168 _,
+    "q169_knn_converged" -> q169 _,
+    "q170_semantic_clusters" -> q170 _
   )
 
-  override val oracle: Map[String, String] = {
+  /** The seed + per-round CTE chain, shared by both oracles: g0 is the
+    * LSH-seeded top-`kInt` graph, g{r} the graph after descent round r —
+    * the SQL replay of [[knnGraphBuild]] with the same caps/tiebreaks. */
+  private def graphSql(kInt: Int, undCap: Int, rounds: Int): String = {
     val membSql = (0 until KgTables).map(t =>
       s"""SELECT vec_id, $t AS t,
           ${VectorOps.lshBucketSql("embedding", KgBits, t * KgBits)} AS bk
           FROM b""").mkString("\n        UNION ALL ")
-    Map(
-      "q168_knn_graph" -> s"""
-      WITH b AS (SELECT vec_id, embedding FROM embeddings),
+    val roundSql = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""und$r AS MATERIALIZED (
+        SELECT src, nb, sim FROM g$p
+        UNION
+        SELECT nb AS src, src AS nb, sim FROM g$p),
+      undc$r AS (
+        SELECT src, nb
+        FROM (SELECT src, nb, row_number() OVER (PARTITION BY src
+                ORDER BY sim DESC, nb) AS rn
+              FROM und$r)
+        WHERE rn <= $undCap),
+      cand$r AS (
+        SELECT src, nb FROM und$r
+        UNION
+        SELECT u1.src, u2.nb
+        FROM undc$r u1 JOIN undc$r u2 ON u1.nb = u2.src
+        WHERE u2.nb <> u1.src),
+      g$r AS MATERIALIZED (
+        SELECT src, nb, sim
+        FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
+                ORDER BY sim DESC, nb) AS rn
+              FROM (SELECT c.src, c.nb,
+                           ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
+                    FROM cand$r c
+                    JOIN b x ON c.src = x.vec_id
+                    JOIN b y ON c.nb = y.vec_id))
+        WHERE rn <= $kInt)""" }.mkString(",\n      ")
+    s"""
+      WITH b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
       memb AS (
         $membSql),
       capped AS (
@@ -173,7 +325,7 @@ object Round11Queries extends QueryPack {
         SELECT DISTINCT m.vec_id AS src, c.nb
         FROM memb m JOIN capped c
           ON m.t = c.t AND m.bk = c.bk AND m.vec_id <> c.nb),
-      seed AS (
+      g0 AS MATERIALIZED (
         SELECT src, nb, sim
         FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
                 ORDER BY sim DESC, nb) AS rn
@@ -182,34 +334,64 @@ object Round11Queries extends QueryPack {
                     FROM seedcand sc
                     JOIN b x ON sc.src = x.vec_id
                     JOIN b y ON sc.nb = y.vec_id))
-        WHERE rn <= $KgK),
-      und AS (
-        SELECT src, nb, sim FROM seed
-        UNION
-        SELECT nb AS src, src AS nb, sim FROM seed),
-      undc AS (
-        SELECT src, nb
-        FROM (SELECT src, nb, row_number() OVER (PARTITION BY src
-                ORDER BY sim DESC, nb) AS rn
-              FROM und)
-        WHERE rn <= $KgUnd),
-      cand AS (
-        SELECT src, nb FROM und
-        UNION
-        SELECT u1.src, u2.nb
-        FROM undc u1 JOIN undc u2 ON u1.nb = u2.src
-        WHERE u2.nb <> u1.src),
-      scored AS (
-        SELECT c.src, c.nb,
-               ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
-        FROM cand c
-        JOIN b x ON c.src = x.vec_id
-        JOIN b y ON c.nb = y.vec_id)
+        WHERE rn <= $kInt),
+      $roundSql"""
+  }
+
+  override val oracle: Map[String, String] = Map(
+    "q168_knn_graph" -> s"""${graphSql(KgK, KgUnd, 1)}
       SELECT src AS vec_id, rn, nb AS nb_id, sim AS sim_bp
       FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
               ORDER BY sim DESC, nb) AS rn
-            FROM scored)
+            FROM g1)
       WHERE rn <= $KgK
-      ORDER BY vec_id, rn""")
-  }
+      ORDER BY vec_id, rn""",
+    "q169_knn_converged" -> s"""${graphSql(KiK, KiUnd, KiRounds)}
+      SELECT src AS vec_id, rn, nb AS nb_id, sim AS sim_bp
+      FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
+              ORDER BY sim DESC, nb) AS rn
+            FROM g$KiRounds)
+      WHERE rn <= $KgK
+      ORDER BY vec_id, rn""",
+    // The descent chain must stay OUTSIDE the RECURSIVE scope: DuckDB
+    // 1.0 silently duplicates rows in the unrolled g1..g3 CTEs when the
+    // whole WITH is RECURSIVE (measured: g3 7500 rows / 789 distinct vs
+    // a clean 7500/7500 without the keyword), so the non-recursive
+    // chain nests INSIDE the materialized edge CTE's body and only the
+    // reach CTE is recursive.
+    "q170_semantic_clusters" -> s"""
+      WITH RECURSIVE me AS MATERIALIZED (
+        ${graphSql(KiK, KiUnd, KiRounds)},
+        top5 AS (
+          SELECT src, nb, sim
+          FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
+                  ORDER BY sim DESC, nb) AS rn
+                FROM g$KiRounds)
+          WHERE rn <= $KgK),
+        m AS (
+          SELECT x.src AS a, x.nb AS b, x.sim
+          FROM top5 x JOIN top5 y ON y.src = x.nb AND y.nb = x.src
+          WHERE x.src < x.nb),
+        thr AS (SELECT CAST(FLOOR(quantile_cont(sim, 0.9)) AS BIGINT) AS thr FROM m)
+        SELECT a, b FROM m, thr WHERE m.sim >= thr.thr
+      ),
+      e AS (SELECT a AS u, b AS v FROM me UNION ALL SELECT b AS u, a AS v FROM me),
+      n AS (SELECT DISTINCT u AS id FROM e),
+      reach(id, r) AS (
+        SELECT id, id FROM n
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id
+      ),
+      cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      rep AS (SELECT v.vec_id, COALESCE(cl.cluster_id, v.vec_id) AS cluster_id
+              FROM embeddings v LEFT JOIN cl ON cl.id = v.vec_id),
+      bk AS (SELECT vec_id, cluster_id,
+                    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS INT) % 10000 AS bucket
+             FROM rep)
+      SELECT vec_id, cluster_id,
+             CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS kept,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM bk ORDER BY vec_id""")
 }

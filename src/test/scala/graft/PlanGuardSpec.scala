@@ -372,4 +372,34 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       s"day-partitioned fact scan must be dynamically pruned by the hot-day subquery:\n$plan")
   }
+
+  test("kNN-graph stages keep their scale shape (the q168/q169 internals the checkpoint hides)") {
+    // q168/q169 localCheckpoint per round, so the registered queries'
+    // golden skeletons stop at an RDD scan — pin the two internal stage
+    // plans directly instead (the round-11 measured sf100 lessons)
+    import org.apache.spark.sql.functions._
+    graft.GraftFunctions.ensure(spark)
+    val b = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val seedPlan = graft.queries.Round11Queries.seedGraph(b, 5)
+      .queryExecution.executedPlan.toString
+    // per-bucket cap must plan as WindowGroupLimit (map-side partial
+    // top-cap), the bucket join must not be a cartesian, and the pair
+    // ranking must be the bounded-heap collect_topk — not a full sort
+    assert(seedPlan.contains("WindowGroupLimit"),
+      s"seed bucket cap lost its WindowGroupLimit pushdown:\n$seedPlan")
+    assert(!seedPlan.contains("CartesianProduct"), "seed join went cartesian")
+    assert(seedPlan.contains("collect_top_k"), "seed ranking must be the bounded heap")
+    // seed pairs must be SCORED INSIDE the bucket join: cosine_sim sits
+    // above the join, and no second join on src/nb ids re-fetches
+    // vectors (the ~280 GB-at-sf100 pair-payload killer)
+    assert(seedPlan.toLowerCase.contains("cosinesimilarity"), "seed scoring left the bucket join")
+    val g = graft.queries.Round11Queries.seedGraph(b, 5)
+      .select(col("src"), col("nb"), col("sim"))
+    val roundPlan = graft.queries.Round11Queries.descentRound(g, b, 5, 10)
+      .queryExecution.executedPlan.toString
+    assert(roundPlan.contains("collect_top_k"), "descent ranking must be the bounded heap")
+    assert(!roundPlan.contains("CartesianProduct"), "compose join went cartesian")
+    assert(roundPlan.toLowerCase.contains("cosinesimilarity"), "compose scoring left the compose join")
+  }
 }
