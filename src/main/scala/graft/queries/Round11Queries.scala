@@ -260,6 +260,59 @@ object Round11Queries extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental kNN-graph maintenance — the graph analogue of the band
+    * index's `appendToIndex` and annidx3's `appendToAnnIndex`: fold a
+    * new vector DROP into an existing graph without a global rebuild.
+    *
+    *  1. SEED the drop: bucket the drop rows with the FROZEN global
+    *     plane pool (LSH buckets are deterministic functions of the
+    *     vector, so a drop bucketizes exactly as an initial build
+    *     would), join them against the capped bucket lists of the
+    *     grown corpus, and score inside the join — drop→corpus edges
+    *     plus their reverses (cosine is symmetric), so existing nodes
+    *     SEE the new arrivals.
+    *  2. One NN-descent round over old edges ∪ drop edges against the
+    *     grown corpus refines both sides.
+    *
+    * Per-drop work: one corpus bucket pass (the persisted bucket table
+    * at scale — the nearDupProbe economics) + O((n+|drop|)·k) descent,
+    * never a from-scratch O(n·tables·cap) re-seed. The improvement
+    * invariant is spec-pinned: an existing node's rank-r sim can only
+    * rise, because the round's candidate set contains every edge it
+    * already had (und ⊇ old forward edges) and sims are deterministic
+    * integer bp. Incremental recall tracks the from-scratch rebuild on
+    * the fixture (pinned in StreamingSpec alongside determinism). */
+  def appendToKnnGraph(g: DataFrame, bOld: DataFrame, drop: DataFrame,
+                       kInt: Int, undCap: Int): DataFrame = {
+    val bAll = bOld.unionByName(drop)
+    val membAll = bAll.select(col("vec_id"), col("v"),
+        explode(array((0 until KgTables).map(t =>
+          struct(lit(t).as("t"),
+            VectorOps.lshBucket(col("v"), KgBits, t * KgBits).as("bk"))): _*)).as("m"))
+      .select(col("vec_id"), col("v"), col("m.t").as("t"), col("m.bk").as("bk"))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("bk"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val capped = membAll.withColumn("br", row_number().over(wCap))
+      .filter(col("br") <= KgCap)
+      .select(col("t"), col("bk"), col("vec_id").as("nb"), col("v").as("nv"))
+    val membDrop = drop.select(col("vec_id"), col("v"),
+        explode(array((0 until KgTables).map(t =>
+          struct(lit(t).as("t"),
+            VectorOps.lshBucket(col("v"), KgBits, t * KgBits).as("bk"))): _*)).as("m"))
+      .select(col("vec_id").as("src"), col("v"), col("m.t").as("t"), col("m.bk").as("bk"))
+    val dropE = membDrop.join(capped, Seq("t", "bk"))
+      .filter(col("src") =!= col("nb"))
+      .select(col("src"), col("nb"), cosBp(col("v"), col("nv")).as("sim"))
+      .distinct()
+    val merged = g.select(col("src"), col("nb"), col("sim"))
+      .union(dropE)
+      .union(dropE.select(col("nb").as("src"), col("src").as("nb"), col("sim")))
+      .distinct()
+      .localCheckpoint(false)
+    descentRound(merged, bAll, kInt, undCap)
+  }
+
   /** Bounded-heap top-k per src by (sim desc, nb asc). */
   private def topK(cand: DataFrame, k: Int = KgK): DataFrame =
     cand.groupBy(col("src"))

@@ -811,4 +811,57 @@ class StreamingSpec extends SparkSpec {
         s"appended vector $q must be findable as its own nearest neighbor, got ${top1(q)}")
     }
   }
+
+  test("kNN-graph ingest loop: drop folds in, old lists only improve, recall tracks a rebuild") {
+    import graft.queries.Round11Queries
+    graft.GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val bOld = e.filter(col("vec_id") < 400)
+    val drop = e.filter(col("vec_id") >= 400)
+    val g0 = Round11Queries.knnGraphBuild(bOld, kInt = 15, undCap = 30, rounds = 3)
+      .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Int, Long, Long)]] =
+      df.select("src", "rn", "nb", "sim").collect()
+        .map(r => (r.getLong(0), (r.getAs[Number](1).intValue(), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val inc = Round11Queries.appendToKnnGraph(g0, bOld, drop, kInt = 15, undCap = 30)
+    val incL = lists(inc)
+    // 1) every node of the GROWN corpus has a list; drop nodes included
+    assert(incL.keySet == (0L until 500L).toSet,
+      s"grown graph must cover all 500 nodes, missing ${(0L until 500L).toSet -- incL.keySet}")
+    // 2) determinism: a second invocation lands bit-identical lists
+    assert(lists(Round11Queries.appendToKnnGraph(g0, bOld, drop, 15, 30)) == incL,
+      "incremental maintenance must be deterministic")
+    // 3) the improvement invariant: an existing node's rank-r sim can
+    //    only rise (the round's candidates contain every old edge)
+    val oldL = lists(Round11Queries.knnGraphBuild(bOld, 15, 30, 3))
+    for ((node, old) <- oldL; ((_, _, oldSim), i) <- old.zipWithIndex) {
+      val newSim = incL(node)(i)._3
+      assert(newSim >= oldSim,
+        s"node $node rank ${i + 1}: sim fell $oldSim -> $newSim after append")
+    }
+    // 4) recall@5 of the incremental graph tracks a from-scratch
+    //    converged rebuild on the grown corpus (both deterministic here;
+    //    the rebuild gets 3 fresh rounds vs the append's single one)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosBp(a: Array[Double], b: Array[Double]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 10000).toLong
+    val ids = vecs.keys.toSeq.sorted
+    val gt: Map[Long, Set[Long]] = ids.map { a =>
+      a -> ids.filter(_ != a)
+        .map(bid => (cosBp(vecs(a), vecs(bid)), bid))
+        .sortBy { case (sm, bid) => (-sm, bid) }.take(5).map(_._2).toSet
+    }.toMap
+    def recall(l: Map[Long, Seq[(Int, Long, Long)]]): Double =
+      ids.map(a => (l(a).take(5).map(_._2).toSet & gt(a)).size).sum / (5.0 * ids.size)
+    val rInc = recall(incL)
+    val rReb = recall(lists(Round11Queries.knnGraphBuild(e, 15, 30, 3)))
+    assert(rInc >= rReb - 0.05,
+      s"incremental recall $rInc fell more than 0.05 below rebuild $rReb")
+  }
 }
