@@ -78,7 +78,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the full line to a file: the driver's artifact keeps only
+    // a tail of stdout, which truncated BENCH_r06/r12's per-query map to
+    // ~57 visible queries (round-12 ADVICE) — the file is the durable copy
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // a read-only cwd must not fail the bench
     // compact summary LAST: the driver's artifact keeps only the final
     // ~2000 chars of output, which truncates the per-query map above
     // (BENCH_r06 parsed:null) — this self-contained metric line

@@ -239,6 +239,12 @@ object Round11Queries extends QueryPack {
     val mutual = g.as("x").join(g.as("y"),
         col("x.src") === col("y.nb") && col("x.nb") === col("y.src"), "left_semi")
       .filter(col("src") < col("nb"))
+    // exact percentile is safe ONLY because sims are integer bp in
+    // [-10000, 10000]: Spark's percentile agg keeps one counter per
+    // DISTINCT value, so its state is histogram-bounded at ≤ 20001
+    // entries regardless of corpus size (the q129 discipline) — a
+    // float-sim refactor would silently make this state corpus-sized
+    // and must switch to approx_percentile/t-digest
     val thr = mutual.agg(
       floor(expr("percentile(sim, 0.9D)")).cast("long").as("thr"))
     val edges = mutual.crossJoin(broadcast(thr))
