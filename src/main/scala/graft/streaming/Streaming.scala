@@ -748,4 +748,81 @@ object Streaming {
         sink(nearDupProbe(index, batch.toDF()))
       }
       .start()
+
+  // ---- the composed ingest loop (round 13) ------------------------------
+
+  /** An arriving corpus drop: a document and its embedding in ONE id
+    * space — the shape a real training-data ingest sees (text lands
+    * together with the vector its embedder produced). */
+  case class IngestDoc(doc_id: Long, text: String, label: Int, vec: Seq[Double])
+
+  /** The serving artifacts one ingest loop owns and mutates batch to
+    * batch: the MinHash band index (the near-dup gate), the on-disk
+    * annidx3 layout (vector serving), the kNN graph (semantic dedup /
+    * graph-descent serving), and the grown vector corpus the graph
+    * descends against. `cents`/`cb` are the FROZEN IVFPQ model
+    * artifacts every append must encode with (the appendToAnnIndex
+    * contract). On a cluster each of these is a persisted table the
+    * micro-batch transactionally replaces; here the in-memory ones are
+    * lineage-truncated DataFrames and the index path is real parquet. */
+  final class IngestState(
+      var index: NearDupIndex,
+      val annIdxPath: String,
+      var graph: DataFrame,
+      var corpus: DataFrame,
+      val cents: IndexedSeq[(Long, IndexedSeq[Double])],
+      val cb: IndexedSeq[IndexedSeq[Double]])
+
+  /** The three maintenance loops COMPOSED into one streaming ingest —
+    * the end-to-end exemplar their isolated specs promise: each
+    * arriving drop is (1) gated against the band index
+    * ([[nearDupProbe]] — O(|drop|) bucket probe, never a corpus
+    * rescan), and only the survivors (2) fold into the band index
+    * ([[appendToIndex]]), (3) encode into the annidx3 layout with the
+    * frozen model ([[graft.queries.Round10Queries.appendToAnnIndex]] —
+    * append-only part files), and (4) fold into the kNN graph
+    * ([[graft.queries.Round11Queries.appendToKnnGraph]] — frozen-plane
+    * bucket seed + one descent round). Every `compactEvery`-th batch
+    * (5) folds the accumulated small-file tail back to ~`compactTarget`
+    * bytes ([[graft.queries.Round10Queries.compactAnnIndex]]), which
+    * cannot change any probe result (index rows are set-semantics).
+    *
+    * One pass per drop, shared ids throughout: a duplicate rejected by
+    * the gate reaches NO downstream artifact, and a survivor reaches
+    * ALL of them — the invariant StreamingSpec pins end to end. The
+    * batch is eagerly checkpointed first: every artifact the loop
+    * mutates outlives the micro-batch, so none of them may hold lineage
+    * into the batch source. */
+  def ingestLoop(drops: DataFrame, st: IngestState, bandCap: Int,
+                 kInt: Int, undCap: Int,
+                 compactEvery: Int, compactTarget: Long,
+                 onBatch: (Long, DataFrame) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    drops.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batch = b.toDF().localCheckpoint(true)
+        val verdicts = nearDupProbe(st.index, batch.select(col("doc_id"), col("text")))
+          .localCheckpoint(true)
+        val kept = batch.join(
+            verdicts.filter(col("kept") === 1).select(col("doc_id")), Seq("doc_id"))
+          .localCheckpoint(true)
+        if (!kept.isEmpty) {
+          st.index = appendToIndex(st.index, kept.select(col("doc_id"), col("text")), bandCap)
+          val newVecs = kept.select(col("doc_id").as("vec_id"), col("label"),
+            col("vec").as("v"))
+          graft.queries.Round10Queries.appendToAnnIndex(
+            newVecs, st.annIdxPath, st.cents, st.cb)
+          val bNew = newVecs.select(col("vec_id"), col("v"))
+          st.graph = graft.queries.Round11Queries
+            .appendToKnnGraph(st.graph, st.corpus, bNew, kInt, undCap)
+            .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+          st.corpus = st.corpus.unionByName(bNew).localCheckpoint(false)
+        }
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.queries.Round10Queries.compactAnnIndex(
+            batch.sparkSession, st.annIdxPath, compactTarget)
+        onBatch(id, verdicts)
+      }
+      .start()
 }

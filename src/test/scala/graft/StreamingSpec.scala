@@ -864,4 +864,96 @@ class StreamingSpec extends SparkSpec {
     assert(rInc >= rReb - 0.05,
       s"incremental recall $rInc fell more than 0.05 below rebuild $rReb")
   }
+
+  test("composed ingest loop: gate, band index, ANN index, kNN graph and compaction share one pass") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.queries.{LlmQueries, Round10Queries, Round11Queries}
+    graft.GraftFunctions.ensure(spark)
+    // base corpus 0..399: fixture text + the embedding sharing its id
+    val joined = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+      .join(Tables.embeddings(spark, sf("sf0.001"))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("v")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("label"), col("v"))
+    val base = joined.filter(col("doc_id") < 400).localCheckpoint(true)
+    val baseVecs = base.select(col("doc_id").as("vec_id"), col("v"))
+    val cents = LlmQueries.ivfCentroids(baseVecs)
+    val cb = LlmQueries.pqCodebook(baseVecs)
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_ingest_e2e").toString + "/annidx"
+    Round10Queries.annIndexRows(
+        base.select(col("doc_id").as("vec_id"), col("label"), col("v")), cents, cb)
+      .repartition(6).write.parquet(idxPath)
+    val st = new Streaming.IngestState(
+      Streaming.buildNearDupIndex(base.select("doc_id", "text"), 64),
+      idxPath,
+      Round11Queries.knnGraphBuild(baseVecs, 15, 30, 3)
+        .select(col("src"), col("nb"), col("sim")).localCheckpoint(false),
+      baseVecs.localCheckpoint(true),
+      cents, cb)
+    // drops: d1 = a verbatim dup of base doc 5 (id 900) + fresh doc 450
+    // (novel text, the held-out embedding); d2 = a REPEAT of 450's text
+    // (id 901 — must be rejected against the index AS APPENDED by d1,
+    // the composition proof) + fresh doc 470
+    def vecOf(id: Long): Seq[Double] =
+      joined.filter(col("doc_id") === id).select("v").collect().head.getSeq[Double](0)
+    val text5 = base.filter(col("doc_id") === 5).select("text").collect().head.getString(0)
+    val fresh450 = "entirely new survivor document about deterministic ingest loops today"
+    val fresh470 = "another genuinely novel arrival covering compaction economics in detail"
+    val d1 = Seq(Streaming.IngestDoc(900, text5, 1, vecOf(5)),
+                 Streaming.IngestDoc(450, fresh450, 2, vecOf(450)))
+    val d2 = Seq(Streaming.IngestDoc(901, fresh450, 3, vecOf(450)),
+                 Streaming.IngestDoc(470, fresh470, 0, vecOf(470)))
+    val mem = MemoryStream[Streaming.IngestDoc]
+    val verdicts = scala.collection.mutable.Map[Long, Map[Long, Int]]()
+    val q = Streaming.ingestLoop(mem.toDF(), st, bandCap = 64, kInt = 15,
+      undCap = 30, compactEvery = 2, compactTarget = 64L << 20,
+      (id, v) => verdicts.synchronized {
+        verdicts(id) = v.select("doc_id", "kept").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      })
+    mem.addData(d1: _*); q.processAllAvailable()
+    mem.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    // 1) gate verdicts: dup rejected per drop; 901 rejected against the
+    //    APPENDED survivor from drop 1, not the base corpus
+    assert(verdicts(0L) == Map(900L -> 0, 450L -> 1), s"drop1: ${verdicts.get(0L)}")
+    assert(verdicts(1L) == Map(901L -> 0, 470L -> 1), s"drop2: ${verdicts.get(1L)}")
+    val surviving = (0L until 400L).toSet + 450L + 470L
+    // 2) ANN index: exactly the survivors, findable via the probe
+    val idxIds = spark.read.parquet(idxPath).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idxIds == surviving, "ANN index must hold base + survivors, nothing else")
+    val probeQs = Seq((450L, vecOf(450)), (470L, vecOf(470)), (100L, vecOf(100)))
+      .toDF("q_id", "qv")
+    val top1 = Streaming.annProbe(spark.read.parquet(idxPath),
+        st.corpus.select(col("vec_id"), col("v")), probeQs,
+        shortlist = 32, k = 5, excludeSelf = false)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for (qid <- Seq(450L, 470L, 100L))
+      assert(top1(qid)._1 == qid && top1(qid)._2 >= 9999L,
+        s"survivor $qid must be its own nearest neighbor, got ${top1(qid)}")
+    // 3) kNN graph: covers exactly the survivors (dups never entered)
+    val graphIds = st.graph.select("src").distinct().collect().map(_.getLong(0)).toSet
+    assert(graphIds == surviving, "graph must cover base + survivors, nothing else")
+    // 4) in-loop compaction (ran after drop 2) collapsed the manifest to
+    //    one file without changing the row set, and is idempotent
+    assert(spark.read.parquet(idxPath).inputFiles.length == 1,
+      "periodic compaction must fold the ingest tail into one file")
+    assert(Round10Queries.compactAnnIndex(spark, idxPath, 64L << 20) == 0)
+    // 5) byte-identity: the compacted incremental index serves exactly
+    //    like a from-scratch build over base + survivors
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ingest_reb").toString + "/idx"
+    Round10Queries.annIndexRows(st.corpus
+        .join(Seq((450L, 2), (470L, 0)).toDF("vec_id", "lb"), Seq("vec_id"), "left")
+        .join(base.select(col("doc_id").as("vec_id"), col("label").as("bl")), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("lb"), col("bl")).cast("int").as("label"), col("v")),
+      cents, cb).write.parquet(rebuilt)
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rows(idxPath) == rows(rebuilt),
+      "incremental + compacted index must equal a from-scratch rebuild row set")
+  }
 }
