@@ -69,9 +69,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_PASSES=1 for single-pass probes at very large sf (the
+    // sf100 record), where a second pass doubles an hour-long run for
+    // little extra signal; the default stays min-of-two
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val results = names.map { name =>
-      val (a, b) = (timeOnce(name), timeOnce(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = (1 to passes).map(_ => timeOnce(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
