@@ -129,6 +129,20 @@ object GraftFunctions {
             .toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "collect_topk expects (expr, int literal k, boolean literal reverse)")
+      }): Expression),
+    // collect_topk over DISTINCT values — the dedup folded into the
+    // bounded buffer so a duplicated fanout is never exchanged (see
+    // CollectTopKDistinct's scaladoc for the sf100 ENOSPC story)
+    (new FunctionIdentifier("collect_topk_distinct"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopKDistinct].getName,
+        "collect_topk_distinct"),
+      (children: Seq[Expression]) => (children match {
+        case Seq(c, Literal(k: Int, IntegerType), Literal(rev: Boolean, BooleanType)) =>
+          org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopKDistinct(c, k, rev)
+            .toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "collect_topk_distinct expects (expr, int literal k, boolean literal reverse)")
       }): Expression)
   )
 

@@ -71,12 +71,11 @@ object Round11Queries extends QueryPack {
     val capped = cappedBuckets(memb)
     // pairs leave the join as (src, nb, sim) — 24 narrow bytes; the
     // same (src, nb) from two tables carries the same sim, so the
-    // cross-table dedup is a distinct over narrow rows
+    // cross-table dedup folds into topK's distinct heap
     val seedCand = memb.select(col("vec_id").as("src"), col("v"), col("t"), col("bk"))
       .join(capped, Seq("t", "bk"))
       .filter(col("src") =!= col("nb"))
       .select(col("src"), col("nb"), cosBp(col("v"), col("nv")).as("sim"))
-      .distinct()
     topK(seedCand, kInt)
   }
 
@@ -108,7 +107,7 @@ object Round11Queries extends QueryPack {
                                   kInt: Int, undCap: Int): DataFrame = {
     val undS = g.select(col("src"), col("nb"), col("sim"))
       .union(g.select(col("nb").as("src"), col("src").as("nb"), col("sim")))
-    val undC = topK(undS.distinct(), undCap)
+    val undC = topK(undS, undCap)
       .select(col("src"), col("nb"), col("sim"))
     val u1 = undC.select(col("src"), col("nb").as("mid"))
       .join(b.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
@@ -117,7 +116,7 @@ object Round11Queries extends QueryPack {
     val composeS = u1.join(u2, Seq("mid"))
       .filter(col("nb") =!= col("src"))
       .select(col("src"), col("nb"), cosBp(col("sv"), col("nv")).as("sim"))
-    topK(undS.union(composeS).distinct(), kInt)
+    topK(undS.union(composeS), kInt)
   }
 
   /** The full builder: LSH seed + `rounds` NN-descent rounds, internal
@@ -310,11 +309,9 @@ object Round11Queries extends QueryPack {
     val dropE = membDrop.join(capped, Seq("t", "bk"))
       .filter(col("src") =!= col("nb"))
       .select(col("src"), col("nb"), cosBp(col("v"), col("nv")).as("sim"))
-      .distinct()
     val merged = g.select(col("src"), col("nb"), col("sim"))
       .union(dropE)
       .union(dropE.select(col("nb").as("src"), col("src").as("nb"), col("sim")))
-      .distinct()
       .localCheckpoint(false)
     descentRound(merged, bAll, kInt, undCap)
   }
@@ -358,7 +355,7 @@ object Round11Queries extends QueryPack {
     * candidate fanout. */
   private def topQ(cand: DataFrame, k: Int): DataFrame =
     cand.groupBy(col("q_id"))
-      .agg(call_function("collect_topk",
+      .agg(call_function("collect_topk_distinct",
         struct((-col("sim")).as("nsim"), col("vec_id")), lit(k), lit(true)).as("t"))
       .select(col("q_id"), posexplode(col("t")).as(Seq("p", "e")))
       .select(col("q_id"), (col("p") + 1).as("rn"),
@@ -399,7 +396,7 @@ object Round11Queries extends QueryPack {
       .select(col("vec_id").as("q_id"), col("t"), col("bk"))
     val entry = qMemb.join(buckets, Seq("t", "bk"))
       .filter(col("nb") =!= col("q_id"))
-      .select(col("q_id"), col("nb").as("vec_id")).distinct()
+      .select(col("q_id"), col("nb").as("vec_id"))
     def score(cand: DataFrame): DataFrame =
       b.join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
@@ -410,13 +407,138 @@ object Round11Queries extends QueryPack {
       val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
         .join(g, Seq("src"))
         .filter(col("nb") =!= col("q_id"))
-        .select(col("q_id"), col("nb").as("vec_id")).distinct()
+        .select(col("q_id"), col("nb").as("vec_id"))
       // rescoring a frontier node yields the identical row, so the
-      // union dedups on plain distinct — no visited-set state needed
-      frontier = topQ(frontier.unionByName(score(expand)).distinct(), GdBeam)
+      // dedup heap absorbs it — no visited-set state needed
+      frontier = topQ(frontier.unionByName(score(expand)), GdBeam)
         .select(col("q_id"), col("vec_id"), col("sim"))
     }
     topQ(frontier, GdK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // q173: hierarchical graph serving (HNSW upper layers) ----------------
+
+  private val HnRatio = 4  // per-level promote ratio: P[level >= l] = 4^-l
+  private val HnL = 8      // fixed layer count (production sizes ~log_4 n;
+                           //   8 covers n <= ~4^8·K — top layer ~30 nodes
+                           //   at 2M vectors, and EMPTY high layers are
+                           //   harmless no-ops at small fixtures)
+  private val HnBeam = 8   // upper-layer beam width
+  private val HnHops = 2   // expansion hops per upper layer
+
+  /** 32-bit pseudo-uniform from the vector id (md5 prefix) — the
+    * deterministic stand-in for HNSW's random level draw, so the layer
+    * assignment is a pure function of the id and DuckDB, the engine,
+    * and any future ingest all place a vector on the same levels. */
+  private def lvlHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** [[HnRatio]]^l — the level-l promotion modulus. */
+  private def lvlMod(l: Int): Long = Seq.fill(l)(HnRatio.toLong).product
+
+  /** Node level: the largest l in [0, HnL] with hash % 4^l == 0 —
+    * levels are NESTED by construction (level >= l implies level >=
+    * l-1), the skip-list/HNSW geometry. */
+  private def maxLvl(id: Column): Column = {
+    val h = lvlHash(id)
+    (1 to HnL).foldLeft(lit(0)) { (acc, l) =>
+      when(h % lit(lvlMod(l)) === 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** The hierarchical entry artifact, written once per fixture beside
+    * [[knnGraphIndex]]: for each level l in 1..[[HnL]], the q168-recipe
+    * kNN graph (LSH seed + one NN-descent round, width [[KgK]]) among
+    * the nodes promoted to that level. Geometric layer populations mean
+    * the whole hierarchy costs a CONSTANT FACTOR over the L0 build
+    * (Σ 4^-l ≈ 1/3) and the artifact is id-narrow like the base graph.
+    * Layers partition the parquet by `lvl`, so a serve-time hop reads
+    * exactly one level's files. */
+  private[graft] def hnswIndex(s: SparkSession, d: String): String =
+    Round8Queries.ensureScratch(s, "hnsw", d) { base =>
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      (1 to HnL).map { l =>
+        knnGraphBuild(b.filter(lvlHash(col("vec_id")) % lit(lvlMod(l)) === 0),
+            KgK, KgUnd, rounds = 1)
+          .select(lit(l).as("lvl"), col("src"), col("nb"))
+      }.reduce(_ unionByName _)
+        .repartition(4)
+        .write.partitionBy("lvl").parquet(s"$base/layers")
+    }
+
+  /** q173: hierarchical graph-descent ANN — q171 with the LSH bucket
+    * entry replaced by HNSW-style upper layers (Malkov & Yashunin 2018,
+    * now the full idea rather than layer 0 alone). The motivation is a
+    * measured SCALE FLAW in q171's entry: the frozen LSH tables have
+    * 2^[[KgBits]] = 16 buckets capped at [[KgCap]] rows, so the entry
+    * probe samples 64 of n/16 bucket-mates — entry coverage DILUTES
+    * linearly in n and the fixed 3-hop L0 budget can't recover the
+    * lost ground at corpus scale. The hierarchy is scale-free: each
+    * level thins the corpus by [[HnRatio]], the search starts at the
+    * single globally-best-leveled node and greedily descends —
+    * [[HnHops]] beam-[[HnBeam]] hops per level, then the q171 L0 beam
+    * search — so per-query work is O(levels·beam·K) INDEPENDENT of
+    * corpus size, and the entry the L0 phase receives is already in
+    * the query's neighborhood at every n.
+    *
+    * Determinism discipline: the level draw is an md5 hash of the id,
+    * hop counts and beams are fixed literals, sims are integer bp with
+    * id tiebreaks — DuckDB replays the exact search, hash gate applies.
+    * The query's own row is deliberately KEPT in the frontier while
+    * descending (it is the best possible navigation anchor when the
+    * query is a corpus member — its L0 edges are the answer) and
+    * excluded only at the final emit; q171 excludes it from entry
+    * candidates instead, which costs nothing there because the LSH
+    * probe supplies hundreds of alternatives, but here would discard
+    * the single seeded entry row. */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val idx0 = knnGraphIndex(s, d)
+    val idxH = hnswIndex(s, d)
+    val g0 = s.read.parquet(s"$idx0/graph").select(col("src"), col("nb"))
+    val layers = s.read.parquet(s"$idxH/layers")
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    val q = b.filter(col("vec_id") < GdQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // the global entry point: the (level desc, md5 asc, id asc) minimum
+    // — ONE scalar row from a map-combined struct-min, never a sort
+    val entry = b.select(min(struct((-maxLvl(col("vec_id"))).as("nl"),
+        md5(col("vec_id").cast("string")).as("m"), col("vec_id").as("vid"))).as("e"))
+      .select(col("e.vid").as("vec_id"))
+    def score(cand: DataFrame): DataFrame =
+      b.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("sim"))
+    // every round references the frontier TWICE (expansion + union), so
+    // without lineage truncation the analyzer tree doubles per round —
+    // 2^19 nodes over the 16+3 hops, minutes of driver-side analysis
+    // before a single task runs (measured). The lazy per-round
+    // localCheckpoint keeps the plan constant-size: each hop is its own
+    // small job over the ≤ |Q|·beam checkpointed frontier rows — which
+    // is also exactly how a serving tier executes a hop loop.
+    var frontier = topQ(score(q.select(col("q_id")).crossJoin(broadcast(entry))), HnBeam)
+      .select(col("q_id"), col("vec_id"), col("sim")).localCheckpoint(false)
+    for (l <- HnL to 1 by -1; _ <- 1 to HnHops) {
+      // partition pruning: each hop reads exactly level l's files
+      val gl = layers.filter(col("lvl") === l).select(col("src"), col("nb"))
+      val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
+        .join(gl, Seq("src"))
+        .select(col("q_id"), col("nb").as("vec_id"))
+      frontier = topQ(frontier.unionByName(score(expand)), HnBeam)
+        .select(col("q_id"), col("vec_id"), col("sim")).localCheckpoint(false)
+    }
+    for (_ <- 1 to GdHops) {
+      val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
+        .join(g0, Seq("src"))
+        .select(col("q_id"), col("nb").as("vec_id"))
+      frontier = topQ(frontier.unionByName(score(expand)), GdBeam)
+        .select(col("q_id"), col("vec_id"), col("sim")).localCheckpoint(false)
+    }
+    topQ(frontier.filter(col("vec_id") =!= col("q_id")), GdK)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
       .orderBy(col("q_id"), col("rn"))
   }
@@ -454,10 +576,13 @@ object Round11Queries extends QueryPack {
       lit(if (complete) 1 else 0).cast("int").as("full_coverage"))
   }
 
-  /** Bounded-heap top-k per src by (sim desc, nb asc). */
+  /** Bounded top-k DISTINCT per src by (sim desc, nb asc) — the
+    * dedup-folding aggregate, so a duplicated candidate fanout is
+    * never exchanged (one partial-agg shuffle replaces the old
+    * `.distinct()` + heap pair; see CollectTopKDistinct). */
   private def topK(cand: DataFrame, k: Int = KgK): DataFrame =
     cand.groupBy(col("src"))
-      .agg(call_function("collect_topk",
+      .agg(call_function("collect_topk_distinct",
         struct((-col("sim")).as("nsim"), col("nb")), lit(k), lit(true)).as("t"))
       .select(col("src"), posexplode(col("t")).as(Seq("p", "e")))
       .select(col("src"), (col("p") + 1).as("rn"),
@@ -468,71 +593,82 @@ object Round11Queries extends QueryPack {
     "q169_knn_converged" -> q169 _,
     "q170_semantic_clusters" -> q170 _,
     "q171_graph_ann" -> q171 _,
-    "q172_adaptive_knn" -> q172 _
+    "q172_adaptive_knn" -> q172 _,
+    "q173_hnsw_ann" -> q173 _
   )
 
-  /** The seed + per-round CTE chain, shared by both oracles: g0 is the
-    * LSH-seeded top-`kInt` graph, g{r} the graph after descent round r —
-    * the SQL replay of [[knnGraphBuild]] with the same caps/tiebreaks. */
-  private def graphSql(kInt: Int, undCap: Int, rounds: Int): String = {
+  /** The seed + per-round CTE list (no WITH), shared by every graph
+    * oracle: {p}g0 is the LSH-seeded top-`kInt` graph, {p}g{r} the
+    * graph after descent round r — the SQL replay of [[knnGraphBuild]]
+    * with the same caps/tiebreaks. `p` prefixes every CTE name so
+    * several chains coexist in one statement (q173 builds one per HNSW
+    * layer); `w` restricts the base table (" WHERE ...", the layer
+    * membership predicate). */
+  private def graphChain(kInt: Int, undCap: Int, rounds: Int,
+                         p: String = "", w: String = ""): String = {
     val membSql = (0 until KgTables).map(t =>
       s"""SELECT vec_id, $t AS t,
           ${VectorOps.lshBucketSql("embedding", KgBits, t * KgBits)} AS bk
-          FROM b""").mkString("\n        UNION ALL ")
+          FROM ${p}b""").mkString("\n        UNION ALL ")
     val roundSql = (1 to rounds).map { r =>
-      val p = r - 1
-      s"""und$r AS MATERIALIZED (
-        SELECT src, nb, sim FROM g$p
+      val q = r - 1
+      s"""${p}und$r AS MATERIALIZED (
+        SELECT src, nb, sim FROM ${p}g$q
         UNION
-        SELECT nb AS src, src AS nb, sim FROM g$p),
-      undc$r AS (
+        SELECT nb AS src, src AS nb, sim FROM ${p}g$q),
+      ${p}undc$r AS (
         SELECT src, nb
         FROM (SELECT src, nb, row_number() OVER (PARTITION BY src
                 ORDER BY sim DESC, nb) AS rn
-              FROM und$r)
+              FROM ${p}und$r)
         WHERE rn <= $undCap),
-      cand$r AS (
-        SELECT src, nb FROM und$r
+      ${p}cand$r AS (
+        SELECT src, nb FROM ${p}und$r
         UNION
         SELECT u1.src, u2.nb
-        FROM undc$r u1 JOIN undc$r u2 ON u1.nb = u2.src
+        FROM ${p}undc$r u1 JOIN ${p}undc$r u2 ON u1.nb = u2.src
         WHERE u2.nb <> u1.src),
-      g$r AS MATERIALIZED (
+      ${p}g$r AS MATERIALIZED (
         SELECT src, nb, sim
         FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
                 ORDER BY sim DESC, nb) AS rn
               FROM (SELECT c.src, c.nb,
                            ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
-                    FROM cand$r c
-                    JOIN b x ON c.src = x.vec_id
-                    JOIN b y ON c.nb = y.vec_id))
+                    FROM ${p}cand$r c
+                    JOIN ${p}b x ON c.src = x.vec_id
+                    JOIN ${p}b y ON c.nb = y.vec_id))
         WHERE rn <= $kInt)""" }.mkString(",\n      ")
-    s"""
-      WITH b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-      memb AS (
+    s"""${p}b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings$w),
+      ${p}memb AS (
         $membSql),
-      capped AS (
+      ${p}capped AS (
         SELECT t, bk, vec_id AS nb
         FROM (SELECT *, row_number() OVER (PARTITION BY t, bk
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS br
-              FROM memb)
+              FROM ${p}memb)
         WHERE br <= $KgCap),
-      seedcand AS (
+      ${p}seedcand AS (
         SELECT DISTINCT m.vec_id AS src, c.nb
-        FROM memb m JOIN capped c
+        FROM ${p}memb m JOIN ${p}capped c
           ON m.t = c.t AND m.bk = c.bk AND m.vec_id <> c.nb),
-      g0 AS MATERIALIZED (
+      ${p}g0 AS MATERIALIZED (
         SELECT src, nb, sim
         FROM (SELECT src, nb, sim, row_number() OVER (PARTITION BY src
                 ORDER BY sim DESC, nb) AS rn
               FROM (SELECT sc.src, sc.nb,
                            ${VectorOps.cosineSql("x.embedding", "y.embedding")} AS sim
-                    FROM seedcand sc
-                    JOIN b x ON sc.src = x.vec_id
-                    JOIN b y ON sc.nb = y.vec_id))
+                    FROM ${p}seedcand sc
+                    JOIN ${p}b x ON sc.src = x.vec_id
+                    JOIN ${p}b y ON sc.nb = y.vec_id))
         WHERE rn <= $kInt),
       $roundSql"""
   }
+
+  /** [[graphChain]] with the leading WITH — the single-chain form the
+    * q168–q172 oracles embed. */
+  private def graphSql(kInt: Int, undCap: Int, rounds: Int): String =
+    s"""
+      WITH ${graphChain(kInt, undCap, rounds)}"""
 
   override val oracle: Map[String, String] = Map(
     "q168_knn_graph" -> s"""${graphSql(KgK, KgUnd, 1)}
@@ -645,5 +781,78 @@ object Round11Queries extends QueryPack {
     "q172_adaptive_knn" -> s"""
       SELECT CAST($AdRounds AS INT) AS rounds_budget,
              CAST(1 AS INT) AS converged_early,
-             CAST(1 AS INT) AS full_coverage""")
+             CAST(1 AS INT) AS full_coverage""",
+    // the hierarchical search replayed step by step: one graphChain per
+    // HNSW layer (l{l}g1 = the layer's q168-recipe graph), hf{i} the
+    // frontier after upper-layer step i, f{h} the L0 beam after hop h —
+    // identical level hash, entry order, and (sim desc, vec_id) cuts,
+    // so the hash gate covers the whole descent
+    "q173_hnsw_ann" -> {
+      val hashSql = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+      val layerChains = (1 to HnL).map(l =>
+        graphChain(KgK, KgUnd, 1, p = s"l$l",
+          w = s" WHERE $hashSql % ${lvlMod(l)} = 0")).mkString(",\n      ")
+      val lvlCase = (HnL to 1 by -1).map(l =>
+        s"WHEN $hashSql % ${lvlMod(l)} = 0 THEN $l").mkString(" ")
+      def scoreSql(i: Int): String =
+        s"""hs$i AS (
+          SELECT e.q_id, e.vec_id,
+                 ${VectorOps.cosineSql("q.embedding", "c.embedding")} AS sim
+          FROM he$i e JOIN b q ON q.vec_id = e.q_id
+                      JOIN b c ON c.vec_id = e.vec_id)"""
+      val upperSql = (1 to HnL * HnHops).map { i =>
+        val l = HnL - (i - 1) / HnHops
+        s"""he$i AS (
+          SELECT DISTINCT f.q_id, g.nb AS vec_id
+          FROM hf${i - 1} f JOIN l${l}g1 g ON g.src = f.vec_id),
+        ${scoreSql(i)},
+        hf$i AS MATERIALIZED (
+          SELECT q_id, vec_id, sim
+          FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id) AS rn
+                FROM (SELECT q_id, vec_id, sim FROM hf${i - 1}
+                      UNION
+                      SELECT q_id, vec_id, sim FROM hs$i))
+          WHERE rn <= $HnBeam)""" }.mkString(",\n      ")
+      val hopSql = (1 to GdHops).map { h =>
+        val i = HnL * HnHops + h
+        val prev = if (h == 1) s"hf${HnL * HnHops}" else s"hf${i - 1}"
+        s"""he$i AS (
+          SELECT DISTINCT f.q_id, g.nb AS vec_id
+          FROM $prev f JOIN g$KiRounds g ON g.src = f.vec_id),
+        ${scoreSql(i)},
+        hf$i AS MATERIALIZED (
+          SELECT q_id, vec_id, sim
+          FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id) AS rn
+                FROM (SELECT q_id, vec_id, sim FROM $prev
+                      UNION
+                      SELECT q_id, vec_id, sim FROM hs$i))
+          WHERE rn <= $GdBeam)""" }.mkString(",\n      ")
+      s"""${graphSql(KiK, KiUnd, KiRounds)},
+      $layerChains,
+      qt AS (SELECT vec_id AS q_id FROM b WHERE vec_id < $GdQ),
+      entry AS (
+        SELECT vec_id
+        FROM (SELECT vec_id, CASE $lvlCase ELSE 0 END AS maxlvl FROM b)
+        ORDER BY maxlvl DESC, md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 1),
+      he0 AS (SELECT q.q_id, e.vec_id FROM qt q CROSS JOIN entry e),
+      ${scoreSql(0)},
+      hf0 AS MATERIALIZED (
+        SELECT q_id, vec_id, sim
+        FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id) AS rn
+              FROM hs0)
+        WHERE rn <= $HnBeam),
+      $upperSql,
+      $hopSql
+      SELECT q_id, rn, vec_id, sim AS sim_q
+      FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+              ORDER BY sim DESC, vec_id) AS rn
+            FROM hf${HnL * HnHops + GdHops}
+            WHERE vec_id <> q_id)
+      WHERE rn <= $GdK
+      ORDER BY q_id, rn"""
+    })
 }

@@ -259,6 +259,33 @@ class ExpressionSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("collect_topk_distinct equals distinct-then-collect_topk, both orientations") {
+    GraftFunctions.ensure(spark)
+    // duplicated scalar input: dups must occupy ONE slot, not k
+    val r = spark.sql(
+      "SELECT collect_topk_distinct(x, 3, false) AS lg, " +
+      "collect_topk_distinct(x, 3, true) AS sm " +
+      "FROM VALUES (9),(9),(9),(5),(1),(3),(3),(7) AS v(x)").head()
+    assert(r.getSeq[Int](0) == Seq(9, 7, 5))
+    assert(r.getSeq[Int](1) == Seq(1, 3, 5))
+    // struct input with duplicates: equals .distinct() + collect_topk on
+    // real data — the exact substitution the kNN family's topK made
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("nb"),
+        col("l_quantity").cast("long").as("sim"))
+    val dup = li.union(li).union(li.limit(500))
+    def lists(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r0 => r0.getLong(0) -> r0.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1)))).toMap
+    val want = lists(dup.distinct().groupBy(col("src"))
+      .agg(call_function("collect_topk",
+        struct((-col("sim")).as("nsim"), col("nb")), lit(5), lit(true)).as("t")))
+    val got = lists(dup.groupBy(col("src"))
+      .agg(call_function("collect_topk_distinct",
+        struct((-col("sim")).as("nsim"), col("nb")), lit(5), lit(true)).as("t")))
+    assert(got == want, "dedup-folding heap must equal distinct + heap")
+  }
+
   test("cdc_starts equals the HOF boundary scan on real payloads") {
     GraftFunctions.ensure(spark)
     val hof = when(octet_length(col("payload")) === 0, array().cast("array<int>"))

@@ -389,7 +389,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(seedPlan.contains("WindowGroupLimit"),
       s"seed bucket cap lost its WindowGroupLimit pushdown:\n$seedPlan")
     assert(!seedPlan.contains("CartesianProduct"), "seed join went cartesian")
-    assert(seedPlan.contains("collect_top_k"), "seed ranking must be the bounded heap")
+    assert(seedPlan.contains("collect_topk_distinct"),
+      "seed ranking must be the dedup-folding bounded heap")
+    // the dedup must live INSIDE the heap: a separate distinct would
+    // re-exchange the whole bucket fanout (the sf100 ENOSPC killer) and
+    // plan as a plain HashAggregate over (src, nb, sim) keys
+    assert("(?<!Object)HashAggregate\\(keys=\\[src".r.findFirstIn(seedPlan).isEmpty,
+      "seed fanout must not be re-exchanged through a distinct aggregate")
     // seed pairs must be SCORED INSIDE the bucket join: cosine_sim sits
     // above the join, and no second join on src/nb ids re-fetches
     // vectors (the ~280 GB-at-sf100 pair-payload killer)
@@ -398,7 +404,8 @@ class PlanGuardSpec extends SparkSpec {
       .select(col("src"), col("nb"), col("sim"))
     val roundPlan = graft.queries.Round11Queries.descentRound(g, b, 5, 10)
       .queryExecution.executedPlan.toString
-    assert(roundPlan.contains("collect_top_k"), "descent ranking must be the bounded heap")
+    assert(roundPlan.contains("collect_topk_distinct"),
+      "descent ranking must be the dedup-folding bounded heap")
     assert(!roundPlan.contains("CartesianProduct"), "compose join went cartesian")
     assert(roundPlan.toLowerCase.contains("cosinesimilarity"), "compose scoring left the compose join")
   }

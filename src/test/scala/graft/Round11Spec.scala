@@ -182,6 +182,48 @@ class Round11Spec extends SparkSpec {
       s"graph-descent recall $r171 must beat Hamming ${hHits / 40.0}")
   }
 
+  test("q173 hierarchical ANN: recall@5 >= 0.9, structure dense, layers sound") {
+    val (vecs, exact, cosBp) = gtState
+    val out = SparkEntry.queries("q173_hnsw_ann")(spark, sf("sf0.001"))
+      .select("q_id", "rn", "vec_id", "sim_q").collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet, "one result list per query")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Number]("rn").intValue()).sorted.toSeq == (1 to 5),
+        s"query $q: ranks must be dense 1..5")
+      val ids = rows.map(_.getLong(2))
+      assert(ids.distinct.length == 5 && !ids.contains(q),
+        s"query $q: results must be 5 distinct non-self ids")
+      rows.foreach(r => assert(r.getLong(3) == cosBp(vecs(q), vecs(r.getLong(2))),
+        s"query $q -> ${r.getLong(2)}: sim_q diverges from exact cosine"))
+    }
+    val hits = (0L until 8L).map(q => (byQ(q).map(_.getLong(2)).toSet & exact(q)).size).sum
+    val r173 = hits.toDouble / 40.0
+    assert(r173 >= 0.9, s"q173 recall@5 fell to $r173 (floor 0.9)")
+    // the layer artifact: every graph node really is a member of its
+    // level (the md5 level draw), and the broad first layer is well
+    // covered — a hash/modulus drift on either side would break the
+    // oracle replay before it broke recall
+    val idxH = graft.queries.Round11Queries.hnswIndex(spark, sf("sf0.001"))
+    val layers = spark.read.parquet(s"$idxH/layers")
+      .select("lvl", "src").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    def lvlOk(l: Int, id: Long): Boolean = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+      h % Seq.fill(l)(4L).product == 0
+    }
+    layers.foreach { case (l, id) =>
+      assert(lvlOk(l, id), s"node $id sits on layer $l but fails the level hash")
+    }
+    val l1 = layers.filter(_._1 == 1).map(_._2).toSet
+    val l1Expected = vecs.keySet.filter(lvlOk(1, _))
+    assert(l1.size >= l1Expected.size / 2,
+      s"layer 1 covers ${l1.size} of ${l1Expected.size} promoted nodes")
+  }
+
   test("q170 semantic clusters: survivors are the representatives, splits never straddle a cluster") {
     val out = SparkEntry.queries("q170_semantic_clusters")(spark, sf("sf0.001"))
       .select("vec_id", "cluster_id", "kept", "split").collect()
