@@ -448,26 +448,65 @@ object Round11Queries extends QueryPack {
     }
   }
 
+  /** All upper-layer graphs as one (lvl, src, nb, sim) frame: for each
+    * level l in 1..[[HnL]], the q168-recipe kNN graph (LSH seed + one
+    * NN-descent round, width [[KgK]]) among the nodes promoted to that
+    * level. Geometric layer populations mean the whole hierarchy costs
+    * a CONSTANT FACTOR over the L0 build (Σ 4^-l ≈ 1/3). Sims ride
+    * along for the MAINTENANCE path ([[appendToHnsw]] folds a drop in
+    * with the same improvement invariant as the L0 graph); the serving
+    * artifact drops them. */
+  private[graft] def hnswLayers(b: DataFrame): DataFrame =
+    (1 to HnL).map { l =>
+      knnGraphBuild(b.filter(lvlHash(col("vec_id")) % lit(lvlMod(l)) === 0),
+          KgK, KgUnd, rounds = 1)
+        .select(lit(l).as("lvl"), col("src"), col("nb"), col("sim"))
+    }.reduce(_ unionByName _)
+
   /** The hierarchical entry artifact, written once per fixture beside
-    * [[knnGraphIndex]]: for each level l in 1..[[HnL]], the q168-recipe
-    * kNN graph (LSH seed + one NN-descent round, width [[KgK]]) among
-    * the nodes promoted to that level. Geometric layer populations mean
-    * the whole hierarchy costs a CONSTANT FACTOR over the L0 build
-    * (Σ 4^-l ≈ 1/3) and the artifact is id-narrow like the base graph.
-    * Layers partition the parquet by `lvl`, so a serve-time hop reads
-    * exactly one level's files. */
+    * [[knnGraphIndex]]: [[hnswLayers]] without the sims (serving only
+    * walks edges), id-narrow like the base graph. Layers partition the
+    * parquet by `lvl`, so a serve-time hop reads exactly one level's
+    * files. */
   private[graft] def hnswIndex(s: SparkSession, d: String): String =
     Round8Queries.ensureScratch(s, "hnsw", d) { base =>
       val b = Tables.embeddings(s, d)
         .select(col("vec_id"), toD(col("embedding")).as("v"))
-      (1 to HnL).map { l =>
-        knnGraphBuild(b.filter(lvlHash(col("vec_id")) % lit(lvlMod(l)) === 0),
-            KgK, KgUnd, rounds = 1)
-          .select(lit(l).as("lvl"), col("src"), col("nb"))
-      }.reduce(_ unionByName _)
+      hnswLayers(b)
+        .select(col("lvl"), col("src"), col("nb"))
         .repartition(4)
         .write.partitionBy("lvl").parquet(s"$base/layers")
     }
+
+  /** Incremental HNSW maintenance — [[appendToKnnGraph]] lifted to the
+    * layer stack: a drop folds into exactly the layers its ids promote
+    * to. The level draw is the same pure md5 function the build uses,
+    * so the drop's maximum level is ONE bounded scalar aggregate, and
+    * every layer above it is returned untouched — BY CONSTRUCTION, not
+    * by diffing (the hierarchy's geometric thinning means a drop's
+    * expected touched depth is log₄|drop|, so steady-state ingest pays
+    * for 1–2 low layers, not all [[HnL]]). Each touched layer runs the
+    * L0 append recipe on its promoted slice: frozen-plane bucket seed
+    * against the grown layer population + one descent round, so the
+    * per-layer improvement invariant (an existing node's rank-r sim
+    * can only rise) holds here too — pinned in StreamingSpec alongside
+    * the untouched-upper-layer identity. */
+  def appendToHnsw(layers: DataFrame, bOld: DataFrame, drop: DataFrame): DataFrame = {
+    // one scalar to the driver: the drop's deepest promotion level
+    val maxL = drop.agg(max(maxLvl(col("vec_id"))).as("m"))
+      .collect()(0).getAs[Number](0).intValue()
+    val touched = (1 to maxL).map { l =>
+      def inL(df: DataFrame): DataFrame =
+        df.filter(lvlHash(col("vec_id")) % lit(lvlMod(l)) === 0)
+      appendToKnnGraph(
+          layers.filter(col("lvl") === l).select(col("src"), col("nb"), col("sim")),
+          inL(bOld), inL(drop), KgK, KgUnd)
+        .select(lit(l).as("lvl"), col("src"), col("nb"), col("sim"))
+    }
+    val untouched = layers.filter(col("lvl") > maxL)
+      .select(col("lvl"), col("src"), col("nb"), col("sim"))
+    touched.foldLeft(untouched)(_ unionByName _)
+  }
 
   /** q173: hierarchical graph-descent ANN — q171 with the LSH bucket
     * entry replaced by HNSW-style upper layers (Malkov & Yashunin 2018,
@@ -504,6 +543,19 @@ object Round11Queries extends QueryPack {
       .select(col("vec_id"), toD(col("embedding")).as("v"))
     val q = b.filter(col("vec_id") < GdQ)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    hnswSearch(layers, g0, b, q)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** The hierarchical search itself, over whatever layer/graph state the
+    * caller holds — q173 passes the write-once artifacts; the ingest
+    * loop's end-to-end spec passes the [[appendToHnsw]]-maintained
+    * in-memory state, proving the maintained hierarchy SERVES. `layers`
+    * is (lvl, src, nb[, …]), `g0` (src, nb[, …]), `b` the corpus
+    * (vec_id, v), `q` the queries (q_id, qv); emits (q_id, rn, vec_id,
+    * sim_q), unordered — exactly q173's rows. */
+  private[graft] def hnswSearch(layers: DataFrame, g0: DataFrame,
+                                b: DataFrame, q: DataFrame): DataFrame = {
     // the global entry point: the (level desc, md5 asc, id asc) minimum
     // — ONE scalar row from a map-combined struct-min, never a sort
     val entry = b.select(min(struct((-maxLvl(col("vec_id"))).as("nl"),
@@ -533,14 +585,13 @@ object Round11Queries extends QueryPack {
     }
     for (_ <- 1 to GdHops) {
       val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
-        .join(g0, Seq("src"))
+        .join(g0.select(col("src"), col("nb")), Seq("src"))
         .select(col("q_id"), col("nb").as("vec_id"))
       frontier = topQ(frontier.unionByName(score(expand)), GdBeam)
         .select(col("q_id"), col("vec_id"), col("sim")).localCheckpoint(false)
     }
     topQ(frontier.filter(col("vec_id") =!= col("q_id")), GdK)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
-      .orderBy(col("q_id"), col("rn"))
   }
 
   // q172: adaptive NN-descent (δ-termination) under the hash gate -------

@@ -771,7 +771,12 @@ object Streaming {
       var graph: DataFrame,
       var corpus: DataFrame,
       val cents: IndexedSeq[(Long, IndexedSeq[Double])],
-      val cb: IndexedSeq[IndexedSeq[Double]])
+      val cb: IndexedSeq[IndexedSeq[Double]],
+      // optional HNSW upper-layer state (lvl, src, nb, sim) — a loop
+      // that serves hierarchically ([[graft.queries.Round11Queries
+      // .hnswSearch]]) carries it and survivors fold in via
+      // appendToHnsw; a loop that serves flat (q171) leaves it None
+      var layers: Option[DataFrame] = None)
 
   /** The three maintenance loops COMPOSED into one streaming ingest —
     * the end-to-end exemplar their isolated specs promise: each
@@ -782,7 +787,10 @@ object Streaming {
     * frozen model ([[graft.queries.Round10Queries.appendToAnnIndex]] —
     * append-only part files), and (4) fold into the kNN graph
     * ([[graft.queries.Round11Queries.appendToKnnGraph]] — frozen-plane
-    * bucket seed + one descent round). Every `compactEvery`-th batch
+    * bucket seed + one descent round; when the state carries HNSW
+    * layers, [[graft.queries.Round11Queries.appendToHnsw]] folds the
+    * same survivors into their promoted layers in the same pass).
+    * Every `compactEvery`-th batch
     * (5) folds the accumulated small-file tail back to ~`compactTarget`
     * bytes ([[graft.queries.Round10Queries.compactAnnIndex]]), which
     * cannot change any probe result (index rows are set-semantics).
@@ -817,6 +825,11 @@ object Streaming {
           st.graph = graft.queries.Round11Queries
             .appendToKnnGraph(st.graph, st.corpus, bNew, kInt, undCap)
             .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+          // the hierarchy folds the SAME survivors in before the corpus
+          // grows (appendToHnsw's bOld/drop contract matches the L0
+          // append above), so flat and hierarchical serving stay in step
+          st.layers = st.layers.map(ls => graft.queries.Round11Queries
+            .appendToHnsw(ls, st.corpus, bNew).localCheckpoint(false))
           st.corpus = st.corpus.unionByName(bNew).localCheckpoint(false)
         }
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)

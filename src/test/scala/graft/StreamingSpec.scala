@@ -892,7 +892,8 @@ class StreamingSpec extends SparkSpec {
       Round11Queries.knnGraphBuild(baseVecs, 15, 30, 3)
         .select(col("src"), col("nb"), col("sim")).localCheckpoint(false),
       baseVecs.localCheckpoint(true),
-      cents, cb)
+      cents, cb,
+      layers = Some(Round11Queries.hnswLayers(baseVecs).localCheckpoint(false)))
     // drops: d1 = a verbatim dup of base doc 5 (id 900) + fresh doc 450
     // (novel text, the held-out embedding); d2 = a REPEAT of 450's text
     // (id 901 — must be rejected against the index AS APPENDED by d1,
@@ -955,5 +956,96 @@ class StreamingSpec extends SparkSpec {
     def rows(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
     assert(rows(idxPath) == rows(rebuilt),
       "incremental + compacted index must equal a from-scratch rebuild row set")
+    // 6) the HNSW layer state was maintained in the same pass: it covers
+    //    exactly the PROMOTED survivors per level (dups reached no layer),
+    //    and the maintained hierarchy SERVES — external queries carrying a
+    //    survivor's embedding find it as their hierarchical top-1
+    def lvlOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (1 to 8).foldLeft(0)((acc, l) => if (h % math.pow(4, l).toLong == 0) l else acc)
+    }
+    val layerIds = st.layers.get.select("lvl", "src", "nb").collect()
+      .flatMap(r => Seq((r.getInt(0), r.getLong(1)), (r.getInt(0), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((l, ids) <- layerIds) {
+      val promoted = surviving.filter(lvlOf(_) >= l)
+      assert(ids.subsetOf(promoted),
+        s"level $l holds non-survivor or unpromoted ids: ${ids -- promoted}")
+    }
+    val hQs = Seq((9450L, vecOf(450)), (9470L, vecOf(470)), (9100L, vecOf(100)))
+      .toDF("q_id", "qv")
+    val hTop1 = Round11Queries.hnswSearch(st.layers.get, st.graph,
+        st.corpus.select(col("vec_id"), col("v")), hQs)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((qid, want) <- Seq((9450L, 450L), (9470L, 470L), (9100L, 100L)))
+      assert(hTop1(qid)._1 == want && hTop1(qid)._2 >= 9999L,
+        s"hierarchical serve for $qid must find $want, got ${hTop1(qid)}")
+  }
+
+  test("HNSW layer ingest: drop folds into its promoted layers, upper layers untouched") {
+    import graft.queries.Round11Queries
+    graft.GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val bOld = e.filter(col("vec_id") < 400)
+    val drop = e.filter(col("vec_id") >= 400)
+    def lvlOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (1 to 8).foldLeft(0)((acc, l) => if (h % math.pow(4, l).toLong == 0) l else acc)
+    }
+    val layers0 = Round11Queries.hnswLayers(bOld).localCheckpoint(false)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long, Long)] =
+      df.select("lvl", "src", "nb", "sim").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inc = Round11Queries.appendToHnsw(layers0, bOld, drop).localCheckpoint(false)
+    val incRows = rows(inc)
+    val dropMaxL = (400L until 500L).map(lvlOf).max
+    assert(dropMaxL >= 1, "fixture must promote at least one drop id past level 0")
+    // 1) per-level src invariants. Exact coverage is NOT the layer-build
+    //    contract (a tiny layer can leave an LSH-isolated node listless —
+    //    the fixture's 6-node level 3 does), so pin what IS the contract:
+    //    soundness (only promoted grown-corpus ids appear), no loss (an
+    //    append never evicts an existing node's list), and arrival
+    //    coverage at least matching a from-scratch rebuild on the grown
+    //    corpus (the incremental path sees strictly more candidate edges)
+    val rebuildRows = rows(Round11Queries.hnswLayers(e))
+    for (l <- 1 to 8) {
+      val promoted = (0L until 500L).filter(lvlOf(_) >= l).toSet
+      val got = incRows.filter(_._1 == l).map(_._2)
+      assert(got.subsetOf(promoted), s"level $l holds unpromoted srcs: ${got -- promoted}")
+      val pre = rows(layers0).filter(_._1 == l).map(_._2)
+      assert(pre.subsetOf(got), s"level $l lost existing srcs: ${pre -- got}")
+      val rebuildDrops = rebuildRows.filter(_._1 == l).map(_._2).filter(_ >= 400L)
+      assert(rebuildDrops.subsetOf(got),
+        s"level $l misses arrivals a rebuild covers: ${rebuildDrops -- got}")
+    }
+    // 2) layers ABOVE the drop's deepest promotion are returned untouched
+    //    (by construction, not by diffing)
+    val upper0 = rows(layers0).filter(_._1 > dropMaxL)
+    assert(incRows.filter(_._1 > dropMaxL) == upper0,
+      s"levels > $dropMaxL must be bit-identical to the pre-append layers")
+    // 3) determinism
+    assert(rows(Round11Queries.appendToHnsw(layers0, bOld, drop)) == incRows,
+      "HNSW maintenance must be deterministic")
+    // 4) the per-layer improvement invariant: an existing promoted node's
+    //    rank-r sim can only rise (level 1, the busiest touched layer)
+    def lists(rs: Set[(Int, Long, Long, Long)], l: Int): Map[Long, Seq[Long]] =
+      rs.filter(_._1 == l).toSeq.groupBy(_._2).view
+        .mapValues(_.map(t => (t._4, t._3)).sortBy { case (sm, nb) => (-sm, nb) }
+          .map(_._1)).toMap
+    val oldL1 = lists(rows(layers0), 1)
+    val newL1 = lists(incRows, 1)
+    for ((node, old) <- oldL1; (oldSim, i) <- old.zipWithIndex
+         if i < newL1(node).size) {
+      assert(newL1(node)(i) >= oldSim,
+        s"level-1 node $node rank ${i + 1}: sim fell $oldSim -> ${newL1(node)(i)}")
+    }
   }
 }
