@@ -208,6 +208,71 @@ object Round10Queries extends QueryPack {
     bins.length
   }
 
+  /** Tombstone sidecar for [[annIndex]]-layout directories — the delete
+    * half of the index lifecycle (build → append → COMPACT/DELETE). A
+    * delete appends the retired ids to an id-narrow parquet sidecar in
+    * O(|delete|); nothing in the index itself is touched until a purge.
+    * On a cluster the sidecar is the delete-vector/tombstone table every
+    * lakehouse format keeps beside its data files. */
+  private def tombstonePath(idxPath: String): String = idxPath + ".tombstones"
+
+  /** Logical delete: O(|delete|) parquet append of the retired ids.
+    * Idempotent (re-deleting an id adds a redundant tombstone row that
+    * the anti-join and the purge both absorb). */
+  private[graft] def deleteFromAnnIndex(delIds: DataFrame, idxPath: String): Unit =
+    delIds.select(col("vec_id").cast("long"))
+      .write.mode("append").parquet(tombstonePath(idxPath))
+
+  /** The serve-time read of a delete-aware index: index rows minus the
+    * tombstone set. The sidecar is |deletes|-sized, so the anti-join
+    * broadcasts; every probe built on this reader sees EXACTLY the rows
+    * a from-scratch rebuild without the deleted vectors would hold
+    * (same model ⇒ same surviving rows — pinned in StreamingSpec). */
+  private[graft] def readAnnIndex(s: SparkSession, idxPath: String): DataFrame = {
+    val idx = s.read.parquet(idxPath)
+    val fs = new org.apache.hadoop.fs.Path(tombstonePath(idxPath))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tombstonePath(idxPath)))) idx
+    else idx.join(broadcast(s.read.parquet(tombstonePath(idxPath))
+      .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+  }
+
+  /** Physical delete: rewrite ONLY the part files that still hold a
+    * tombstoned row (found by a vec_id-pruned scan + broadcast semi
+    * join — the manifest-sized planning of [[compactAnnIndex]]), swap
+    * the survivors-only rewrites in, and clear the sidecar. Rewrite
+    * cost is proportional to the AFFECTED files, never the index;
+    * untouched files keep their bytes. Returns the number of files
+    * rewritten (0 = no tombstones, nothing to do — idempotent). */
+  private[graft] def purgeAnnIndex(s: SparkSession, idxPath: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val tomb = new Path(tombstonePath(idxPath))
+    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) return 0
+    val dels = s.read.parquet(tomb.toString).select(col("vec_id")).distinct()
+    // vec_id-only scan: parquet pruning keeps this an 8-byte-per-row pass
+    val affected = s.read.parquet(idxPath)
+      .select(col("vec_id"), input_file_name().as("f"))
+      .join(broadcast(dels), Seq("vec_id"))
+      .select(col("f")).distinct()
+      .collect().map(_.getString(0)).sorted // manifest-sized, driver-planned
+    if (affected.nonEmpty) {
+      val tmp = new Path(idxPath + "_purge_tmp")
+      fs.delete(tmp, true)
+      s.read.parquet(affected: _*)
+        .join(broadcast(dels), Seq("vec_id"), "left_anti")
+        .coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new Path(idxPath, s"purge-${part.getName}"))
+      affected.foreach(f => fs.delete(new Path(new java.net.URI(f).getPath), false))
+      fs.delete(tmp, true)
+    }
+    fs.delete(tomb, true)
+    affected.length
+  }
+
   /** floor(cos·10⁴) through the native codegen expression. */
   private def cosBp(a: Column, b: Column): Column =
     floor(call_function("cosine_sim", a, b) * 10000).cast("long")

@@ -316,6 +316,50 @@ object Round11Queries extends QueryPack {
     descentRound(merged, bAll, kInt, undCap)
   }
 
+  /** Delete maintenance for the kNN graph — the retire half of the
+    * lifecycle build → [[appendToKnnGraph]] → delete: every edge
+    * touching a deleted id is dropped, then ONE descent round over the
+    * surviving edges against the shrunk corpus refills the lists of
+    * nodes that lost neighbors (their remaining undirected edges reach
+    * the deleted nodes' former neighborhoods — exactly NN-descent's
+    * repair argument, Dong et al. 2011). Work is O(n·k) edge filtering
+    * + one standard round; no re-seed, no rebuild. A node whose ENTIRE
+    * undirected neighborhood was deleted drops out of the graph (it is
+    * unreachable by edge repair alone — the same contract as an
+    * LSH-isolated node at build time); the ingest loop's next append
+    * re-seeds such orphans through the bucket pass. */
+  def deleteFromKnnGraph(g: DataFrame, b: DataFrame, delIds: DataFrame,
+                         kInt: Int, undCap: Int): DataFrame = {
+    val del = broadcast(delIds.select(col("vec_id")).distinct())
+    val bLeft = b.join(del, Seq("vec_id"), "left_anti")
+    val gLeft = g.select(col("src"), col("nb"), col("sim"))
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("vec_id").as("nb")), Seq("nb"), "left_anti")
+      .select(col("src"), col("nb"), col("sim"))
+      .localCheckpoint(false)
+    descentRound(gLeft, bLeft, kInt, undCap)
+  }
+
+  /** [[deleteFromKnnGraph]] lifted to the HNSW layer stack, mirroring
+    * [[appendToHnsw]]: the deepest deleted level is one bounded scalar
+    * aggregate, layers above it are untouched by construction, each
+    * touched layer repairs its promoted slice with the L0 recipe. */
+  def deleteFromHnsw(layers: DataFrame, b: DataFrame, delIds: DataFrame): DataFrame = {
+    val maxL = delIds.agg(max(maxLvl(col("vec_id"))).as("m"))
+      .collect()(0).getAs[Number](0).intValue()
+    val touched = (1 to maxL).map { l =>
+      def inL(df: DataFrame): DataFrame =
+        df.filter(lvlHash(col("vec_id")) % lit(lvlMod(l)) === 0)
+      deleteFromKnnGraph(
+          layers.filter(col("lvl") === l).select(col("src"), col("nb"), col("sim")),
+          inL(b), inL(delIds), KgK, KgUnd)
+        .select(lit(l).as("lvl"), col("src"), col("nb"), col("sim"))
+    }
+    val untouched = layers.filter(col("lvl") > maxL)
+      .select(col("lvl"), col("src"), col("nb"), col("sim"))
+    touched.foldLeft(untouched)(_ unionByName _)
+  }
+
   // q171: graph-descent ANN — SERVING from the converged graph ----------
 
   private val GdQ = 8      // queries: vec_id < GdQ (the family convention)
@@ -381,7 +425,19 @@ object Round11Queries extends QueryPack {
     * all lives in the write-once [[knnGraphIndex]] build. Recall@5
     * ≥ 0.9 vs exact brute force is pinned in Round11Spec — above
     * q163's 32-deep Hamming shortlist on the same queries. */
-  def q171(s: SparkSession, d: String): DataFrame = {
+  def q171(s: SparkSession, d: String): DataFrame =
+    topQ(flatGraphSearch(s, d)._1, GdK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+
+  /** q171's search loop, also returning the full SCORED set — every
+    * (q_id, vec_id, sim) the traversal ever evaluated (entry probe +
+    * all hop expansions). q171 emits the top-[[GdK]] of the final
+    * frontier and never evaluates the scored union (lazy plans — its
+    * physical plan is unchanged); q174 post-filters the scored set by
+    * attribute. The scored plans are SHARED between the two returns,
+    * so evaluating both costs one traversal. */
+  private def flatGraphSearch(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.GraftFunctions.ensure(s)
     val idx = knnGraphIndex(s, d)
     val g = s.read.parquet(s"$idx/graph").select(col("src"), col("nb"))
@@ -401,8 +457,10 @@ object Round11Queries extends QueryPack {
       b.join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("sim"))
-    var frontier = topQ(score(entry), GdBeam)
+    val s0 = score(entry)
+    var frontier = topQ(s0, GdBeam)
       .select(col("q_id"), col("vec_id"), col("sim"))
+    var scored = s0
     for (_ <- 1 to GdHops) {
       val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
         .join(g, Seq("src"))
@@ -410,10 +468,45 @@ object Round11Queries extends QueryPack {
         .select(col("q_id"), col("nb").as("vec_id"))
       // rescoring a frontier node yields the identical row, so the
       // dedup heap absorbs it — no visited-set state needed
-      frontier = topQ(frontier.unionByName(score(expand)), GdBeam)
+      val sc = score(expand)
+      frontier = topQ(frontier.unionByName(sc), GdBeam)
         .select(col("q_id"), col("vec_id"), col("sim"))
+      scored = scored.unionByName(sc)
     }
-    topQ(frontier, GdK)
+    (frontier, scored)
+  }
+
+  // q174: attribute-filtered graph search -------------------------------
+
+  private val FgLabel = 3  // the filter attribute (q167's convention)
+
+  /** q174: FILTERED ANN over the graph — "nearest neighbors WHERE
+    * label = 3", the predicate+vector query every retrieval system
+    * grows next. Strategy is the post-filtered traversal (ACORN-1,
+    * Patel et al. 2024): navigate the UNFILTERED graph exactly as
+    * q171 (a filtered graph fragments into islands the descent can't
+    * cross — the reason filtered-HNSW systems keep traversal
+    * unfiltered), then take the top-[[GdK]] BY ATTRIBUTE from the
+    * full scored set the traversal evaluated (entry probe + every hop
+    * expansion — a superset of the surviving beam, so the filter has
+    * more to choose from at zero extra scoring cost; the plans are
+    * shared with the beam's own computation). Self-rows never appear
+    * (entry and expansion both exclude them). The label join is an
+    * id-narrow broadcast onto the scored triples; recall@5 vs exact
+    * label-filtered brute force is pinned in Round11Spec (0.975
+    * measured). vs q167's pre-filtered Hamming path: q167 SCANS the
+    * label slice per query batch — exhaustive but O(n·selectivity)
+    * serve-time work; this path stays index-bounded like q171
+    * (beam·K·hops scored pairs regardless of n), the right trade once
+    * the filtered slice alone dwarfs the traversal. Deterministic
+    * (integer-bp sims, id tiebreaks, fixed hops), so DuckDB replays
+    * the search and the hash gate applies. */
+  def q174(s: SparkSession, d: String): DataFrame = {
+    val scored = flatGraphSearch(s, d)._2
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    topQ(scored.join(labels, Seq("vec_id"))
+        .filter(col("label") === FgLabel)
+        .select(col("q_id"), col("vec_id"), col("sim")), GdK)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
       .orderBy(col("q_id"), col("rn"))
   }
@@ -645,7 +738,8 @@ object Round11Queries extends QueryPack {
     "q170_semantic_clusters" -> q170 _,
     "q171_graph_ann" -> q171 _,
     "q172_adaptive_knn" -> q172 _,
-    "q173_hnsw_ann" -> q173 _
+    "q173_hnsw_ann" -> q173 _,
+    "q174_filtered_graph_ann" -> q174 _
   )
 
   /** The seed + per-round CTE list (no WITH), shared by every graph
@@ -721,6 +815,54 @@ object Round11Queries extends QueryPack {
     s"""
       WITH ${graphChain(kInt, undCap, rounds)}"""
 
+  /** The q171 traversal as a CTE list (graph chain + LSH entry + hop
+    * frontiers, through f[[GdHops]]) — shared by the q171 oracle (emit
+    * = final beam cut) and the q174 oracle (emit = label-filtered cut
+    * of the scored union s0..s[[GdHops]]). */
+  private lazy val flatSearchSql: String = {
+    val qmembSql = (0 until KgTables).map(t =>
+      s"""SELECT vec_id AS q_id, $t AS t,
+          ${VectorOps.lshBucketSql("embedding", KgBits, t * KgBits)} AS bk
+          FROM b WHERE vec_id < $GdQ""").mkString("\n        UNION ALL ")
+    val hopSql = (1 to GdHops).map { h =>
+      val p = h - 1
+      s"""e$h AS (
+        SELECT DISTINCT f.q_id, g.nb AS vec_id
+        FROM f$p f JOIN g$KiRounds g ON g.src = f.vec_id
+        WHERE g.nb <> f.q_id),
+      s$h AS (
+        SELECT e.q_id, e.vec_id,
+               ${VectorOps.cosineSql("q.embedding", "c.embedding")} AS sim
+        FROM e$h e JOIN b q ON q.vec_id = e.q_id
+                   JOIN b c ON c.vec_id = e.vec_id),
+      f$h AS MATERIALIZED (
+        SELECT q_id, vec_id, sim
+        FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id) AS rn
+              FROM (SELECT q_id, vec_id, sim FROM f$p
+                    UNION
+                    SELECT q_id, vec_id, sim FROM s$h))
+        WHERE rn <= $GdBeam)""" }.mkString(",\n      ")
+    s"""${graphSql(KiK, KiUnd, KiRounds)},
+      qm AS (
+        $qmembSql),
+      ec AS (
+        SELECT DISTINCT q.q_id, c.nb AS vec_id
+        FROM qm q JOIN capped c ON q.t = c.t AND q.bk = c.bk AND c.nb <> q.q_id),
+      s0 AS (
+        SELECT e.q_id, e.vec_id,
+               ${VectorOps.cosineSql("q.embedding", "c.embedding")} AS sim
+        FROM ec e JOIN b q ON q.vec_id = e.q_id
+                  JOIN b c ON c.vec_id = e.vec_id),
+      f0 AS MATERIALIZED (
+        SELECT q_id, vec_id, sim
+        FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id) AS rn
+              FROM s0)
+        WHERE rn <= $GdBeam),
+      $hopSql"""
+  }
+
   override val oracle: Map[String, String] = Map(
     "q168_knn_graph" -> s"""${graphSql(KgK, KgUnd, 1)}
       SELECT src AS vec_id, rn, nb AS nb_id, sim AS sim_bp
@@ -780,55 +922,27 @@ object Round11Queries extends QueryPack {
     // the beam search replayed hop by hop over the same g3 chain: f0 is
     // the LSH-entry frontier, f{h} the beam after hop h — identical
     // (sim desc, vec_id) cuts, so the hash gate covers the whole search
-    "q171_graph_ann" -> {
-      val qmembSql = (0 until KgTables).map(t =>
-        s"""SELECT vec_id AS q_id, $t AS t,
-            ${VectorOps.lshBucketSql("embedding", KgBits, t * KgBits)} AS bk
-            FROM b WHERE vec_id < $GdQ""").mkString("\n        UNION ALL ")
-      val hopSql = (1 to GdHops).map { h =>
-        val p = h - 1
-        s"""e$h AS (
-          SELECT DISTINCT f.q_id, g.nb AS vec_id
-          FROM f$p f JOIN g$KiRounds g ON g.src = f.vec_id
-          WHERE g.nb <> f.q_id),
-        s$h AS (
-          SELECT e.q_id, e.vec_id,
-                 ${VectorOps.cosineSql("q.embedding", "c.embedding")} AS sim
-          FROM e$h e JOIN b q ON q.vec_id = e.q_id
-                     JOIN b c ON c.vec_id = e.vec_id),
-        f$h AS MATERIALIZED (
-          SELECT q_id, vec_id, sim
-          FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
-                  ORDER BY sim DESC, vec_id) AS rn
-                FROM (SELECT q_id, vec_id, sim FROM f$p
-                      UNION
-                      SELECT q_id, vec_id, sim FROM s$h))
-          WHERE rn <= $GdBeam)""" }.mkString(",\n      ")
-      s"""${graphSql(KiK, KiUnd, KiRounds)},
-      qm AS (
-        $qmembSql),
-      ec AS (
-        SELECT DISTINCT q.q_id, c.nb AS vec_id
-        FROM qm q JOIN capped c ON q.t = c.t AND q.bk = c.bk AND c.nb <> q.q_id),
-      s0 AS (
-        SELECT e.q_id, e.vec_id,
-               ${VectorOps.cosineSql("q.embedding", "c.embedding")} AS sim
-        FROM ec e JOIN b q ON q.vec_id = e.q_id
-                  JOIN b c ON c.vec_id = e.vec_id),
-      f0 AS MATERIALIZED (
-        SELECT q_id, vec_id, sim
-        FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
-                ORDER BY sim DESC, vec_id) AS rn
-              FROM s0)
-        WHERE rn <= $GdBeam),
-      $hopSql
+    "q171_graph_ann" -> s"""$flatSearchSql
       SELECT q_id, rn, vec_id, sim AS sim_q
       FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
               ORDER BY sim DESC, vec_id) AS rn
             FROM f$GdHops)
       WHERE rn <= $GdK
-      ORDER BY q_id, rn"""
-    },
+      ORDER BY q_id, rn""",
+    // same traversal, filtered emit: vis is everything the search
+    // scored (entry s0 + every hop's s{h}; UNION dedups like the
+    // engine's distinct heap), cut top-k per query AFTER the label join
+    "q174_filtered_graph_ann" -> s"""$flatSearchSql,
+      vis AS (
+        SELECT q_id, vec_id, sim FROM s0
+        ${(1 to GdHops).map(h => s"UNION SELECT q_id, vec_id, sim FROM s$h").mkString("\n        ")})
+      SELECT q_id, rn, vec_id, sim AS sim_q
+      FROM (SELECT v.q_id, v.vec_id, v.sim, row_number() OVER (PARTITION BY v.q_id
+              ORDER BY v.sim DESC, v.vec_id) AS rn
+            FROM vis v JOIN embeddings e ON e.vec_id = v.vec_id
+            WHERE e.label = $FgLabel)
+      WHERE rn <= $GdK
+      ORDER BY q_id, rn""",
     "q172_adaptive_knn" -> s"""
       SELECT CAST($AdRounds AS INT) AS rounds_budget,
              CAST(1 AS INT) AS converged_early,

@@ -607,15 +607,8 @@ object Streaming {
           element_at(col("sg"), 4).cast("string"))).as("b1"))
   }
 
-  def buildNearDupIndex(corpus: DataFrame, bandCap: Int): NearDupIndex = {
-    val sigs = sigTable(corpus)
-    val bands = sigs.select(col("doc_id").as("a"),
-      explode(array(col("b0"), col("b1"))).as("band"))
-    val okBands = bands.groupBy(col("band"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= bandCap)
-      .select(col("band"))
-    NearDupIndex(sigs, bands, okBands)
-  }
+  def buildNearDupIndex(corpus: DataFrame, bandCap: Int): NearDupIndex =
+    rebandIndex(sigTable(corpus), bandCap)
 
   /** Asymmetric near-dup probe of one document batch against a
     * [[NearDupIndex]] — q112's per-drop core, shared verbatim by the
@@ -655,6 +648,23 @@ object Streaming {
     * appended docs still gets dropped. */
   def appendToIndex(index: NearDupIndex, accepted: DataFrame, bandCap: Int): NearDupIndex = {
     val sigs = index.sigs.unionByName(sigTable(accepted))
+    rebandIndex(sigs, bandCap)
+  }
+
+  /** Delete from the near-dup gate: drop the retired documents'
+    * signatures and re-derive bands — O(|index|) narrow-column work,
+    * no text ever re-shingled. Removal can re-OPEN a capped band (its
+    * count falls back under `bandCap`), which reband handles for free;
+    * crucially, a deleted document no longer blocks re-ingest of its
+    * own text (the takedown-then-relicense sequence the CDC loop spec
+    * pins). */
+  def removeFromIndex(index: NearDupIndex, delIds: DataFrame, bandCap: Int): NearDupIndex = {
+    val sigs = index.sigs.join(
+      broadcast(delIds.select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+    rebandIndex(sigs, bandCap)
+  }
+
+  private def rebandIndex(sigs: DataFrame, bandCap: Int): NearDupIndex = {
     val bands = sigs.select(col("doc_id").as("a"),
       explode(array(col("b0"), col("b1"))).as("band"))
     val okBands = bands.groupBy(col("band"))
@@ -753,8 +763,12 @@ object Streaming {
 
   /** An arriving corpus drop: a document and its embedding in ONE id
     * space — the shape a real training-data ingest sees (text lands
-    * together with the vector its embedder produced). */
-  case class IngestDoc(doc_id: Long, text: String, label: Int, vec: Seq[Double])
+    * together with the vector its embedder produced). `op` makes the
+    * stream a CDC feed: "add" (the default — existing producers are
+    * untouched) ingests through the gate, "del" retires the id from
+    * EVERY artifact (takedown); a "del" row's text/vec are ignored. */
+  case class IngestDoc(doc_id: Long, text: String, label: Int, vec: Seq[Double],
+                       op: String = "add")
 
   /** The serving artifacts one ingest loop owns and mutates batch to
     * batch: the MinHash band index (the near-dup gate), the on-disk
@@ -809,7 +823,29 @@ object Streaming {
     drops.writeStream
       .outputMode("append")
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val batch = b.toDF().localCheckpoint(true)
+        val raw = b.toDF().localCheckpoint(true)
+        // CDC: deletes land FIRST, so a batch that retires an id and
+        // re-adds its text sees the freed gate — and every artifact
+        // retires the id the same way its append grew it
+        val dels = (if (raw.columns.contains("op")) raw.filter(col("op") === "del")
+                    else raw.limit(0))
+          .select(col("doc_id")).localCheckpoint(true)
+        if (!dels.isEmpty) {
+          st.index = removeFromIndex(st.index, dels, bandCap)
+          graft.queries.Round10Queries.deleteFromAnnIndex(
+            dels.select(col("doc_id").as("vec_id")), st.annIdxPath)
+          val delV = dels.select(col("doc_id").as("vec_id"))
+          st.graph = graft.queries.Round11Queries
+            .deleteFromKnnGraph(st.graph, st.corpus, delV, kInt, undCap)
+            .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+          st.layers = st.layers.map(ls => graft.queries.Round11Queries
+            .deleteFromHnsw(ls, st.corpus, delV).localCheckpoint(false))
+          st.corpus = st.corpus
+            .join(org.apache.spark.sql.functions.broadcast(delV), Seq("vec_id"), "left_anti")
+            .localCheckpoint(false)
+        }
+        val batch = (if (raw.columns.contains("op")) raw.filter(col("op") =!= "del")
+                     else raw).localCheckpoint(true)
         val verdicts = nearDupProbe(st.index, batch.select(col("doc_id"), col("text")))
           .localCheckpoint(true)
         val kept = batch.join(
@@ -832,9 +868,14 @@ object Streaming {
             .appendToHnsw(ls, st.corpus, bNew).localCheckpoint(false))
           st.corpus = st.corpus.unionByName(bNew).localCheckpoint(false)
         }
-        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          // physical purge first (rewrites retire tombstoned rows), then
+          // fold the small-file tail — the OPTIMIZE pair of a lakehouse
+          graft.queries.Round10Queries.purgeAnnIndex(
+            batch.sparkSession, st.annIdxPath)
           graft.queries.Round10Queries.compactAnnIndex(
             batch.sparkSession, st.annIdxPath, compactTarget)
+        }
         onBatch(id, verdicts)
       }
       .start()

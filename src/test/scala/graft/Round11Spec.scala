@@ -224,6 +224,40 @@ class Round11Spec extends SparkSpec {
       s"layer 1 covers ${l1.size} of ${l1Expected.size} promoted nodes")
   }
 
+  test("q174 filtered graph ANN: label-pure, sims exact, recall vs filtered brute force pinned") {
+    val (vecs, _, cosBp) = gtState
+    val labels: Map[Long, Int] = Tables.embeddings(spark, sf("sf0.001"))
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exact label-filtered ground truth: top-5 among label-3 non-self ids
+    val pool = labels.filter(_._2 == 3).keys.toSeq.sorted
+    val gt: Map[Long, Set[Long]] = (0L until 8L).map { q =>
+      q -> pool.filter(_ != q)
+        .map(c => (cosBp(vecs(q), vecs(c)), c))
+        .sortBy { case (s, c) => (-s, c) }.take(5).map(_._2).toSet
+    }.toMap
+    val out = SparkEntry.queries("q174_filtered_graph_ann")(spark, sf("sf0.001"))
+      .select("q_id", "rn", "vec_id", "sim_q").collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet, "one result list per query")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Number]("rn").intValue()).sorted.toSeq ==
+        (1 to rows.length).toSeq, s"query $q: ranks must be dense")
+      val ids = rows.map(_.getLong(2))
+      assert(ids.distinct.length == ids.length && !ids.contains(q),
+        s"query $q: results must be distinct non-self ids")
+      // every result satisfies the predicate — the filtered contract
+      ids.foreach(id => assert(labels(id) == 3,
+        s"query $q: result $id has label ${labels(id)}, filter is label=3"))
+      rows.foreach(r => assert(r.getLong(3) == cosBp(vecs(q), vecs(r.getLong(2))),
+        s"query $q -> ${r.getLong(2)}: sim_q diverges from exact cosine"))
+    }
+    val hits = (0L until 8L).map(q => (byQ(q).map(_.getLong(2)).toSet & gt(q)).size).sum
+    val r174 = hits.toDouble / 40.0
+    info(s"q174 filtered recall@5 = $r174")
+    assert(r174 >= 0.9, s"q174 filtered recall@5 fell to $r174 (floor 0.9; measured 0.975)")
+  }
+
   test("q170 semantic clusters: survivors are the representatives, splits never straddle a cluster") {
     val out = SparkEntry.queries("q170_semantic_clusters")(spark, sf("sf0.001"))
       .select("vec_id", "cluster_id", "kept", "split").collect()

@@ -986,6 +986,94 @@ class StreamingSpec extends SparkSpec {
         s"hierarchical serve for $qid must find $want, got ${hTop1(qid)}")
   }
 
+  test("CDC ingest: a delete retires the id from every artifact and frees the gate") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.queries.{LlmQueries, Round10Queries, Round11Queries}
+    graft.GraftFunctions.ensure(spark)
+    val joined = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+      .join(Tables.embeddings(spark, sf("sf0.001"))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("v")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("label"), col("v"))
+    val base = joined.filter(col("doc_id") < 400).localCheckpoint(true)
+    val baseVecs = base.select(col("doc_id").as("vec_id"), col("v"))
+    val cents = LlmQueries.ivfCentroids(baseVecs)
+    val cb = LlmQueries.pqCodebook(baseVecs)
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_cdc_e2e").toString + "/annidx"
+    Round10Queries.annIndexRows(
+        base.select(col("doc_id").as("vec_id"), col("label"), col("v")), cents, cb)
+      .repartition(6).write.parquet(idxPath)
+    val st = new Streaming.IngestState(
+      Streaming.buildNearDupIndex(base.select("doc_id", "text"), 64),
+      idxPath,
+      Round11Queries.knnGraphBuild(baseVecs, 15, 30, 3)
+        .select(col("src"), col("nb"), col("sim")).localCheckpoint(false),
+      baseVecs.localCheckpoint(true),
+      cents, cb,
+      layers = Some(Round11Queries.hnswLayers(baseVecs).localCheckpoint(false)))
+    def vecOf(id: Long): Seq[Double] =
+      joined.filter(col("doc_id") === id).select("v").collect().head.getSeq[Double](0)
+    val text5 = base.filter(col("doc_id") === 5).select("text").collect().head.getString(0)
+    val fresh450 = "novel takedown-exercise document describing the delete lifecycle"
+    // d1: RETIRE base doc 5, add novel 450; d2: re-add 5's text under a
+    // NEW id (must be accepted — the takedown freed the gate) and retire
+    // the drop-1 survivor 450 (a delete of an APPENDED row)
+    val d1 = Seq(Streaming.IngestDoc(5, "", 0, Seq.empty, op = "del"),
+                 Streaming.IngestDoc(450, fresh450, 2, vecOf(450)))
+    val d2 = Seq(Streaming.IngestDoc(902, text5, 1, vecOf(5)),
+                 Streaming.IngestDoc(450, "", 0, Seq.empty, op = "del"))
+    val mem = MemoryStream[Streaming.IngestDoc]
+    val verdicts = scala.collection.mutable.Map[Long, Map[Long, Int]]()
+    val q = Streaming.ingestLoop(mem.toDF(), st, bandCap = 64, kInt = 15,
+      undCap = 30, compactEvery = 2, compactTarget = 64L << 20,
+      (id, v) => verdicts.synchronized {
+        verdicts(id) = v.select("doc_id", "kept").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      })
+    mem.addData(d1: _*); q.processAllAvailable()
+    mem.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    // 1) gate verdicts: only add rows are gated; 902 ACCEPTED because
+    //    doc 5's takedown freed its signatures from the index
+    assert(verdicts(0L) == Map(450L -> 1), s"drop1: ${verdicts.get(0L)}")
+    assert(verdicts(1L) == Map(902L -> 1), s"drop2: ${verdicts.get(1L)}")
+    val surviving = (0L until 400L).toSet - 5L + 902L
+    // 2) delete-aware index read holds exactly the survivors — and the
+    //    in-loop purge after d2 made it PHYSICAL (sidecar gone, raw read
+    //    identical, second purge a no-op)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Round10Queries.readAnnIndex(spark, idxPath)) == surviving)
+    assert(ids(spark.read.parquet(idxPath)) == surviving,
+      "purge must have physically removed tombstoned rows")
+    assert(!new java.io.File(idxPath + ".tombstones").exists(),
+      "purge must clear the tombstone sidecar")
+    assert(Round10Queries.purgeAnnIndex(spark, idxPath) == 0, "purge must be idempotent")
+    // 3) graph and corpus: retired ids in NO edge, survivors covered
+    val gIds = st.graph.select("src").collect().map(_.getLong(0)).toSet ++
+      st.graph.select("nb").collect().map(_.getLong(0)).toSet
+    assert(!gIds.contains(5L) && !gIds.contains(450L), "graph still references a retired id")
+    assert(gIds.contains(902L), "re-added doc must be in the repaired graph")
+    assert(ids(st.corpus) == surviving)
+    // 4) layers: no retired id on any level
+    val lIds = st.layers.get.select("src").collect().map(_.getLong(0)).toSet ++
+      st.layers.get.select("nb").collect().map(_.getLong(0)).toSet
+    assert(!lIds.contains(5L) && !lIds.contains(450L), "layers still reference a retired id")
+    // 5) serving reflects the delete + re-add: a probe with doc 5's OWN
+    //    vector now lands on 902 (its re-licensed copy), never on 5
+    val top1 = Streaming.annProbe(Round10Queries.readAnnIndex(spark, idxPath),
+        st.corpus.select(col("vec_id"), col("v")),
+        Seq((8005L, vecOf(5))).toDF("q_id", "qv"),
+        shortlist = 32, k = 5, excludeSelf = false)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(top1(8005L)._1 == 902L && top1(8005L)._2 >= 9999L,
+      s"probe with the retired doc's vector must land on its re-added copy, got ${top1(8005L)}")
+  }
+
   test("HNSW layer ingest: drop folds into its promoted layers, upper layers untouched") {
     import graft.queries.Round11Queries
     graft.GraftFunctions.ensure(spark)
