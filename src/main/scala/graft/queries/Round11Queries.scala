@@ -248,9 +248,7 @@ object Round11Queries extends QueryPack {
       .select(col("vec_id"), toD(col("embedding")).as("v"))
     val g = knnGraphBuild(b, KiK, KiUnd, rounds = KiRounds)
       .filter(col("rn") <= KgK).select(col("src"), col("nb"), col("sim"))
-    val mutual = g.as("x").join(g.as("y"),
-        col("x.src") === col("y.nb") && col("x.nb") === col("y.src"), "left_semi")
-      .filter(col("src") < col("nb"))
+    val mutual = mutualEdges(g)
     // exact percentile is safe ONLY because sims are integer bp in
     // [-10000, 10000]: Spark's percentile agg keeps one counter per
     // DISTINCT value, so its state is histogram-bounded at ≤ 20001
@@ -264,8 +262,24 @@ object Round11Queries extends QueryPack {
       .select(col("src"), col("nb"))
     val cc = graft.functions.Graph.connectedComponents(edges)
       .select(col("id").as("vec_id"), col("label"))
-    b.select(col("vec_id"))
-      .join(cc, Seq("vec_id"), "left")
+    clusterDecision(b.select(col("vec_id")), cc)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Mutual top-k edges (src < nb) of a (src, nb, sim) top-list graph —
+    * the SemDeDup-style pair candidates q170 cuts at p90. */
+  private[graft] def mutualEdges(gTop: DataFrame): DataFrame =
+    gTop.as("x").join(gTop.as("y"),
+        col("x.src") === col("y.nb") && col("x.nb") === col("y.src"), "left_semi")
+      .filter(col("src") < col("nb"))
+
+  /** The q170 emit: ids + component labels → (vec_id, cluster_id, kept,
+    * split). Everything is a pure function of the component map —
+    * min-id representative survives, split = md5 bucket of the cluster
+    * id, so one cluster can never straddle a split (the q130 leakage
+    * rule) no matter how the map was produced or maintained. */
+  private[graft] def clusterDecision(ids: DataFrame, cc: DataFrame): DataFrame =
+    ids.join(cc, Seq("vec_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("vec_id")))
       .withColumn("kept", (col("cluster_id") === col("vec_id")).cast("int"))
       .withColumn("bucket",
@@ -275,7 +289,75 @@ object Round11Queries extends QueryPack {
         when(col("bucket") < 8000, lit("train"))
           .when(col("bucket") < 9000, lit("val"))
           .otherwise(lit("test")).as("split"))
-      .orderBy(col("vec_id"))
+
+  // ---- semantic-cluster lifecycle (the q170 maintenance loop) ----------
+
+  /** The p90 mutual-sim cut as a build-time SCALAR — the frozen model
+    * artifact of the cluster lifecycle, exactly like annidx3's
+    * centroids/codebook: every later append must cut with the SAME
+    * threshold or incremental and rebuilt maps drift apart. The
+    * percentile state is histogram-bounded (integer bp, the q170/q129
+    * discipline); one scalar reaches the driver. */
+  def clusterThreshold(g: DataFrame): Long =
+    mutualEdges(topK(g, KgK).select(col("src"), col("nb"), col("sim")))
+      .agg(floor(expr("percentile(sim, 0.9D)")).cast("long").as("t"))
+      .collect()(0).getLong(0)
+
+  /** Build the cluster map from a (src, nb, sim) graph (any width — the
+    * top-[[KgK]] cut happens here) with a FROZEN threshold: the
+    * ingest-time form of q170, whose oracle query instead derives the
+    * threshold in-flight so SQL can replay it. */
+  def clusterMap(ids: DataFrame, g: DataFrame, thrBp: Long): DataFrame = {
+    val edges = mutualEdges(topK(g, KgK).select(col("src"), col("nb"), col("sim")))
+      .filter(col("sim") >= lit(thrBp))
+      .select(col("src"), col("nb"))
+    clusterDecision(ids, graft.functions.Graph.connectedComponents(edges)
+      .select(col("id").as("vec_id"), col("label")))
+  }
+
+  /** Incremental cluster maintenance — the q170 analogue of the band
+    * index / annidx3 / kNN-graph appends, closing the LAST maintenance
+    * gap in the ingest loop. Contract is MONOTONE MERGE: near-dup
+    * clusters only grow under ingest (old merges are retained as star
+    * edges even if the refreshed graph no longer carries the mutual
+    * pair that proved them — the same never-forgets semantics as the
+    * band index, and a rebuild is the escape hatch, not per-batch
+    * un-merging). The new map's components = CC over star(old map) ∪
+    * mutual(current graph) ≥ frozen threshold; any pair connected in a
+    * frozen-threshold REBUILD of the grown graph is therefore also
+    * connected here (rebuild refines incremental — spec-pinned).
+    *
+    * Per-batch work: one narrow self-join over the n·k 24-byte edge
+    * list + pointer-jumping CC over star edges (depth-1 trees, so the
+    * CC converges immediately); ZERO vector bytes move — the graph
+    * append already paid for the geometry. */
+  def appendToClusters(clusters: DataFrame, g: DataFrame, dropIds: DataFrame,
+                       thrBp: Long): DataFrame = {
+    val gTop = topK(g, KgK).select(col("src"), col("nb"), col("sim"))
+    val newMutual = mutualEdges(gTop)
+      .filter(col("sim") >= lit(thrBp))
+      .select(col("src"), col("nb"))
+    val star = clusters.filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("src"), col("vec_id").as("nb"))
+    val cc = graft.functions.Graph.connectedComponents(star.unionByName(newMutual))
+      .select(col("id").as("vec_id"), col("label"))
+    val ids = clusters.select(col("vec_id"))
+      .unionByName(dropIds.select(col("vec_id"))).distinct()
+    clusterDecision(ids, cc)
+  }
+
+  /** Delete from the cluster map: retired ids leave, remaining members
+    * of their clusters stay together (the monotone contract — a delete
+    * cannot split a proven near-dup group) and re-elect the min-id
+    * representative when the survivor itself was retired. One grouped
+    * aggregation, no CC needed. */
+  def deleteFromClusters(clusters: DataFrame, delIds: DataFrame): DataFrame = {
+    val rest = clusters.join(
+      broadcast(delIds.select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+    val remap = rest.groupBy(col("cluster_id")).agg(min(col("vec_id")).as("rep"))
+    clusterDecision(rest.select(col("vec_id")),
+      rest.join(remap, Seq("cluster_id"))
+        .select(col("vec_id"), col("rep").as("label")))
   }
 
   /** Incremental kNN-graph maintenance — the graph analogue of the band
@@ -511,6 +593,144 @@ object Round11Queries extends QueryPack {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // q176: PQ-fused graph traversal (DiskANN) ----------------------------
+
+  private val PfBeam = 90    // ADC beam width — wider than q171's 30: the
+                             // quantized distance misorders near-ties, and
+                             // the wider frontier is how DiskANN's L absorbs
+                             // that noise (8 code bytes/row keeps it cheap)
+  private val PfRerank = 60  // exact-rerank pool cut from the ADC beam
+
+  /** Bounded top-k DISTINCT per q_id by (ad ASC, vec_id) — the
+    * ascending twin of [[topQ]] for distance-ranked frontiers. */
+  private def topQA(cand: DataFrame, k: Int): DataFrame =
+    cand.groupBy(col("q_id"))
+      .agg(call_function("collect_topk_distinct",
+        struct(col("ad"), col("vec_id")), lit(k), lit(true)).as("t"))
+      .select(col("q_id"), explode(col("t")).as("e"))
+      .select(col("q_id"), col("e.vec_id").as("vec_id"), col("e.ad").as("ad"))
+
+  /** q176: the DiskANN serving split (Subramanya et al. 2019) on the
+    * existing artifacts — graph BUILT at full precision (the converged
+    * q169 `knngraph`), traversal scored on PQ codes, exact vectors
+    * touched only by the final rerank. Hops run exactly q171's beam
+    * recipe but rank by the asymmetric PQ distance (floor(adc·10⁴),
+    * ascending, id tiebreaks) against annidx3's 8-int `rcodes` column;
+    * the final top-[[PfRerank]] by ADC is reranked with exact cosine
+    * and the top-[[GdK]] emitted.
+    *
+    * Why this matters at 100 TB: q171's hops fetch the 256-byte float
+    * payload for every scored candidate; here the traversal's by-id
+    * fetches read 8 CODE bytes per row from the column-pruned index
+    * scan (PlanGuard pins `embedding` out and `rcodes` in), and the
+    * full-precision table is touched for only |Q|·[[PfRerank]] rows at
+    * the end — DiskANN's memory/disk split, with the codebook a
+    * bounded driver literal (the frozen model artifact every consumer
+    * shares). Recall@5 vs exact brute force is pinned in Round11Spec
+    * beside q171's (the ADC approximation costs recall; the pin
+    * documents how much). Deterministic: integer-quantized distances,
+    * id tiebreaks, fixed hops — DuckDB replays the whole search. */
+  def q176(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val idx = knnGraphIndex(s, d)
+    val g = s.read.parquet(s"$idx/graph").select(col("src"), col("nb"))
+    val buckets = s.read.parquet(s"$idx/buckets")
+    val enc = s.read.parquet(Round10Queries.annIndex(s, d))
+      .select(col("vec_id"), col("rcodes").as("codes"))
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    val q = b.filter(col("vec_id") < GdQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cb = LlmQueries.pqCodebook(b)
+    val cbLit = array(cb.map(c => VectorOps.litArr(c)): _*)
+    def scoreAdc(cand: DataFrame): DataFrame =
+      enc.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          floor(call_function("pq_adc_dist",
+            col("qv"), col("codes"), cbLit, lit(LlmQueries.PqDs)) * 10000)
+            .cast("long").as("ad"))
+    val qMemb = bucketMembership(b.filter(col("vec_id") < GdQ))
+      .select(col("vec_id").as("q_id"), col("t"), col("bk"))
+    val entry = qMemb.join(buckets, Seq("t", "bk"))
+      .filter(col("nb") =!= col("q_id"))
+      .select(col("q_id"), col("nb").as("vec_id"))
+    var frontier = topQA(scoreAdc(entry), PfBeam)
+    for (_ <- 1 to GdHops) {
+      val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
+        .join(g, Seq("src"))
+        .filter(col("nb") =!= col("q_id"))
+        .select(col("q_id"), col("nb").as("vec_id"))
+      frontier = topQA(frontier.unionByName(scoreAdc(expand)), PfBeam)
+    }
+    // full precision only here: |Q|·PfRerank by-id fetches
+    val pool = topQA(frontier, PfRerank).select(col("q_id"), col("vec_id"))
+    val rer = b.join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("sim"))
+    topQ(rer, GdK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // q175: MMR-diversified retrieval over the served beam ----------------
+
+  private val MmrK = 5       // diversified result size
+  // λ = 0.7 kept EXACT in integer bp: score = 7·sim(q,c) − 3·max_pen,
+  // both factors ×10 — no float mixing, so the greedy argmax is
+  // bit-deterministic and DuckDB replays it
+  private val MmrLam = 7
+  private val MmrPen = 3
+
+  /** q175: Maximal Marginal Relevance (Carbonell & Goldstein 1998) over
+    * q171's served beam — the diversification pass a retrieval stack
+    * runs when its raw top-k collapses onto near-duplicates (and this
+    * corpus HAS exact-clone neighborhoods, so plain top-5 degenerates;
+    * the spec measures the pairwise-sim drop). Greedy loop, [[MmrK]]
+    * fixed steps so the oracle replays it: step 1 takes the beam's
+    * rank-1; each later step scores every unselected beam candidate as
+    * [[MmrLam]]·sim(q,c) − [[MmrPen]]·max over selected s of sim(c,s)
+    * and takes the argmax (score desc, id asc).
+    *
+    * Scale shape: the beam is ≤ |Q|·[[GdBeam]] rows, so every step is
+    * a broadcast join over serving-sized data — pair sims are computed
+    * candidate×selected (≤ beam·k per query), never corpus-anything;
+    * candidate vectors attach ONCE and ride the loop checkpointed. */
+  def q175(s: SparkSession, d: String): DataFrame = {
+    val beam = flatGraphSearch(s, d)._1
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    // beam with candidate vectors attached once (≤ |Q|·beam rows)
+    val cv = beam.join(b, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("sim"), col("v"))
+      .localCheckpoint(false)
+    def pick1(scored: DataFrame, rn: Int): DataFrame =
+      scored.groupBy(col("q_id"))
+        .agg(call_function("collect_topk",
+          struct(col("nscore"), col("vec_id"), col("sim")), lit(1), lit(true)).as("t"))
+        .select(col("q_id"), explode(col("t")).as("e"))
+        .select(col("q_id"), lit(rn).as("rn"),
+          col("e.vec_id").as("vec_id"), col("e.sim").as("sim"))
+    var selected = pick1(cv.select(col("q_id"), (-col("sim")).as("nscore"),
+      col("vec_id"), col("sim")), 1).localCheckpoint(false)
+    for (step <- 2 to MmrK) {
+      val selV = selected.join(b, Seq("vec_id"))
+        .select(col("q_id"), col("vec_id").as("sid"), col("v").as("sv"))
+      val pen = cv
+        .join(selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .join(broadcast(selV), Seq("q_id"))
+        .groupBy(col("q_id"), col("vec_id"), col("sim"))
+        .agg(max(cosBp(col("v"), col("sv"))).as("pen"))
+      selected = selected.unionByName(pick1(
+          pen.select(col("q_id"),
+            (-(lit(MmrLam) * col("sim") - lit(MmrPen) * col("pen"))).as("nscore"),
+            col("vec_id"), col("sim")), step))
+        .localCheckpoint(false)
+    }
+    selected.select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   // q173: hierarchical graph serving (HNSW upper layers) ----------------
 
   private val HnRatio = 4  // per-level promote ratio: P[level >= l] = 4^-l
@@ -739,7 +959,9 @@ object Round11Queries extends QueryPack {
     "q171_graph_ann" -> q171 _,
     "q172_adaptive_knn" -> q172 _,
     "q173_hnsw_ann" -> q173 _,
-    "q174_filtered_graph_ann" -> q174 _
+    "q174_filtered_graph_ann" -> q174 _,
+    "q175_mmr_rerank" -> q175 _,
+    "q176_pq_graph_ann" -> q176 _
   )
 
   /** The seed + per-round CTE list (no WITH), shared by every graph
@@ -943,10 +1165,121 @@ object Round11Queries extends QueryPack {
             WHERE e.label = $FgLabel)
       WHERE rn <= $GdK
       ORDER BY q_id, rn""",
+    // the greedy MMR loop unrolled: m1 = beam rank-1, m{i} = argmax of
+    // 7·sim − 3·(max sim to the selected set) among unselected beam
+    // rows — integer bp throughout, so each argmax is bit-deterministic
+    "q175_mmr_rerank" -> {
+      val steps = (2 to MmrK).map { i =>
+        val p = i - 1
+        s"""pen$i AS (
+          SELECT c.q_id, c.vec_id, c.sim,
+                 MAX(${VectorOps.cosineSql("x.embedding", "y.embedding")}) AS pen
+          FROM c0 c
+          JOIN sel$p s ON s.q_id = c.q_id
+          JOIN b x ON x.vec_id = c.vec_id
+          JOIN b y ON y.vec_id = s.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel$p t
+                            WHERE t.q_id = c.q_id AND t.vec_id = c.vec_id)
+          GROUP BY c.q_id, c.vec_id, c.sim),
+        m$i AS (
+          SELECT q_id, vec_id, sim
+          FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+                  ORDER BY $MmrLam * sim - $MmrPen * pen DESC, vec_id) AS rn
+                FROM pen$i)
+          WHERE rn = 1),
+        sel$i AS (SELECT * FROM sel$p UNION ALL SELECT * FROM m$i)""" }.mkString(",\n      ")
+      s"""$flatSearchSql,
+      c0 AS MATERIALIZED (SELECT q_id, vec_id, sim FROM f$GdHops),
+      m1 AS (
+        SELECT q_id, vec_id, sim
+        FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id) AS rn
+              FROM c0)
+        WHERE rn = 1),
+      sel1 AS (SELECT * FROM m1),
+      $steps
+      SELECT q_id, rn, vec_id, sim AS sim_q
+      FROM (${(1 to MmrK).map(i =>
+        s"SELECT q_id, $i AS rn, vec_id, sim FROM m$i").mkString("\n            UNION ALL ")})
+      ORDER BY q_id, rn"""
+    },
     "q172_adaptive_knn" -> s"""
       SELECT CAST($AdRounds AS INT) AS rounds_budget,
              CAST(1 AS INT) AS converged_early,
              CAST(1 AS INT) AS full_coverage""",
+    // the ADC-scored traversal: same graph chain and entry candidates
+    // as q171, but every frontier ranks by the PQ asymmetric distance
+    // (q119's list_sum ADC over the 16-entry codebook), exact cosine
+    // only in the final rerank CTE — the DiskANN split replayed
+    "q176_pq_graph_ann" -> {
+      val adcOf = (cand: String, out: String) => s"""$out AS (
+        SELECT cd.q_id, cd.vec_id,
+               CAST(floor(list_sum(list(
+                 ${VectorOps.subL2sqSql("q.qv", "pcb.cv", "pc.j", LlmQueries.PqDs)}
+                 ORDER BY pc.j)) * 10000) AS BIGINT) AS ad
+        FROM $cand cd
+        JOIN pcodes pc ON pc.vec_id = cd.vec_id
+        JOIN pcb ON pcb.k = pc.k
+        JOIN pq q ON q.q_id = cd.q_id
+        GROUP BY cd.q_id, cd.vec_id)"""
+      val hopSql = (1 to GdHops).map { h =>
+        val p = h - 1
+        s"""pe$h AS (
+          SELECT DISTINCT f.q_id, g.nb AS vec_id
+          FROM pf$p f JOIN g$KiRounds g ON g.src = f.vec_id
+          WHERE g.nb <> f.q_id),
+        ${adcOf(s"pe$h", s"pas$h")},
+        pf$h AS MATERIALIZED (
+          SELECT q_id, vec_id, ad
+          FROM (SELECT q_id, vec_id, ad, row_number() OVER (PARTITION BY q_id
+                  ORDER BY ad, vec_id) AS rn
+                FROM (SELECT q_id, vec_id, ad FROM pf$p
+                      UNION
+                      SELECT q_id, vec_id, ad FROM pas$h))
+          WHERE rn <= $PfBeam)""" }.mkString(",\n      ")
+      val qmembSql = (0 until KgTables).map(t =>
+        s"""SELECT vec_id AS q_id, $t AS t,
+            ${VectorOps.lshBucketSql("embedding", KgBits, t * KgBits)} AS bk
+            FROM b WHERE vec_id < $GdQ""").mkString("\n        UNION ALL ")
+      s"""${graphSql(KiK, KiUnd, KiRounds)},
+      pq AS (SELECT vec_id AS q_id, embedding AS qv FROM b WHERE vec_id < $GdQ),
+      pcb AS (SELECT vec_id AS k, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      psub AS (SELECT b.vec_id, g.j, pcb.k,
+                 row_number() OVER (PARTITION BY b.vec_id, g.j
+                   ORDER BY ${VectorOps.subL2sqSql("b.embedding", "pcb.cv", "g.j", LlmQueries.PqDs)}, pcb.k) AS rnk
+               FROM b, pcb, generate_series(0, ${LlmQueries.PqM - 1}) AS g(j)),
+      pcodes AS MATERIALIZED (SELECT vec_id, j, k FROM psub WHERE rnk = 1),
+      pqm AS (
+        $qmembSql),
+      pec AS (
+        SELECT DISTINCT q.q_id, c.nb AS vec_id
+        FROM pqm q JOIN capped c ON q.t = c.t AND q.bk = c.bk AND c.nb <> q.q_id),
+      ${adcOf("pec", "pas0")},
+      pf0 AS MATERIALIZED (
+        SELECT q_id, vec_id, ad
+        FROM (SELECT q_id, vec_id, ad, row_number() OVER (PARTITION BY q_id
+                ORDER BY ad, vec_id) AS rn
+              FROM pas0)
+        WHERE rn <= $PfBeam),
+      $hopSql,
+      pool AS (
+        SELECT q_id, vec_id
+        FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY ad, vec_id) AS rn
+              FROM pf$GdHops)
+        WHERE rn <= $PfRerank),
+      rer AS (
+        SELECT p.q_id, p.vec_id,
+               ${VectorOps.cosineSql("q.embedding", "c.embedding")} AS sim
+        FROM pool p JOIN b q ON q.vec_id = p.q_id
+                    JOIN b c ON c.vec_id = p.vec_id)
+      SELECT q_id, rn, vec_id, sim AS sim_q
+      FROM (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+              ORDER BY sim DESC, vec_id) AS rn
+            FROM rer)
+      WHERE rn <= $GdK
+      ORDER BY q_id, rn"""
+    },
     // the hierarchical search replayed step by step: one graphChain per
     // HNSW layer (l{l}g1 = the layer's q168-recipe graph), hf{i} the
     // frontier after upper-layer step i, f{h} the L0 beam after hop h —

@@ -258,6 +258,75 @@ class Round11Spec extends SparkSpec {
     assert(r174 >= 0.9, s"q174 filtered recall@5 fell to $r174 (floor 0.9; measured 0.975)")
   }
 
+  test("q176 PQ-fused traversal: recall pinned, sims exact after rerank, hops never read the float payload") {
+    val (vecs, exact, cosBp) = gtState
+    val out = SparkEntry.queries("q176_pq_graph_ann")(spark, sf("sf0.001"))
+    val rows = out.select("q_id", "rn", "vec_id", "sim_q").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet, "one result list per query")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Number]("rn").intValue()).sorted.toSeq == (1 to 5),
+        s"query $q: ranks must be dense 1..5")
+      val ids = rs.map(_.getLong(2))
+      assert(ids.distinct.length == 5 && !ids.contains(q),
+        s"query $q: results must be 5 distinct non-self ids")
+      // the rerank restores FULL precision: emitted sims are exact
+      rs.foreach(r => assert(r.getLong(3) == cosBp(vecs(q), vecs(r.getLong(2))),
+        s"query $q -> ${r.getLong(2)}: sim_q diverges from exact cosine"))
+    }
+    val hits = (0L until 8L).map(q => (byQ(q).map(_.getLong(2)).toSet & exact(q)).size).sum
+    val r176 = hits.toDouble / 40.0
+    info(s"q176 PQ-traversal recall@5 = $r176 (q171 exact-scored: 1.0)")
+    // measured knob frontier on the fixture: 0.425 @ (L=30, rerank 10),
+    // 0.75 @ (60, 30), 0.875 @ (90, 60) — recall follows the rerank
+    // budget exactly as DiskANN's L does; shipped knobs are (90, 60)
+    assert(r176 >= 0.8, s"q176 recall@5 fell to $r176 (floor 0.8; measured 0.875)")
+    // the DiskANN split in the plan: every scan that reads the PQ codes
+    // is pruned away from the float payload (8 code bytes, not 256)
+    val plan = out.queryExecution.executedPlan.toString
+    val codeScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("rcodes")).toSeq
+    assert(codeScans.nonEmpty, s"traversal must score from the rcodes index scan:\n$plan")
+    codeScans.foreach(l => assert(!l.contains("embedding") && !l.contains("prefix"),
+      s"ADC scan must not read the float payload:\n$l"))
+  }
+
+  test("q175 MMR rerank: rank-1 kept, strictly more diverse than plain top-5, subset of the beam") {
+    val (vecs, _, cosBp) = gtState
+    val plain = SparkEntry.queries("q171_graph_ann")(spark, sf("sf0.001"))
+      .select("q_id", "rn", "vec_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getAs[Number]("rn").intValue()).map(_.getLong(2)).toSeq).toMap
+    val mmr = SparkEntry.queries("q175_mmr_rerank")(spark, sf("sf0.001"))
+      .select("q_id", "rn", "vec_id", "sim_q").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getAs[Number]("rn").intValue())
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq).toMap
+    assert(mmr.keySet == (0L until 8L).toSet, "one MMR list per query")
+    def avgPairSim(ids: Seq[Long]): Double =
+      (for (Seq(a, c) <- ids.combinations(2)) yield cosBp(vecs(a), vecs(c)).toDouble)
+        .toSeq.sum / (ids.size * (ids.size - 1) / 2)
+    var sumPlain = 0.0; var sumMmr = 0.0
+    for (q <- 0L until 8L) {
+      val m = mmr(q)
+      assert(m.size == 5 && m.map(_._1).distinct.size == 5,
+        s"query $q: MMR must emit 5 distinct results")
+      // greedy step 1 is relevance-only: identical to the plain rank-1
+      assert(m.head._1 == plain(q).head,
+        s"query $q: MMR rank-1 must equal the beam's rank-1")
+      // sims are the exact q-candidate cosine (the relevance term)
+      m.foreach { case (id, sim) => assert(sim == cosBp(vecs(q), vecs(id)),
+        s"query $q -> $id: sim_q diverges from exact cosine") }
+      sumPlain += avgPairSim(plain(q)); sumMmr += avgPairSim(m.map(_._1))
+    }
+    // the point of the operator: the diversified set's average pairwise
+    // sim must sit measurably below the plain top-5's (this corpus has
+    // exact-clone neighborhoods, so plain top-5 is near-degenerate)
+    info(s"avg pairwise sim: plain ${sumPlain / 8}, mmr ${sumMmr / 8}")
+    assert(sumMmr < sumPlain - 8 * 100,
+      s"MMR must reduce avg pairwise sim by >100 bp/query: plain ${sumPlain / 8} vs mmr ${sumMmr / 8}")
+  }
+
   test("q170 semantic clusters: survivors are the representatives, splits never straddle a cluster") {
     val out = SparkEntry.queries("q170_semantic_clusters")(spark, sf("sf0.001"))
       .select("vec_id", "cluster_id", "kept", "split").collect()

@@ -986,6 +986,67 @@ class StreamingSpec extends SparkSpec {
         s"hierarchical serve for $qid must find $want, got ${hTop1(qid)}")
   }
 
+  test("cluster ingest loop: merges monotone, rebuild refines incremental, deletes re-elect reps") {
+    import graft.queries.Round11Queries
+    graft.GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val bOld = e.filter(col("vec_id") < 400)
+    val drop = e.filter(col("vec_id") >= 400)
+    val gOld = Round11Queries.knnGraphBuild(bOld, 15, 30, 3)
+      .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    val thr = Round11Queries.clusterThreshold(gOld)
+    val c0 = Round11Queries.clusterMap(bOld.select("vec_id"), gOld, thr)
+      .localCheckpoint(false)
+    val gNew = Round11Queries.appendToKnnGraph(gOld, bOld, drop, 15, 30)
+      .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    def cmap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("vec_id", "cluster_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1df = Round11Queries.appendToClusters(
+      c0, gNew, drop.select("vec_id"), thr).localCheckpoint(false)
+    val c1 = cmap(c1df)
+    // 1) coverage + determinism
+    assert(c1.keySet == (0L until 500L).toSet, "grown map must cover all 500 ids")
+    assert(cmap(Round11Queries.appendToClusters(c0, gNew, drop.select("vec_id"), thr)) == c1,
+      "cluster maintenance must be deterministic")
+    // 2) monotone merges: an old cluster's members never separate
+    for ((_, members) <- cmap(c0).groupBy(_._2).view.mapValues(_.keys.toSeq)) {
+      assert(members.map(c1).distinct.size == 1,
+        s"old cluster ${members.take(3)}... split after append")
+    }
+    // 3) a frozen-threshold rebuild on the grown graph REFINES the
+    //    incremental map: rebuild-connected => incremental-connected
+    val cR = cmap(Round11Queries.clusterMap(e.select("vec_id"), gNew, thr))
+    for ((_, members) <- cR.groupBy(_._2).view.mapValues(_.keys.toSeq)) {
+      assert(members.map(c1).distinct.size == 1,
+        s"rebuild cluster ${members.take(3)}... straddles incremental clusters")
+    }
+    // 4) the append actually merged drop arrivals somewhere (the fixture
+    //    corpus has near-dup structure across the 400-cut)
+    assert((400L until 500L).exists(id => c1(id) < 400L),
+      "no drop id joined a base cluster — the mutual pass saw nothing")
+    // 5) decision-table integrity after a delete that retires a
+    //    REPRESENTATIVE: members stay together, min survivor re-elected
+    val rep = c1.values.groupBy(identity).collectFirst {
+      case (cid, occ) if occ.size >= 3 => cid
+    }.getOrElse(fail("fixture must have a cluster of >= 3 members"))
+    import spark.implicits._
+    val c2df = Round11Queries.deleteFromClusters(c1df, Seq(rep).toDF("vec_id"))
+    val c2 = cmap(c2df)
+    assert(!c2.contains(rep), "deleted representative must leave the map")
+    val orphans = c1.filter { case (id, cid) => cid == rep && id != rep }.keys.toSeq
+    assert(orphans.map(c2).distinct.size == 1 &&
+      c2(orphans.head) == orphans.min,
+      s"cluster of $rep must stay together under min survivor ${orphans.min}")
+    val kept2 = c2df.filter(col("kept") === 1).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept2.contains(orphans.min), "re-elected representative must be kept")
+    c2df.groupBy(col("cluster_id")).agg(countDistinct(col("split")).as("s"))
+      .collect().foreach(r => assert(r.getLong(1) == 1L,
+        s"cluster ${r.getLong(0)} straddles a split after delete"))
+  }
+
   test("CDC ingest: a delete retires the id from every artifact and frees the gate") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -1006,14 +1067,19 @@ class StreamingSpec extends SparkSpec {
     Round10Queries.annIndexRows(
         base.select(col("doc_id").as("vec_id"), col("label"), col("v")), cents, cb)
       .repartition(6).write.parquet(idxPath)
+    val g0 = Round11Queries.knnGraphBuild(baseVecs, 15, 30, 3)
+      .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    val thr0 = Round11Queries.clusterThreshold(g0)
     val st = new Streaming.IngestState(
       Streaming.buildNearDupIndex(base.select("doc_id", "text"), 64),
       idxPath,
-      Round11Queries.knnGraphBuild(baseVecs, 15, 30, 3)
-        .select(col("src"), col("nb"), col("sim")).localCheckpoint(false),
+      g0,
       baseVecs.localCheckpoint(true),
       cents, cb,
-      layers = Some(Round11Queries.hnswLayers(baseVecs).localCheckpoint(false)))
+      layers = Some(Round11Queries.hnswLayers(baseVecs).localCheckpoint(false)),
+      clusters = Some(Round11Queries.clusterMap(
+        baseVecs.select(col("vec_id")), g0, thr0).localCheckpoint(false)),
+      clusterThr = thr0)
     def vecOf(id: Long): Seq[Double] =
       joined.filter(col("doc_id") === id).select("v").collect().head.getSeq[Double](0)
     val text5 = base.filter(col("doc_id") === 5).select("text").collect().head.getString(0)
@@ -1062,6 +1128,15 @@ class StreamingSpec extends SparkSpec {
     val lIds = st.layers.get.select("src").collect().map(_.getLong(0)).toSet ++
       st.layers.get.select("nb").collect().map(_.getLong(0)).toSet
     assert(!lIds.contains(5L) && !lIds.contains(450L), "layers still reference a retired id")
+    // 4b) cluster state tracked the same CDC stream: exactly the
+    //     survivors, retired ids gone, decision table still leakage-safe
+    val cm = st.clusters.get.select("vec_id", "cluster_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(cm.keySet == surviving, "cluster map must hold exactly the surviving ids")
+    cm.groupBy(_._2._1).foreach { case (cid, mem) =>
+      assert(mem.values.map(_._2).toSeq.distinct.size == 1,
+        s"cluster $cid straddles a split after CDC maintenance")
+    }
     // 5) serving reflects the delete + re-add: a probe with doc 5's OWN
     //    vector now lands on 902 (its re-licensed copy), never on 5
     val top1 = Streaming.annProbe(Round10Queries.readAnnIndex(spark, idxPath),
