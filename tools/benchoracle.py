@@ -26,7 +26,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 WORKER = r"""
 import json, sys, time
 import duckdb
-sf_dir, sql, runs = sys.argv[1], sys.argv[2], int(sys.argv[3])
+# SQL arrives via a file: the q173-class oracles (one graph chain per
+# HNSW layer) overflow the kernel argv limit as a literal argument
+sf_dir, sql_path, runs = sys.argv[1], sys.argv[2], int(sys.argv[3])
+sql = open(sql_path).read()
 con = duckdb.connect()
 for t in %s:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -41,13 +44,16 @@ print(json.dumps(best))
 
 
 def main(sf_dir, oracle_json, runs=2, timeout=900):
+    import tempfile
     oracle = json.load(open(oracle_json))
     out, failed = {}, {}
     for name in sorted(oracle):
         t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
+            f.write(oracle[name]); sql_path = f.name
         try:
             r = subprocess.run(
-                [sys.executable, "-c", WORKER, sf_dir, oracle[name], str(runs)],
+                [sys.executable, "-c", WORKER, sf_dir, sql_path, str(runs)],
                 capture_output=True, text=True, timeout=timeout)
             if r.returncode == 0:
                 out[name] = round(json.loads(r.stdout.strip().splitlines()[-1]), 4)
