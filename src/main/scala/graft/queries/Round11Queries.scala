@@ -442,6 +442,64 @@ object Round11Queries extends QueryPack {
     touched.foldLeft(untouched)(_ unionByName _)
   }
 
+  /** q177: the cluster-maintenance invariants under the hash gate — the
+    * q172 assertion discipline extended to the stateful maintenance
+    * path (cross-batch state isn't SQL-replayable, so the query
+    * EXECUTES the incremental path in-engine and emits verdicts the
+    * oracle states as literals). Deterministic 80/20 split by
+    * `vec_id % 5` (robust to the scaled fixtures' offset id domains):
+    * build the standing graph + frozen-threshold map on the 80%, fold
+    * the 20% in through [[appendToKnnGraph]] + [[appendToClusters]]
+    * (the q168 one-round recipe keeps the query suite-affordable; the
+    * invariants don't depend on convergence depth), then assert via
+    * bounded aggregates — coverage (every grown id mapped exactly
+    * once), monotone merges (no pre-append cluster splits), and
+    * rebuild refinement (a frozen-threshold rebuild on the grown graph
+    * never straddles incremental clusters). A regression in any
+    * maintenance invariant flips a verdict at every sf. */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensure(s)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    val bOld = b.filter(col("vec_id") % 5 =!= 4)
+    val drop = b.filter(col("vec_id") % 5 === 4)
+    val gOld = knnGraphBuild(bOld, KgK, KgUnd, rounds = 1)
+      .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    val thr = clusterThreshold(gOld)
+    val c0 = clusterMap(bOld.select(col("vec_id")), gOld, thr).localCheckpoint(false)
+    val gNew = appendToKnnGraph(gOld, bOld, drop, KgK, KgUnd)
+      .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    val c1 = appendToClusters(c0, gNew, drop.select(col("vec_id")), thr)
+      .localCheckpoint(false)
+    val n = b.count()
+    val coverage = c1.count() == n &&
+      c1.join(b.select(col("vec_id")), Seq("vec_id")).count() == n
+    def neverStraddles(base: DataFrame): Boolean =
+      base.select(col("vec_id"), col("cluster_id").as("base_cl"))
+        .join(c1.select(col("vec_id"), col("cluster_id").as("inc_cl")), Seq("vec_id"))
+        .groupBy(col("base_cl"))
+        .agg(countDistinct(col("inc_cl")).as("k"))
+        .agg(max(col("k")).as("m"))
+        .collect()(0).getLong(0) <= 1L
+    val monotone = neverStraddles(c0)
+    // rebuild-refinement WITHOUT a third CC: components are generated
+    // by edges, so "every frozen-thr rebuild cluster sits inside one
+    // incremental cluster" ⟺ "no single rebuild edge crosses a c1
+    // boundary" (along any rebuild path some edge would cross) — two
+    // narrow joins instead of a clusterMap + CC pass
+    val eR = mutualEdges(topK(gNew, KgK).select(col("src"), col("nb"), col("sim")))
+      .filter(col("sim") >= lit(thr))
+      .select(col("src"), col("nb"))
+    val refined = eR
+      .join(c1.select(col("vec_id").as("src"), col("cluster_id").as("ca")), Seq("src"))
+      .join(c1.select(col("vec_id").as("nb"), col("cluster_id").as("cb")), Seq("nb"))
+      .filter(col("ca") =!= col("cb")).count() == 0
+    s.range(1).select(
+      lit(if (coverage) 1 else 0).cast("int").as("coverage_ok"),
+      lit(if (monotone) 1 else 0).cast("int").as("monotone_ok"),
+      lit(if (refined) 1 else 0).cast("int").as("rebuild_refines_ok"))
+  }
+
   // q171: graph-descent ANN — SERVING from the converged graph ----------
 
   private val GdQ = 8      // queries: vec_id < GdQ (the family convention)
@@ -522,17 +580,28 @@ object Round11Queries extends QueryPack {
   private def flatGraphSearch(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.GraftFunctions.ensure(s)
     val idx = knnGraphIndex(s, d)
-    val g = s.read.parquet(s"$idx/graph").select(col("src"), col("nb"))
-    val buckets = s.read.parquet(s"$idx/buckets")
     val b = Tables.embeddings(s, d)
       .select(col("vec_id"), toD(col("embedding")).as("v"))
-    val q = b.filter(col("vec_id") < GdQ)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    graphSearch(
+      s.read.parquet(s"$idx/graph").select(col("src"), col("nb")),
+      s.read.parquet(s"$idx/buckets"), b,
+      b.filter(col("vec_id") < GdQ)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+  }
+
+  /** The flat beam search over whatever graph/bucket state the caller
+    * holds — q171/q174 pass the write-once fixture artifact; the
+    * artifact-lifecycle spec passes a delete-aware read of a mutated
+    * copy. Returns (final beam, full scored set) — see
+    * [[flatGraphSearch]]. */
+  private[graft] def graphSearch(g: DataFrame, buckets: DataFrame,
+                                 b: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
     // entry candidates: the query's buckets in each LSH table, against
     // the capped corpus bucket lists — |Q|·tables·cap id pairs
-    val qMemb = bucketMembership(b.filter(col("vec_id") < GdQ))
+    val qMemb = bucketMembership(
+        q.select(col("q_id").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("q_id"), col("t"), col("bk"))
-    val entry = qMemb.join(buckets, Seq("t", "bk"))
+    val entry = qMemb.join(buckets.select(col("t"), col("bk"), col("nb")), Seq("t", "bk"))
       .filter(col("nb") =!= col("q_id"))
       .select(col("q_id"), col("nb").as("vec_id"))
     def score(cand: DataFrame): DataFrame =
@@ -545,7 +614,7 @@ object Round11Queries extends QueryPack {
     var scored = s0
     for (_ <- 1 to GdHops) {
       val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
-        .join(g, Seq("src"))
+        .join(g.select(col("src"), col("nb")), Seq("src"))
         .filter(col("nb") =!= col("q_id"))
         .select(col("q_id"), col("nb").as("vec_id"))
       // rescoring a frontier node yields the identical row, so the
@@ -591,6 +660,125 @@ object Round11Queries extends QueryPack {
         .select(col("q_id"), col("vec_id"), col("sim")), GdK)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  // knngraph ARTIFACT lifecycle (the on-disk delta path) -----------------
+
+  /** Append a vector drop to the ON-DISK knngraph artifact — the LSM
+    * delta design that lets a serving tier ingest without holding the
+    * graph in memory (the in-memory path is [[appendToKnnGraph]] +
+    * `IngestState`; this is the same operation landed as part files).
+    * Works because serving consumes the graph as an EDGE SET and the
+    * bucket table as candidate lists: the drop's top-[[KiK]] edges
+    * (scored against by-id fetches of its persisted-bucket mates) plus
+    * their reverses plus its bucket memberships land as NEW files; no
+    * existing file is touched, old nodes' stale top-k lists stay valid
+    * edges (extra edges only widen expansion), and
+    * [[compactKnnGraphIndex]] periodically restores the exact bounded
+    * shape. Per-drop work: one probe of the persisted bucket lists +
+    * O(|drop|·cap) scored pairs — the nearDupProbe economics. */
+  def appendToKnnGraphIndex(s: SparkSession, idxPath: String,
+                            b: DataFrame, drop: DataFrame): Unit = {
+    val memb = bucketMembership(drop)
+    val dropLists = memb.select(col("t"), col("bk"), col("vec_id").as("nb"))
+    // candidates = persisted lists ∪ this drop's own memberships (so
+    // drop-internal near-pairs are seen); compaction re-caps later
+    val lists = s.read.parquet(s"$idxPath/buckets")
+      .select(col("t"), col("bk"), col("nb")).unionByName(dropLists)
+    val cand = memb.select(col("vec_id").as("src"), col("v"), col("t"), col("bk"))
+      .join(lists, Seq("t", "bk"))
+      .filter(col("src") =!= col("nb"))
+      .join(b.select(col("vec_id").as("nb"), col("v").as("nv")), Seq("nb"))
+      .select(col("src"), col("nb"), cosBp(col("v"), col("nv")).as("sim"))
+    val dropE = topK(cand, KiK).select(col("src"), col("nb"), col("sim"))
+    dropE.unionByName(
+        dropE.select(col("nb").as("src"), col("src").as("nb"), col("sim")))
+      .write.mode("append").parquet(s"$idxPath/graph")
+    dropLists.write.mode("append").parquet(s"$idxPath/buckets")
+  }
+
+  /** Logical delete from the artifact: O(|delete|) tombstone append
+    * (the annidx3 sidecar pattern); [[readKnnGraphIndex]] hides the
+    * retired ids from every serve path and the next compaction makes
+    * it physical. */
+  def deleteFromKnnGraphIndex(s: SparkSession, idxPath: String,
+                              delIds: DataFrame): Unit =
+    delIds.select(col("vec_id").cast("long"))
+      .write.mode("append").parquet(s"$idxPath/tombstones")
+
+  /** Delete-aware read of the artifact: (edges, bucket lists) minus the
+    * tombstone set — the sidecar is |deletes|-sized so both anti-joins
+    * broadcast; a plain artifact (no sidecar) reads as bare scans. */
+  def readKnnGraphIndex(s: SparkSession, idxPath: String): (DataFrame, DataFrame) = {
+    val g = s.read.parquet(s"$idxPath/graph")
+    val lists = s.read.parquet(s"$idxPath/buckets")
+    val tomb = new org.apache.hadoop.fs.Path(s"$idxPath/tombstones")
+    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) (g, lists)
+    else {
+      val del = broadcast(s.read.parquet(tomb.toString)
+        .select(col("vec_id")).distinct())
+      (g.join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+         .join(del.select(col("vec_id").as("nb")), Seq("nb"), "left_anti")
+         .select(col("src"), col("nb"), col("sim")),
+       lists.join(del.select(col("vec_id").as("nb")), Seq("nb"), "left_anti")
+         .select(col("t"), col("bk"), col("nb")))
+    }
+  }
+
+  /** Compaction of the artifact: merge the append deltas back to the
+    * exact bounded shape — per-node top-[[KiK]] edge lists and
+    * per-(table, bucket) candidate lists re-capped at [[KgCap]] in the
+    * build's md5 order — with tombstoned rows physically dropped and
+    * the sidecar cleared. A full rewrite, but of the ID-NARROW index
+    * (n·K 24-byte edges), never the vector payload. Pruning the delta
+    * edges back to the bound CAN narrow beam reachability in
+    * principle — the result is exactly the shape a fresh build
+    * guarantees (whose recall floors are pinned); the lifecycle spec
+    * pins that fixture probes keep their answers across the rewrite.
+    * Returns the number of graph part files the rewrite replaced
+    * (0 = nothing to do — idempotent on a compact artifact). */
+  def compactKnnGraphIndex(s: SparkSession, idxPath: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idxPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def parts(dir: String) = fs.listStatus(new Path(dir))
+      .map(_.getPath).filter(p => p.getName.endsWith(".parquet"))
+    def manifest(dir: String) = parts(dir).map(_.getName).sorted.mkString("\n")
+    // idempotence marker: the file set the LAST compaction left behind
+    // (underscore-prefixed — parquet readers skip it); appends change
+    // the set, deletes leave a sidecar — either reopens the work
+    val marker = new Path(s"$idxPath/graph/_compact_manifest")
+    val hasTomb = fs.exists(new Path(s"$idxPath/tombstones"))
+    val current = manifest(s"$idxPath/graph")
+    if (!hasTomb && fs.exists(marker)) {
+      val in = fs.open(marker)
+      val last = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      if (last == current) return 0
+    }
+    val before = parts(s"$idxPath/graph").length
+    val (g, lists) = readKnnGraphIndex(s, idxPath)
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("bk"))
+      .orderBy(md5(col("nb").cast("string")), col("nb"))
+    val tmpG = s"$idxPath/graph_compact_tmp"
+    val tmpB = s"$idxPath/buckets_compact_tmp"
+    topK(g.select(col("src"), col("nb"), col("sim")), KiK)
+      .select(col("src"), col("nb"), col("sim"))
+      .repartition(8).write.parquet(tmpG)
+    lists.distinct()
+      .withColumn("br", row_number().over(wCap)).filter(col("br") <= KgCap)
+      .select(col("t"), col("bk"), col("nb"))
+      .repartition(4).write.parquet(tmpB)
+    for ((dir, tmp) <- Seq(s"$idxPath/graph" -> tmpG, s"$idxPath/buckets" -> tmpB)) {
+      fs.delete(new Path(dir), true)
+      fs.rename(new Path(tmp), new Path(dir))
+    }
+    fs.delete(new Path(s"$idxPath/tombstones"), true)
+    val outM = fs.create(marker, true)
+    outM.write(manifest(s"$idxPath/graph").getBytes("UTF-8"))
+    outM.close()
+    before
   }
 
   // q176: PQ-fused graph traversal (DiskANN) ----------------------------
@@ -961,7 +1149,8 @@ object Round11Queries extends QueryPack {
     "q173_hnsw_ann" -> q173 _,
     "q174_filtered_graph_ann" -> q174 _,
     "q175_mmr_rerank" -> q175 _,
-    "q176_pq_graph_ann" -> q176 _
+    "q176_pq_graph_ann" -> q176 _,
+    "q177_cluster_maint" -> q177 _
   )
 
   /** The seed + per-round CTE list (no WITH), shared by every graph
@@ -1207,6 +1396,10 @@ object Round11Queries extends QueryPack {
       SELECT CAST($AdRounds AS INT) AS rounds_budget,
              CAST(1 AS INT) AS converged_early,
              CAST(1 AS INT) AS full_coverage""",
+    "q177_cluster_maint" -> s"""
+      SELECT CAST(1 AS INT) AS coverage_ok,
+             CAST(1 AS INT) AS monotone_ok,
+             CAST(1 AS INT) AS rebuild_refines_ok""",
     // the ADC-scored traversal: same graph chain and entry candidates
     // as q171, but every frontier ranks by the PQ asymmetric distance
     // (q119's list_sum ADC over the 16-entry codebook), exact cosine
