@@ -739,6 +739,35 @@ object Streaming {
       }
       .start()
 
+  /** Streaming graph-ANN serving: each arriving micro-batch of query
+    * vectors (q_id, qv) beam-searches the ON-DISK knngraph artifact and
+    * lands its top-k — the graph twin of [[annSearchStream]] and the
+    * serve side of the artifact lifecycle: every micro-batch re-plans
+    * the delete-aware read, so queries arriving after an
+    * `appendToKnnGraphIndex` find the new vectors and queries arriving
+    * after a `deleteFromKnnGraphIndex` never see the retired ones
+    * (spec-pinned across a mutation sequence). Per batch the work is
+    * the q171 serve shape — entry probe + beam·K by-id fetches — never
+    * a corpus scan. */
+  def graphSearchStream(queries: DataFrame, idxPath: String, base: DataFrame,
+                        k: Int, sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        graft.GraftFunctions.ensure(s)
+        val (g, lists) = graft.queries.Round11Queries.readKnnGraphIndex(s, idxPath)
+        val (frontier, _) = graft.queries.Round11Queries
+          .graphSearch(g, lists, base, batch.toDF())
+        sink(frontier.groupBy(col("q_id"))
+          .agg(call_function("collect_topk",
+            struct((-col("sim")).as("ns"), col("vec_id")), lit(k), lit(true)).as("t"))
+          .select(col("q_id"), posexplode(col("t")).as(Seq("p", "e")))
+          .select(col("q_id"), (col("p") + 1).as("rn"),
+            col("e.vec_id").as("vec_id"), (-col("e.ns")).as("sim_q")))
+      }
+      .start()
+
   /** Streaming near-dup gate: every arriving micro-batch of documents
     * probes the static corpus index and lands with its match count and
     * keep/drop flag. `foreachBatch` is the honest Spark shape for this

@@ -1004,13 +1004,23 @@ class StreamingSpec extends SparkSpec {
       .repartition(4).write.parquet(s"$root/buckets")
     def vecOf(id: Long): Seq[Double] =
       e.filter(col("vec_id") === id).select("v").collect().head.getSeq[Double](0)
+    // every probe goes THROUGH the streaming serve loop: each micro-batch
+    // re-plans the delete-aware artifact read, so the mutation sequence
+    // below (append → delete → compact) is visible batch to batch — the
+    // claim graphSearchStream makes
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val served = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long)]]()
+    val sq = Streaming.graphSearchStream(
+      mem.toDF().toDF("q_id", "qv"), root, e, k = 5,
+      df => served.synchronized {
+        served += df.select("rn", "vec_id", "sim_q").collect()
+          .sortBy(_.getAs[Number]("rn").intValue())
+          .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      })
     def search(qid: Long, qv: Seq[Double]): Seq[(Long, Long)] = {
-      val (g, lists) = Round11Queries.readKnnGraphIndex(spark, root)
-      val (frontier, _) = Round11Queries.graphSearch(
-        g, lists, e, Seq((qid, qv)).toDF("q_id", "qv"))
-      frontier.select("vec_id", "sim").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+      mem.addData((qid, qv)); sq.processAllAvailable()
+      served.synchronized(served.last)
     }
     // 1) on-disk append: the drop becomes findable through the ARTIFACT
     Round11Queries.appendToKnnGraphIndex(spark, root, e, drop)
@@ -1050,6 +1060,7 @@ class StreamingSpec extends SparkSpec {
       "other appended vectors must still serve after compaction")
     // 4) idempotent
     assert(Round11Queries.compactKnnGraphIndex(spark, root) == 0)
+    sq.stop()
   }
 
   test("cluster ingest loop: merges monotone, rebuild refines incremental, deletes re-elect reps") {
