@@ -108,12 +108,30 @@ object AggQueries extends QueryPack {
         sum(when(col("value") < col("a75"), 1L).otherwise(0L)).as("s75"),
         max(col("e25")).as("p25"), max(col("e50")).as("p50"),
         max(col("e75")).as("p75"), max(col("cnt")).as("n"))
-      .select(col("p25"), col("p50"), col("p75"),
+      // quant4 emit (see helper doc): raw interpolated doubles straddle
+      // 1 ULP between engines at larger sf.
+      .select(quant4(col("p25")).as("p25"),
+        quant4(col("p50")).as("p50"),
+        quant4(col("p75")).as("p75"),
         (rankIntervalOk(col("s25"), col("c25"), 2500L) &&
           rankIntervalOk(col("s50"), col("c50"), 5000L) &&
           rankIntervalOk(col("s75"), col("c75"), 7500L))
           .cast("int").as("approx_rank_ok"))
   }
+
+  /** 4-decimal emit quantization for interpolated quantiles (q48/q61/
+    * q145): `floor(x·10⁴ + 0.5)/10⁴` in pure IEEE double ops, which
+    * both engines evaluate bit-identically given the same x. The raw
+    * lower+(upper-lower)·frac interpolation straddled 1 ULP between
+    * engines at sf1 (q145 p99: 230.53 vs 230.53000000000003); after
+    * quantization a mismatch needs x within ~1 ULP of a 0.5e-4 grid
+    * point — data granularity (2-decimal values) keeps interpolations
+    * far from that. NOT `round(x, k)`: Spark rounds the binary
+    * expansion, DuckDB the shortest decimal repr, and they disagree
+    * when the repr ends in …5 (the house round-half gotcha). */
+  private def quant4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
+  private val Quant4Sql = "floor(%s * 10000 + 0.5) / 10000"
 
   /** Duplicate-insensitive rank verdict shared by q48/q145: the target
     * rank p·n (in bp·rows) must land within `100·n + 10⁴` (1 % + 1 row)
@@ -159,7 +177,12 @@ object AggQueries extends QueryPack {
         sum(when(col("value") < col("a99"), 1L).otherwise(0L)).as("s99"),
         max(col("e50")).as("p50"), max(col("e95")).as("p95"),
         max(col("e99")).as("p99"), max(col("cnt")).as("n"))
-      .select(col("event_type"), col("p50"), col("p95"), col("p99"),
+      // quant4 emit (see helper doc): this is the query whose raw p99
+      // straddled 1 ULP at sf1.
+      .select(col("event_type"),
+        quant4(col("p50")).as("p50"),
+        quant4(col("p95")).as("p95"),
+        quant4(col("p99")).as("p99"),
         (rankIntervalOk(col("s50"), col("c50"), 5000L) &&
           rankIntervalOk(col("s95"), col("c95"), 9500L) &&
           rankIntervalOk(col("s99"), col("c99"), 9900L))
@@ -177,9 +200,9 @@ object AggQueries extends QueryPack {
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
-        expr("percentile(value, 0.25)").as("p25"),
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.75)").as("p75"))
+        quant4(expr("percentile(value, 0.25)")).as("p25"),
+        quant4(expr("percentile(value, 0.5)")).as("p50"),
+        quant4(expr("percentile(value, 0.75)")).as("p75"))
       .orderBy(col("event_type"))
 
   /** q64: Beam Sample.FixedSizePerKey — 20 deterministic pseudo-random
@@ -351,9 +374,9 @@ object AggQueries extends QueryPack {
       WHERE rk <= 20 ORDER BY lang, rk""",
     "q61_perkey_quantiles" -> """
       SELECT event_type,
-             quantile_cont(value, 0.25) AS p25,
-             quantile_cont(value, 0.5) AS p50,
-             quantile_cont(value, 0.75) AS p75
+             floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000 AS p25,
+             floor(quantile_cont(value, 0.5)  * 10000 + 0.5) / 10000 AS p50,
+             floor(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000 AS p75
       FROM events GROUP BY event_type ORDER BY event_type""",
     "q45_custom_argmax" -> """
       SELECT event_type, event_id AS top_event_id, value AS top_value
@@ -375,16 +398,16 @@ object AggQueries extends QueryPack {
              1 AS approx_within_5pc
       FROM events""",
     "q48_approx_quantiles" -> """
-      SELECT quantile_cont(value, 0.25) AS p25,
-             quantile_cont(value, 0.5)  AS p50,
-             quantile_cont(value, 0.75) AS p75,
+      SELECT floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000 AS p25,
+             floor(quantile_cont(value, 0.5)  * 10000 + 0.5) / 10000 AS p50,
+             floor(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000 AS p75,
              1 AS approx_rank_ok
       FROM events""",
     "q145_tdigest_quantiles" -> """
       SELECT event_type,
-             quantile_cont(value, 0.5)  AS p50,
-             quantile_cont(value, 0.95) AS p95,
-             quantile_cont(value, 0.99) AS p99,
+             floor(quantile_cont(value, 0.5)  * 10000 + 0.5) / 10000 AS p50,
+             floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95,
+             floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99,
              1 AS tdigest_rank_ok
       FROM events GROUP BY event_type ORDER BY event_type""",
     "q49_sample_det" -> """
