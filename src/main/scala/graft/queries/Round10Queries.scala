@@ -146,11 +146,32 @@ object Round10Queries extends QueryPack {
     * existing files (parquet append = new part files). The serving
     * contract after an append: probes see old ∪ new exactly as if the
     * index had been built from the union (same model ⇒ same rows).
-    * Caller owns id-uniqueness across drops, as with any ingest loop. */
+    * Caller owns id-uniqueness across drops, as with any ingest loop.
+    *
+    * Re-add under a PREVIOUSLY-TOMBSTONED id (delete → re-ingest before
+    * the next purge): an unordered sidecar would hide the new row from
+    * [[readAnnIndex]] and the next purge would physically drop it. The
+    * append therefore makes pending deletes physical FIRST when the
+    * drop's ids intersect the sidecar ([[purgeAnnIndex]] retires the
+    * old rows and clears the tombstones), so the appended row lands
+    * with no tombstone outranking it. The intersection probe is a
+    * broadcast semi join of the |deletes|-sized sidecar against the
+    * drop; the disjoint (common) path stays O(|drop|). */
   private[graft] def appendToAnnIndex(newRows: DataFrame, idxPath: String,
       cents: IndexedSeq[(Long, IndexedSeq[Double])],
-      cb: IndexedSeq[IndexedSeq[Double]]): Unit =
+      cb: IndexedSeq[IndexedSeq[Double]]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = newRows.sparkSession
+    val tomb = new Path(tombstonePath(idxPath))
+    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) {
+      val overlap = s.read.parquet(tomb.toString).select(col("vec_id"))
+        .join(broadcast(newRows.select(col("vec_id").cast("long").as("vec_id"))),
+          Seq("vec_id"), "left_semi")
+      if (!overlap.isEmpty) purgeAnnIndex(s, idxPath)
+    }
     annIndexRows(newRows, cents, cb).write.mode("append").parquet(idxPath)
+  }
 
   /** Compaction for the ingest-loop index: [[appendToAnnIndex]] accretes
     * one small part file per drop forever, and every probe's stage-1
@@ -266,7 +287,10 @@ object Round10Queries extends QueryPack {
       val part = fs.listStatus(tmp)
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
       fs.rename(part, new Path(idxPath, s"purge-${part.getName}"))
-      affected.foreach(f => fs.delete(new Path(new java.net.URI(f).getPath), false))
+      // full-URI Path: getPath would strip scheme/authority and resolve
+      // the delete against the wrong filesystem root on object stores
+      // (s3a://bucket/...) — correct-by-luck only on a default local FS
+      affected.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
       fs.delete(tmp, true)
     }
     fs.delete(tomb, true)

@@ -679,6 +679,19 @@ object Round11Queries extends QueryPack {
     * O(|drop|·cap) scored pairs — the nearDupProbe economics. */
   def appendToKnnGraphIndex(s: SparkSession, idxPath: String,
                             b: DataFrame, drop: DataFrame): Unit = {
+    // Re-add under a previously-tombstoned id: the sidecar would hide
+    // the re-added node from every serve path and the next compaction
+    // would physically drop its fresh edges (the annidx3 appendToAnnIndex
+    // hazard, same fix): make the pending deletes physical FIRST via
+    // compaction when the drop's ids intersect the sidecar, so the
+    // append lands on an artifact with no tombstone outranking it.
+    val tomb = new org.apache.hadoop.fs.Path(s"$idxPath/tombstones")
+    val tfs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tomb)) {
+      val overlap = s.read.parquet(tomb.toString).select(col("vec_id"))
+        .join(broadcast(drop.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      if (!overlap.isEmpty) compactKnnGraphIndex(s, idxPath)
+    }
     val memb = bucketMembership(drop)
     val dropLists = memb.select(col("t"), col("bk"), col("vec_id").as("nb"))
     // candidates = persisted lists ∪ this drop's own memberships (so
@@ -770,9 +783,23 @@ object Round11Queries extends QueryPack {
       .withColumn("br", row_number().over(wCap)).filter(col("br") <= KgCap)
       .select(col("t"), col("bk"), col("nb"))
       .repartition(4).write.parquet(tmpB)
+    // Swap in the compactAnnIndex/purgeAnnIndex order: land the
+    // compacted files INTO the live directory under fresh names, then
+    // retire the originals — never a point in time where the artifact
+    // directory is missing (a delete-then-rename swap would destroy the
+    // whole artifact on a crash between the calls, and fail a concurrent
+    // graphSearchStream micro-batch during the window). The transient
+    // old ∪ new state is a SUPERSET of the bounded shape — exactly what
+    // appends already produce and serving tolerates (extra edges only
+    // widen expansion; the sidecar still hides tombstoned ids until the
+    // originals are gone, and it is cleared only after).
     for ((dir, tmp) <- Seq(s"$idxPath/graph" -> tmpG, s"$idxPath/buckets" -> tmpB)) {
-      fs.delete(new Path(dir), true)
-      fs.rename(new Path(tmp), new Path(dir))
+      val olds = parts(dir)
+      fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(p => fs.rename(p, new Path(dir, s"compact-${p.getName}")))
+      olds.foreach(p => fs.delete(p, false))
+      fs.delete(new Path(tmp), true)
     }
     fs.delete(new Path(s"$idxPath/tombstones"), true)
     val outM = fs.create(marker, true)

@@ -820,12 +820,14 @@ object Streaming {
       // .hnswSearch]]) carries it and survivors fold in via
       // appendToHnsw; a loop that serves flat (q171) leaves it None
       var layers: Option[DataFrame] = None,
-      // optional semantic-cluster state (the q170 decision table) with
-      // its FROZEN p90 threshold — survivors fold in via
-      // appendToClusters (monotone merges), deletes via
-      // deleteFromClusters; None = the loop doesn't maintain clusters
-      var clusters: Option[DataFrame] = None,
-      val clusterThr: Long = 0L)
+      // optional semantic-cluster state: the q170 decision table
+      // BUNDLED with its frozen p90 threshold — one value, so a caller
+      // cannot supply the map without the cut it was built at (a
+      // separate defaulted threshold silently merged every non-negative
+      // mutual pair at thr=0). Survivors fold in via appendToClusters
+      // (monotone merges), deletes via deleteFromClusters; None = the
+      // loop doesn't maintain clusters
+      var clusters: Option[(DataFrame, Long)] = None)
 
   /** The three maintenance loops COMPOSED into one streaming ingest —
     * the end-to-end exemplar their isolated specs promise: each
@@ -875,8 +877,9 @@ object Streaming {
             .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
           st.layers = st.layers.map(ls => graft.queries.Round11Queries
             .deleteFromHnsw(ls, st.corpus, delV).localCheckpoint(false))
-          st.clusters = st.clusters.map(c => graft.queries.Round11Queries
-            .deleteFromClusters(c, delV).localCheckpoint(false))
+          st.clusters = st.clusters.map { case (c, thr) =>
+            (graft.queries.Round11Queries
+              .deleteFromClusters(c, delV).localCheckpoint(false), thr) }
           st.corpus = st.corpus
             .join(org.apache.spark.sql.functions.broadcast(delV), Seq("vec_id"), "left_anti")
             .localCheckpoint(false)
@@ -907,9 +910,10 @@ object Streaming {
           // clusters fold in LAST, over the already-grown graph (the
           // mutual pass reads the refreshed edge lists) with the frozen
           // build-time threshold — monotone merges only
-          st.clusters = st.clusters.map(c => graft.queries.Round11Queries
-            .appendToClusters(c, st.graph, bNew.select(col("vec_id")), st.clusterThr)
-            .localCheckpoint(false))
+          st.clusters = st.clusters.map { case (c, thr) =>
+            (graft.queries.Round11Queries
+              .appendToClusters(c, st.graph, bNew.select(col("vec_id")), thr)
+              .localCheckpoint(false), thr) }
         }
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           // physical purge first (rewrites retire tombstoned rows), then

@@ -812,6 +812,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("re-add under a tombstoned id: append supersedes the pending delete in both artifacts") {
+    import spark.implicits._
+    import graft.queries.{Round10Queries, Round11Queries}
+    graft.GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft_readd").toString
+    // --- annidx3: delete id 100, then re-ingest it BEFORE any purge ---
+    val vecs = e.select(col("vec_id"), col("v"))
+    val cents = graft.queries.LlmQueries.ivfCentroids(vecs)
+    val cb = graft.queries.LlmQueries.pqCodebook(vecs)
+    val idx = s"$root/annidx"
+    Round10Queries.annIndexRows(e.filter(col("vec_id") < 400), cents, cb)
+      .repartition(4).write.parquet(idx)
+    Round10Queries.deleteFromAnnIndex(Seq(100L).toDF("vec_id"), idx)
+    assert(Round10Queries.readAnnIndex(spark, idx)
+      .filter(col("vec_id") === 100L).count() == 0, "delete must hide the id")
+    // a DISJOINT drop must not disturb the pending delete (O(|drop|) path)
+    Round10Queries.appendToAnnIndex(
+      e.filter(col("vec_id") === 450L).select("vec_id", "label", "v"), idx, cents, cb)
+    assert(new java.io.File(idx + ".tombstones").exists(),
+      "disjoint append must leave the sidecar in place")
+    assert(Round10Queries.readAnnIndex(spark, idx)
+      .filter(col("vec_id") === 100L).count() == 0)
+    // the OVERLAPPING drop supersedes the tombstone: the re-added row is
+    // visible, held exactly once, and survives the next purge
+    Round10Queries.appendToAnnIndex(
+      e.filter(col("vec_id") === 100L).select("vec_id", "label", "v"), idx, cents, cb)
+    assert(Round10Queries.readAnnIndex(spark, idx)
+      .filter(col("vec_id") === 100L).count() == 1,
+      "re-added id must be visible exactly once (no stale twin, no hidden row)")
+    Round10Queries.purgeAnnIndex(spark, idx)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 100L).count() == 1,
+      "a later purge must not drop the re-added row")
+    // --- knngraph artifact: same sequence through the graph lifecycle ---
+    val bOld = e.filter(col("vec_id") < 150).select(col("vec_id"), col("v"))
+    val knng = s"$root/knng"
+    Round11Queries.knnGraphBuild(bOld, 10, 20, 2)
+      .select(col("src"), col("nb"), col("sim"))
+      .repartition(4).write.parquet(s"$knng/graph")
+    Round11Queries.cappedBuckets(Round11Queries.bucketMembership(bOld))
+      .select(col("t"), col("bk"), col("nb"))
+      .repartition(2).write.parquet(s"$knng/buckets")
+    Round11Queries.deleteFromKnnGraphIndex(spark, knng, Seq(42L).toDF("vec_id"))
+    val b = e.select(col("vec_id"), col("v"))
+    Round11Queries.appendToKnnGraphIndex(spark, knng, b,
+      e.filter(col("vec_id") === 42L).select(col("vec_id"), col("v")))
+    assert(!new java.io.File(s"$knng/tombstones").exists(),
+      "overlapping append must supersede the pending graph tombstone")
+    val (g2, lists2) = Round11Queries.readKnnGraphIndex(spark, knng)
+    assert(g2.filter(col("src") === 42L).count() > 0,
+      "re-added node must have edges in the artifact read")
+    assert(lists2.filter(col("nb") === 42L).count() > 0,
+      "re-added node must be back in the bucket candidate lists")
+    // and a later compaction keeps it (the delete is fully superseded)
+    Round11Queries.compactKnnGraphIndex(spark, knng)
+    assert(spark.read.parquet(s"$knng/graph")
+      .filter(col("src") === 42L).count() > 0,
+      "compaction after the re-add must keep the node's edges")
+  }
+
   test("kNN-graph ingest loop: drop folds in, old lists only improve, recall tracks a rebuild") {
     import graft.queries.Round11Queries
     graft.GraftFunctions.ensure(spark)
@@ -1154,9 +1216,8 @@ class StreamingSpec extends SparkSpec {
       baseVecs.localCheckpoint(true),
       cents, cb,
       layers = Some(Round11Queries.hnswLayers(baseVecs).localCheckpoint(false)),
-      clusters = Some(Round11Queries.clusterMap(
-        baseVecs.select(col("vec_id")), g0, thr0).localCheckpoint(false)),
-      clusterThr = thr0)
+      clusters = Some((Round11Queries.clusterMap(
+        baseVecs.select(col("vec_id")), g0, thr0).localCheckpoint(false), thr0)))
     def vecOf(id: Long): Seq[Double] =
       joined.filter(col("doc_id") === id).select("v").collect().head.getSeq[Double](0)
     val text5 = base.filter(col("doc_id") === 5).select("text").collect().head.getString(0)
@@ -1207,7 +1268,7 @@ class StreamingSpec extends SparkSpec {
     assert(!lIds.contains(5L) && !lIds.contains(450L), "layers still reference a retired id")
     // 4b) cluster state tracked the same CDC stream: exactly the
     //     survivors, retired ids gone, decision table still leakage-safe
-    val cm = st.clusters.get.select("vec_id", "cluster_id", "split").collect()
+    val cm = st.clusters.get._1.select("vec_id", "cluster_id", "split").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(cm.keySet == surviving, "cluster map must hold exactly the surviving ids")
     cm.groupBy(_._2._1).foreach { case (cid, mem) =>

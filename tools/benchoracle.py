@@ -16,6 +16,7 @@ continues — one pathological oracle must not sink the whole baseline.
 Each query runs in a SUBPROCESS so an OOM kill can't take the sweep down.
 """
 import json
+import os
 import subprocess
 import sys
 import time
@@ -63,6 +64,11 @@ def main(sf_dir, oracle_json, runs=2, timeout=900):
                     f"{round(time.perf_counter()-t0,1)}s: {' '.join(tail)[:200]}"
         except subprocess.TimeoutExpired:
             failed[name] = f"timeout>{timeout}s"
+        finally:
+            try:
+                os.unlink(sql_path)  # delete=False + no cleanup leaked one
+            except OSError:         # temp file per query per sweep
+                pass
         print(f"  {name}: {out.get(name, failed.get(name))}", file=sys.stderr)
     print(json.dumps({"sf": sf_dir, "queries": out,
                       "total": round(sum(out.values()), 3),
