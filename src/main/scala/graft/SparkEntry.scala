@@ -23,7 +23,8 @@ object SparkEntry {
     Round8Queries,
     Round9Queries,
     Round10Queries,
-    Round11Queries
+    Round11Queries,
+    Round14Queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

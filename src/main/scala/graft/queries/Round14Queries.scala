@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps
+import graft.streaming.Streaming
+
+/** Round-14 additions: the composed CDC ingest loop promoted to the
+  * oracle board (q178, the q177 discipline applied to
+  * [[graft.streaming.Streaming.ingestLoop]]) and the iterated BPE
+  * trainer (q179, the fixed-round tokenizer-training loop whose single
+  * merge-round statistic q94 computes).
+  */
+object Round14Queries extends QueryPack {
+
+  // q178: the composed CDC ingest under the hash gate --------------------
+
+  /** q178: EXECUTE the composed streaming ingest loop in-engine — two
+    * CDC micro-batches of adds and deletes through
+    * [[graft.streaming.Streaming.ingestLoop]] against a real band
+    * index, annidx3 layout and kNN graph — and emit the lifecycle
+    * invariants as verdict literals the oracle states (the q177
+    * discipline; a per-row oracle can't replay a stateful streaming
+    * loop, but it CAN demand the invariants every correct ingest
+    * implementation satisfies):
+    *
+    *   - `dup_rejected`      — an exact copy of a base document under a
+    *                           new id never passes the near-dup gate;
+    *   - `novel_accepted`    — a fresh document passes and its vector
+    *                           serves from BOTH the ANN index and the
+    *                           graph artifact (self-probe top-1 at
+    *                           ≥ 9999 bp);
+    *   - `readd_accepted`    — a batch-1 takedown frees the gate, so
+    *                           batch 2 re-ingests the retired text
+    *                           under a new id, and a probe with the
+    *                           RETIRED doc's own vector lands on the
+    *                           re-licensed copy, never the tombstone;
+    *   - `delete_hidden`     — retired ids (a base doc AND a
+    *                           previously-appended survivor) are gone
+    *                           from the index read, the graph edge set
+    *                           and the corpus;
+    *   - `purge_physical`    — the in-loop purge+compact after batch 2
+    *                           made the deletes physical: sidecar gone,
+    *                           the raw parquet read equals the
+    *                           delete-aware read, and a fresh purge is
+    *                           a no-op.
+    *
+    * Size is FIXED (200 base docs, 5 CDC rows), independent of sf: the
+    * query grades maintenance SEMANTICS, not throughput — the scale
+    * curves for each maintained artifact live with their operators
+    * (q168–q177, BENCH_SCALING). HNSW layers and the cluster table are
+    * left un-maintained here (`None`): their CDC invariants are pinned
+    * in StreamingSpec and q177; this keeps the gate's cost at the
+    * band-index + annidx3 + graph floor. */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    // every frame in this gate is ≤ a few hundred rows, but the loop
+    // executes ~40 eager jobs (checkpoints, gates, appends, probes) —
+    // at the session's 32 shuffle partitions that is 32 tasks per tiny
+    // exchange; 4 partitions cut the fixed floor with identical results
+    // (verdict literals). Saved and restored around the body.
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try q178Body(s, d)
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  private def q178Body(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftFunctions.ensure(s)
+    val toD = (c: Column) => transform(c, _.cast("double"))
+    val joined = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), toD(col("embedding")).as("v")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("label"), col("v"))
+    val base = joined.filter(col("doc_id") < 200).localCheckpoint(true)
+    val baseVecs = base.select(col("doc_id").as("vec_id"), col("v"))
+    // frozen model artifacts + initial artifacts, exactly as a serving
+    // tier lays them down before the ingest loop starts
+    val cents = LlmQueries.ivfCentroids(baseVecs)
+    val cb = LlmQueries.pqCodebook(baseVecs)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_q178").toString + "/annidx"
+    Round10Queries.annIndexRows(
+        base.select(col("doc_id").as("vec_id"), col("label"), col("v")), cents, cb)
+      .repartition(4).write.parquet(idxPath)
+    val g0 = Round11Queries.knnGraphBuild(baseVecs, 15, 30, rounds = 1)
+      .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    val st = new Streaming.IngestState(
+      Streaming.buildNearDupIndex(base.select(col("doc_id"), col("text")), 64),
+      idxPath, g0, baseVecs.localCheckpoint(true), cents, cb)
+    def textOf(id: Long) =
+      base.filter(col("doc_id") === id).select("text").head().getString(0)
+    def vecOf(id: Long) = joined.filter(col("doc_id") === id)
+      .select("v").head().getSeq[Double](0)
+    // the novel doc: vocabulary-disjoint text (cannot near-dup any
+    // fixture doc) carrying a REAL fixture vector outside the base slice
+    val novel = "relicense takedown exemplar verdict ingest lifecycle " +
+      "tombstone sidecar supersede compaction physical purge graft"
+    val d1 = Seq(
+      Streaming.IngestDoc(5, "", 0, Seq.empty, op = "del"),      // takedown
+      Streaming.IngestDoc(450, novel, 2, vecOf(450)),            // novel add
+      Streaming.IngestDoc(901, textOf(7), 1, vecOf(7)))          // exact dup
+    val d2 = Seq(
+      Streaming.IngestDoc(902, textOf(5), 1, vecOf(5)),          // re-license
+      Streaming.IngestDoc(450, "", 0, Seq.empty, op = "del"))    // retire a survivor
+    implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streaming.IngestDoc]
+    val verdicts = scala.collection.mutable.Map[Long, Map[Long, Int]]()
+    val q = Streaming.ingestLoop(mem.toDF(), st, bandCap = 64, kInt = 15,
+      undCap = 30, compactEvery = 2, compactTarget = 64L << 20,
+      (id, v) => verdicts.synchronized {
+        verdicts(id) = v.select("doc_id", "kept").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      })
+    mem.addData(d1: _*); q.processAllAvailable()
+    mem.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    val dupRejected = verdicts(0L).get(901L).contains(0) &&
+      verdicts(0L).get(450L).contains(1)
+    val readdAccepted = verdicts(1L).get(902L).contains(1)
+    // survivor set: base minus the takedown, plus the re-license (450
+    // was appended in batch 1 and retired in batch 2)
+    val surviving = (0L until 200L).toSet - 5L + 902L
+    def ids(df: DataFrame) = df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val idxRead = Round10Queries.readAnnIndex(s, idxPath)
+    val gIds = st.graph.select(col("src").as("vec_id")).unionByName(
+      st.graph.select(col("nb").as("vec_id")))
+    val deleteHidden = ids(idxRead) == surviving &&
+      ids(st.corpus) == surviving &&
+      (ids(gIds) & Set(5L, 450L)).isEmpty
+    // serving sees the CDC stream's outcome through BOTH retrievers: a
+    // probe with the RETIRED doc's own vector answers its re-added copy
+    val probeQ = Seq((8005L, vecOf(5))).toDF("q_id", "qv")
+    val annTop = Streaming.annProbe(idxRead,
+        st.corpus.select(col("vec_id"), col("v")), probeQ,
+        shortlist = 32, k = 1, excludeSelf = false)
+      .select("vec_id", "sim_q").collect()
+    val (gSrv, _) = Round11Queries.graphSearch(
+      st.graph.select(col("src"), col("nb")),
+      Round11Queries.cappedBuckets(Round11Queries.bucketMembership(st.corpus)),
+      st.corpus.select(col("vec_id"), col("v")), probeQ)
+    val gTop = gSrv.orderBy(col("sim").desc, col("vec_id"))
+      .select("vec_id", "sim").limit(1).collect()
+    def top1Is902(r: Array[org.apache.spark.sql.Row]) =
+      r.nonEmpty && r.head.getLong(0) == 902L && r.head.getLong(1) >= 9999L
+    val served = top1Is902(annTop) && top1Is902(gTop)
+    // the in-loop purge+compact after batch 2 made the deletes physical
+    val purged = !new java.io.File(idxPath + ".tombstones").exists() &&
+      ids(s.read.parquet(idxPath)) == surviving &&
+      Round10Queries.purgeAnnIndex(s, idxPath) == 0
+    s.range(1).select(
+      lit(if (dupRejected) 1 else 0).cast("int").as("dup_rejected"),
+      lit(if (readdAccepted) 1 else 0).cast("int").as("readd_accepted"),
+      lit(if (deleteHidden) 1 else 0).cast("int").as("delete_hidden"),
+      lit(if (served) 1 else 0).cast("int").as("survivor_served"),
+      lit(if (purged) 1 else 0).cast("int").as("purge_physical"))
+  }
+
+  // q179: iterated BPE tokenizer training --------------------------------
+
+  /** Fixed merge-round budget — small enough for the oracle to replay
+    * as a chained CTE (the q169/q173 pattern), large enough that later
+    * rounds merge MULTI-char symbols built by earlier ones (the part
+    * q94's single-round statistic can't see). */
+  private[graft] val BpeRounds = 8
+
+  /** Segmentation encoding shared verbatim by both engines: every
+    * symbol wrapped in its own '|' sentinels (`|t1||t2||t3|`), so one
+    * left-to-right `replace(s, '|x||y|', '|xy|')` IS the greedy
+    * non-overlapping BPE merge — a match consumes its trailing '|',
+    * leaving the next symbol's own opener in place, so back-to-back
+    * pairs merge (`aaaa → aa aa`) while overlaps don't
+    * (`aaa → aa a`), exactly the fold semantics, with no fold. Symbols
+    * never contain '|' (fixture words are alphanumeric), so every
+    * match is a full symbol-pair. Built as `(.) → |$1|` (each char
+    * wrapped) rather than split(w, "") — Spark's split keeps a
+    * trailing empty match (limit −1), which would corrupt the final
+    * sentinel. */
+  private def seg0(w: Column): Column =
+    regexp_replace(w, "(.)", "|$1|")
+
+  /** q179: the tokenizer-TRAINING loop, [[BpeRounds]] full BPE merge
+    * rounds (Sennrich et al. 2016) — per round: adjacent-pair counts
+    * over the current segmentation weighted by word frequency, argmax
+    * by (count DESC, pair ASC), merge the winner everywhere, recount —
+    * emitting the merge table (round, x, y, count-at-merge).
+    *
+    * Scale shape: the CORPUS is touched exactly once (the word-count
+    * aggregation); all [[BpeRounds]] iterations run over the
+    * Heaps'-law-small weighted vocabulary, each a vocab-sized explode +
+    * map-combined count with a ONE-ROW collect (the argmax) and a
+    * scalar-expression merge — the same driver-coordinated fixed-round
+    * shape as q169's NN-descent, and exactly how production BPE
+    * trainers structure the work (corpus pass → in-memory vocab loop).
+    * The per-round localCheckpoint truncates the replace-chain lineage.
+    * Deterministic (integer counts, lexicographic tiebreaks), so DuckDB
+    * replays all 8 rounds as chained CTEs and the hash gate applies. */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var vocab = Tables.documents(s, d)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), seg0(col("w")).as("s"))
+      .localCheckpoint(true) // the one corpus-sized pass
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = vocab
+        .withColumn("t", split(trim(col("s"), "|"), "\\|\\|"))
+        .filter(size(col("t")) >= 2) // guard: sequence(1,0) steps DOWN
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("x"),
+              element_at(col("t"), i + 1).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y"))
+        .limit(1).collect()(0) // bounded: the argmax row, once per round
+      val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, x, y, n))
+      vocab = vocab.withColumn("s",
+          regexp_replace(col("s"),
+            lit(java.util.regex.Pattern.quote(s"|$x||$y|")), lit(s"|$x$y|")))
+        .localCheckpoint(true)
+    }
+    merges.result().toDF("merge_round", "x", "y", "n")
+      .select(col("merge_round").cast("int").as("merge_round"),
+        col("x"), col("y"), col("n"))
+      .orderBy(col("merge_round"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_cdc_ingest" -> q178 _,
+    "q179_bpe_train" -> q179 _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q178_cdc_ingest" -> """
+      SELECT CAST(1 AS INT) AS dup_rejected,
+             CAST(1 AS INT) AS readd_accepted,
+             CAST(1 AS INT) AS delete_hidden,
+             CAST(1 AS INT) AS survivor_served,
+             CAST(1 AS INT) AS purge_physical""",
+    // the full 8-round replay: per round, pair counts over the current
+    // segmentation, the argmax merge, and the merged vocabulary feeding
+    // the next round — the engine's loop unrolled as chained CTEs
+    "q179_bpe_train" -> {
+      val rounds = (1 to BpeRounds).map { r =>
+        val prev = s"v${r - 1}"
+        s"""p$r AS (SELECT u.p.x AS x, u.p.y AS y, SUM(u.cnt) AS n
+             FROM (SELECT cnt,
+                          unnest(list_transform(generate_series(1, len(t) - 1),
+                            i -> struct_pack(x := t[i], y := t[i + 1]))) AS p
+                   FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS t
+                         FROM $prev) q$r
+                   WHERE len(t) >= 2) u
+             GROUP BY x, y),
+           m$r AS (SELECT x, y, CAST(n AS BIGINT) AS n FROM p$r
+                   ORDER BY n DESC, x, y LIMIT 1),
+           v$r AS (SELECT w, cnt,
+                          replace(s, '|' || m.x || '||' || m.y || '|',
+                                     '|' || m.x || m.y || '|') AS s
+                   FROM $prev, m$r m)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH words AS (SELECT w, COUNT(*) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+      v0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+             FROM words),
+      $rounds
+      SELECT merge_round, x, y, n FROM (
+        ${(1 to BpeRounds).map(r =>
+          s"SELECT $r AS merge_round, x, y, n FROM m$r").mkString("\n        UNION ALL ")})
+      ORDER BY merge_round"""
+    }
+  )
+}

@@ -210,4 +210,45 @@ class CorpusSpec extends SparkSpec {
     // the importance weight must upweight docs drawn from the target slice
     assert(mt > mr, f"target docs must score higher: $mt%.0f vs $mr%.0f")
   }
+
+  test("q179 merge table matches a from-scratch local BPE recompute") {
+    // independent reference: plain-Scala greedy BPE over the same corpus
+    // — list-of-symbols fold, no sentinel-string encoding, so it would
+    // catch a defect in the shared replace('|x||y|') trick itself
+    val texts = Tables.documents(spark, sf("sf0.001"))
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    texts.foreach(_.split(" ").foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1L))
+    var vocab: Map[Vector[String], Long] =
+      counts.toMap.map { case (w, c) => w.split("").toVector -> c }
+    val expect = (1 to graft.queries.Round14Queries.BpeRounds).map { r =>
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        pairCounts((syms(i), syms(i + 1))) =
+          pairCounts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((x, y), n) = pairCounts.toSeq
+        .sortBy { case ((a, b), m) => (-m, a, b) }.head
+      def merge(syms: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == x && syms(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      vocab = vocab.groupBy { case (syms, _) => merge(syms) }
+        .map { case (m, g) => m -> g.values.sum }
+      (r, x, y, n)
+    }
+    val got = SparkEntry.queries("q179_bpe_train")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"merge tables diverged:\n got    $got\n expect $expect")
+    // and the later rounds genuinely merge multi-char symbols — the part
+    // q94's single-round statistic cannot reach
+    assert(expect.exists { case (_, x, y, _) => x.length > 1 || y.length > 1 },
+      s"8 rounds never merged a multi-char symbol: $expect")
+  }
 }
