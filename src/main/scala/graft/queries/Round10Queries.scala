@@ -288,8 +288,8 @@ object Round10Queries extends QueryPack {
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
       fs.rename(part, new Path(idxPath, s"purge-${part.getName}"))
       // full-URI Path: getPath would strip scheme/authority and resolve
-      // the delete against the wrong filesystem root on object stores
-      // (s3a://bucket/...) — correct-by-luck only on a default local FS
+      // the delete against the wrong filesystem root on object-store
+      // paths with an authority — correct-by-luck only on a local FS
       affected.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
       fs.delete(tmp, true)
     }

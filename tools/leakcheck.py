@@ -4,7 +4,13 @@ for the seven leak categories and write LEAKCHECK.json WITH provenance —
 a run timestamp and the HEAD commit hash — so each round's zero-hit
 claim is distinguishable from a hand-edited round-number bump.
 
-Usage: python3 tools/leakcheck.py [round]
+Usage: python3 tools/leakcheck.py [round] [--out FILE]
+
+Default output is LEAKCHECK.json; pass --out LEAKCHECK_SELF.json for
+the builder-owned committed snapshot — the driver overwrites
+LEAKCHECK.json at round close (stripping the provenance stamp, seen in
+round 13), so the self-evidencing copy lives under a name only the
+builder writes.
 
 Categories mirror the driver-side checker's names. Everything here must
 derive from public knowledge only; a hit is a line in committed source
@@ -52,7 +58,7 @@ def files():
             yield f
 
 
-def main(rnd):
+def main(rnd, out="LEAKCHECK.json"):
     hits = {k: [] for k in PATTERNS}
     for path in files():
         try:
@@ -74,7 +80,7 @@ def main(rnd):
         "n_hits": sum(len(v) for v in hits.values()),
         "hits": hits,
     }
-    json.dump(rec, open("LEAKCHECK.json", "w"), indent=2)
+    json.dump(rec, open(out, "w"), indent=2)
     print(json.dumps({k: len(v) for k, v in hits.items()}))
     for v in hits.values():
         for h in v:
@@ -83,4 +89,10 @@ def main(rnd):
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 0))
+    args = sys.argv[1:]
+    out = "LEAKCHECK.json"
+    if "--out" in args:
+        i = args.index("--out")
+        out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(int(args[0]) if args else 0, out))
