@@ -199,8 +199,12 @@ object Round14Queries extends QueryPack {
     * The per-round localCheckpoint truncates the replace-chain lineage.
     * Deterministic (integer counts, lexicographic tiebreaks), so DuckDB
     * replays all 8 rounds as chained CTEs and the hash gate applies. */
-  def q179(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The training loop shared by q179 (emits the merge table) and q180
+    * (emits the encoded corpus' statistics): returns the 8-round merge
+    * list and the FINAL weighted vocabulary segmentation — the trained
+    * tokenizer model and the corpus encoded with it, in one pass. */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = Tables.documents(s, d)
       .select(explode(TextOps.words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -226,16 +230,73 @@ object Round14Queries extends QueryPack {
             lit(java.util.regex.Pattern.quote(s"|$x||$y|")), lit(s"|$x$y|")))
         .localCheckpoint(true)
     }
-    merges.result().toDF("merge_round", "x", "y", "n")
+    (merges.result(), vocab)
+  }
+
+  def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, d)._1.toDF("merge_round", "x", "y", "n")
       .select(col("merge_round").cast("int").as("merge_round"),
         col("x"), col("y"), col("n"))
       .orderBy(col("merge_round"))
   }
 
+  /** q180: tokenizer APPLICATION — the corpus encoded with the trained
+    * merges (the other half of train→apply; applying a tokenizer is
+    * itself a first-class pipeline pass: every training run re-encodes
+    * its corpus). The final segmentation falls out of the training
+    * loop's last replace, so the emit is the SYMBOL TABLE of the
+    * encoded corpus: top-20 symbols by frequency-weighted occurrence
+    * (count DESC, symbol ASC) — multi-char merged symbols ranking
+    * beside surviving single chars proves the merges actually applied.
+    * Scale shape: identical to q179 (corpus pass + vocab-sized work);
+    * at 100 TB the apply is a broadcast join of the Heaps'-small
+    * (word → symbols) table onto the token stream, never a re-merge
+    * per document. Oracle: the same 8-round CTE chain, final SELECT
+    * over v8's exploded symbols. */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = bpeTrain(s, d)
+    vocab
+      .select(col("cnt"),
+        explode(split(trim(col("s"), "|"), "\\|\\|")).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_cdc_ingest" -> q178 _,
-    "q179_bpe_train" -> q179 _
+    "q179_bpe_train" -> q179 _,
+    "q180_bpe_apply" -> q180 _
   )
+
+  /** The 8-round CTE chain shared by the q179 and q180 oracles. */
+  private def bpeChainSql: String =
+    (1 to BpeRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (SELECT u.p.x AS x, u.p.y AS y, SUM(u.cnt) AS n
+           FROM (SELECT cnt,
+                        unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> struct_pack(x := t[i], y := t[i + 1]))) AS p
+                 FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS t
+                       FROM $prev) q$r
+                 WHERE len(t) >= 2) u
+           GROUP BY x, y),
+         m$r AS (SELECT x, y, CAST(n AS BIGINT) AS n FROM p$r
+                 ORDER BY n DESC, x, y LIMIT 1),
+         v$r AS (SELECT w, cnt,
+                        replace(s, '|' || m.x || '||' || m.y || '|',
+                                   '|' || m.x || m.y || '|') AS s
+                 FROM $prev, m$r m)"""
+    }.mkString(",\n      ")
+
+  private def bpeBaseSql: String =
+    s"""WITH words AS (SELECT w, COUNT(*) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+      v0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+             FROM words),
+      $bpeChainSql"""
 
   def oracle: Map[String, String] = Map(
     "q178_cdc_ingest" -> """
@@ -247,35 +308,18 @@ object Round14Queries extends QueryPack {
     // the full 8-round replay: per round, pair counts over the current
     // segmentation, the argmax merge, and the merged vocabulary feeding
     // the next round — the engine's loop unrolled as chained CTEs
-    "q179_bpe_train" -> {
-      val rounds = (1 to BpeRounds).map { r =>
-        val prev = s"v${r - 1}"
-        s"""p$r AS (SELECT u.p.x AS x, u.p.y AS y, SUM(u.cnt) AS n
-             FROM (SELECT cnt,
-                          unnest(list_transform(generate_series(1, len(t) - 1),
-                            i -> struct_pack(x := t[i], y := t[i + 1]))) AS p
-                   FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS t
-                         FROM $prev) q$r
-                   WHERE len(t) >= 2) u
-             GROUP BY x, y),
-           m$r AS (SELECT x, y, CAST(n AS BIGINT) AS n FROM p$r
-                   ORDER BY n DESC, x, y LIMIT 1),
-           v$r AS (SELECT w, cnt,
-                          replace(s, '|' || m.x || '||' || m.y || '|',
-                                     '|' || m.x || m.y || '|') AS s
-                   FROM $prev, m$r m)"""
-      }.mkString(",\n      ")
-      s"""
-      WITH words AS (SELECT w, COUNT(*) AS cnt FROM (
-             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           GROUP BY w),
-      v0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS s
-             FROM words),
-      $rounds
+    "q179_bpe_train" -> s"""
+      $bpeBaseSql
       SELECT merge_round, x, y, n FROM (
         ${(1 to BpeRounds).map(r =>
           s"SELECT $r AS merge_round, x, y, n FROM m$r").mkString("\n        UNION ALL ")})
-      ORDER BY merge_round"""
-    }
+      ORDER BY merge_round""",
+    // the encoded corpus' symbol table: the same chain, read at v8
+    "q180_bpe_apply" -> s"""
+      $bpeBaseSql
+      SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+        SELECT cnt, unnest(string_split(trim(s, '|'), '||')) AS tok
+        FROM v$BpeRounds)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""
   )
 }

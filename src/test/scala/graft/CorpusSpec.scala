@@ -250,5 +250,15 @@ class CorpusSpec extends SparkSpec {
     // q94's single-round statistic cannot reach
     assert(expect.exists { case (_, x, y, _) => x.length > 1 || y.length > 1 },
       s"8 rounds never merged a multi-char symbol: $expect")
+    // q180 (apply): the encoded corpus' symbol table from the same fold
+    val symCounts = scala.collection.mutable.Map[String, Long]()
+    for ((syms, c) <- vocab; t <- syms)
+      symCounts(t) = symCounts.getOrElse(t, 0L) + c
+    val expTop = symCounts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val gotTop = SparkEntry.queries("q180_bpe_apply")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotTop == expTop, s"symbol tables diverged:\n got    $gotTop\n expect $expTop")
+    assert(gotTop.exists(_._1.length > 1),
+      "the applied tokenizer's top symbols must include a merged token")
   }
 }
