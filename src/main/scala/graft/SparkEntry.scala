@@ -24,7 +24,8 @@ object SparkEntry {
     Round9Queries,
     Round10Queries,
     Round11Queries,
-    Round14Queries
+    Round14Queries,
+    Round15Queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

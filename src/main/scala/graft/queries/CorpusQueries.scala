@@ -336,10 +336,19 @@ object CorpusQueries extends QueryPack {
     * duplicated-position count on boilerplate-heavy corpora. */
   def q126(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
+    dupSpans(Tables.documents(s, d))
+  }
+
+  /** The span-merge core over any (doc_id, text) frame — q126 on the
+    * fixture corpus; CorpusSpec drives it over constructed corpora to
+    * pin exact-substring fidelity vs Lee et al. (no ≥threshold true
+    * duplicate span is missed or fragmented; the chimeric-merge
+    * direction is measured there too). */
+  private[graft] def dupSpans(docs: DataFrame): DataFrame = {
     // the digested gram-position table feeds the shared-gram filter AND
     // the island merge — persist the 24-byte/row form so the
     // tokenize+shingle+md5 pass (the cost center) runs once per call
-    val pos = Tables.documents(s, d)
+    val pos = docs
       .select(col("doc_id"),
         posexplode(call_function("shingles3", TextOps.words(col("text")))).as(Seq("p0", "sp")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),

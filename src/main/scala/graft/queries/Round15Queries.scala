@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-15 additions: typed PII redaction with per-class audit counts
+  * (q181 — the q96 digit-run redactor extended to the classes a
+  * takedown/compliance pass actually ships: email, URL, phone).
+  */
+object Round15Queries extends QueryPack {
+
+  // q181: typed PII redaction -------------------------------------------
+
+  /** The four redaction classes, applied in cascade order (URL first —
+    * a URL may embed an email-shaped userinfo or digit runs; email
+    * before phone/number for the same containment reason; the bare
+    * digit-run class last catches whatever typed classes left behind).
+    * Patterns are RE2/Java-portable: character classes, bounded
+    * repetition, no backreferences or lookaround — Spark (java.util
+    * .regex) and DuckDB (RE2) match identically. */
+  private[graft] val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("n_url", "https?://[^ ]+", "<URL>"),
+    ("n_email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_phone", "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<PHONE>"),
+    ("n_num", "[0-9]+", "#"))
+
+  /** q181: typed PII redaction over a rendered document — each fixture
+    * doc is extended with a deterministic contact block (email, phone,
+    * URL, numeric ref derived from doc_id by integer arithmetic — the
+    * fixtures carry no PII, so the query renders the PII-bearing page
+    * a crawl snapshot would contain, identically on both engines),
+    * then the cascade strips each class and audits how many spans it
+    * removed. Emits the redacted text plus the per-class counts — the
+    * audit record a compliance pass must produce alongside the
+    * rewrite.
+    *
+    * Scale shape: one narrow projection pass, zero shuffle before the
+    * presentation sort — each row's work is four regex passes over its
+    * own text, embarrassingly parallel at any corpus size; counts are
+    * computed on the SAME intermediate strings the cascade rewrites,
+    * so audit and rewrite cannot drift. */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id")
+    def istr(c: Column): Column = c.cast("string")
+    val contact = concat(
+      lit(" contact u"), istr(k), lit("@mail-"), istr(pmod(k, lit(7L))),
+      lit(".example.com or +1-"),
+      istr(pmod(k * 7, lit(900L)) + 100), lit("-"),
+      lpad(istr(pmod(k * 13, lit(1000L))), 3, "0"), lit("-"),
+      lpad(istr(pmod(k * 29, lit(10000L))), 4, "0"),
+      lit(" see https://ex-"), istr(pmod(k, lit(5L))),
+      lit(".example.org/u/"), istr(k),
+      lit(" ref "), istr(k * 3))
+    val rendered = Tables.documents(s, d)
+      .select(col("doc_id"), concat(col("text"), contact).as("t0"))
+    // fold the cascade: count class i on t(i-1), then rewrite to t(i)
+    val (redacted, counts) =
+      PiiClasses.zipWithIndex.foldLeft((rendered, Seq.empty[Column])) {
+        case ((df, cs), ((name, pat, rep), i)) =>
+          val prev = if (i == 0) "t0" else s"t$i"
+          val next = s"t${i + 1}"
+          (df.withColumn(name,
+              size(regexp_extract_all(col(prev), lit(pat), lit(0)))
+                .cast("long"))
+            .withColumn(next, regexp_replace(col(prev), lit(pat), lit(rep))),
+            cs :+ col(name))
+      }
+    redacted
+      .select(Seq(col("doc_id"),
+        col(s"t${PiiClasses.size}").as("red")) ++ counts: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_pii_redact" -> q181 _
+  )
+
+  def oracle: Map[String, String] = {
+    val contact =
+      """' contact u' || doc_id || '@mail-' || (doc_id % 7) ||
+        '.example.com or +1-' || ((doc_id * 7) % 900 + 100) || '-' ||
+        lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0') || '-' ||
+        lpad(CAST((doc_id * 29) % 10000 AS VARCHAR), 4, '0') ||
+        ' see https://ex-' || (doc_id % 5) || '.example.org/u/' || doc_id ||
+        ' ref ' || (doc_id * 3)"""
+    // one CTE per cascade stage: select doc_id, every prior class's
+    // count, this stage's count on the incoming text, the rewrite
+    val chain = PiiClasses.zipWithIndex.map { case ((name, pat, rep), i) =>
+      val prior = PiiClasses.take(i).map(_._1)
+      s"""s${i + 1} AS (SELECT doc_id${prior.map(", " + _).mkString},
+               CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS $name,
+               regexp_replace(t, '$pat', '$rep', 'g') AS t
+             FROM s$i)"""
+    }.mkString(",\n      ")
+    Map(
+      "q181_pii_redact" -> s"""
+      WITH s0 AS (SELECT doc_id, text || $contact AS t FROM documents),
+      $chain
+      SELECT doc_id, t AS red, ${PiiClasses.map(_._1).mkString(", ")}
+      FROM s${PiiClasses.size} ORDER BY doc_id""")
+  }
+}

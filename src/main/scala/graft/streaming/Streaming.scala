@@ -610,6 +610,13 @@ object Streaming {
   def buildNearDupIndex(corpus: DataFrame, bandCap: Int): NearDupIndex =
     rebandIndex(sigTable(corpus), bandCap)
 
+  /** Rehydrate a [[NearDupIndex]] from a persisted signature table
+    * (doc_id, shs, b0, b1) — the restart path of the ingest loop: the
+    * signature artifact is the durable state, bands/okBands are derived
+    * columns a reband recomputes for free. */
+  def indexFromSigs(sigs: DataFrame, bandCap: Int): NearDupIndex =
+    rebandIndex(sigs, bandCap)
+
   /** Asymmetric near-dup probe of one document batch against a
     * [[NearDupIndex]] — q112's per-drop core, shared verbatim by the
     * batch query and the streaming sink below. Returns one row per
@@ -756,15 +763,47 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         graft.GraftFunctions.ensure(s)
-        val (g, lists) = graft.queries.Round11Queries.readKnnGraphIndex(s, idxPath)
-        val (frontier, _) = graft.queries.Round11Queries
-          .graphSearch(g, lists, base, batch.toDF())
-        sink(frontier.groupBy(col("q_id"))
-          .agg(call_function("collect_topk",
-            struct((-col("sim")).as("ns"), col("vec_id")), lit(k), lit(true)).as("t"))
-          .select(col("q_id"), posexplode(col("t")).as(Seq("p", "e")))
-          .select(col("q_id"), (col("p") + 1).as("rn"),
-            col("e.vec_id").as("vec_id"), (-col("e.ns")).as("sim_q")))
+        def serveOnce(): DataFrame = {
+          val (g, lists) = graft.queries.Round11Queries.readKnnGraphIndex(s, idxPath)
+          val (frontier, _) = graft.queries.Round11Queries
+            .graphSearch(g, lists, base, batch.toDF())
+          frontier.groupBy(col("q_id"))
+            .agg(call_function("collect_topk",
+              struct((-col("sim")).as("ns"), col("vec_id")), lit(k), lit(true)).as("t"))
+            .select(col("q_id"), posexplode(col("t")).as(Seq("p", "e")))
+            .select(col("q_id"), (col("p") + 1).as("rn"),
+              col("e.vec_id").as("vec_id"), (-col("e.ns")).as("sim_q"))
+            // materialize INSIDE the retry scope: the sink must never
+            // receive a lazy plan that can still hit the swap window
+            .localCheckpoint(true)
+        }
+        // A concurrent compaction retires part files between this
+        // batch's directory listing and its tasks' reads, and clears
+        // the tombstone sidecar between the exists() probe and its
+        // read — the windows the land-then-retire swap cannot close
+        // (the artifact is always complete, but a PLAN can pin a file
+        // or a sidecar that is about to be superseded). A vanished
+        // file/path is a re-plan, not an error: retry re-lists the
+        // directory, which by the swap's ordering now names a complete
+        // pre- or post-compaction set. Surfaces as FileNotFound (task
+        // read) or as UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND (planning
+        // over the vanished sidecar).
+        def isVanished(t: Throwable): Boolean =
+          t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+            (t match {
+              case st: org.apache.spark.SparkThrowable =>
+                Option(st.getCondition).exists(c =>
+                  c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+                  c.startsWith("PATH_NOT_FOUND") ||
+                  c.startsWith("FAILED_READ_FILE"))
+              case _ => false
+            }) ||
+            ((t.getCause ne t) && isVanished(t.getCause)))
+        def serve(attempts: Int): DataFrame =
+          try serveOnce()
+          catch { case t: Throwable if attempts > 1 && isVanished(t) =>
+            serve(attempts - 1) }
+        sink(serve(attempts = 3))
       }
       .start()
 

@@ -261,4 +261,52 @@ class CorpusSpec extends SparkSpec {
     assert(gotTop.exists(_._1.length > 1),
       "the applied tokenizer's top symbols must include a merged token")
   }
+
+  test("q126 exact-substring fidelity vs Lee et al.: a 50-token duplicate is never missed or fragmented; chimeric merges only over-remove") {
+    import spark.implicits._
+    graft.GraftFunctions.ensure(spark)
+    // vocabulary of unique words so no 3-gram is shared by accident
+    def w(tag: String, n: Int): Seq[String] = (1 to n).map(i => s"$tag$i")
+    val span50 = w("dup", 50)                  // the Lee-threshold span
+    val fillerA = w("fa", 30); val fillerB = w("fb", 30)
+    val docA = (fillerA ++ span50 ++ w("ta", 20)).mkString(" ")
+    val docB = (fillerB ++ span50 ++ w("tb", 20)).mkString(" ")
+    // chimera: docX carries two ADJACENT 26-token halves; docL witnesses
+    // the left half PLUS the first two words of the right (so the
+    // boundary 3-grams have a witness and the islands bridge); docR
+    // witnesses the right half. No 50-token exact duplicate of docX's
+    // merged region exists anywhere.
+    val left26 = w("lf", 26); val right26 = w("rt", 26)
+    val docL = (w("pl", 30) ++ left26 ++ right26.take(2) ++ w("sl", 18)).mkString(" ")
+    val docR = (w("pr", 30) ++ right26 ++ w("sr", 20)).mkString(" ")
+    val docX = (w("px", 30) ++ left26 ++ right26 ++ w("sx", 20)).mkString(" ")
+    val spans = CorpusQueries.dupSpans(Seq(
+        (1L, docA), (2L, docB), (10L, docL), (11L, docR), (12L, docX))
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    // 1) NO MISS / NO FRAGMENTATION: the 50-token true duplicate is one
+    //    maximal span in each doc at full length (48 grams = 50 words),
+    //    at the exact word offset it occupies
+    assert(spans(1L) == Seq((31L, 50L)),
+      s"docA must report the full 50-token span at offset 31, got ${spans(1L)}")
+    assert(spans(2L) == Seq((31L, 50L)),
+      s"docB must report the full 50-token span at offset 31, got ${spans(2L)}")
+    // 2) the measured chimera direction: every gram of docX's merged
+    //    region has SOME witness (left ∪ bridge in docL, right in docR),
+    //    so the island merge reports ONE 52-word span even though no
+    //    52-word exact duplicate exists — islands merge on adjacency,
+    //    not on a shared witness. This is the over-REMOVAL direction:
+    //    under Lee-style cut-and-splice the bridged span removes
+    //    strictly more than the true duplicates, never less — the
+    //    conservative error for training-data hygiene (leakage needs a
+    //    MISS, and every gram of any true duplicate is always marked,
+    //    as part 1 pins). Recorded as the accepted approximation rather
+    //    than silently relied on.
+    assert(spans(12L) == Seq((31L, 52L)),
+      s"docX's witnessed bridge must merge to one 52-word island, got ${spans(12L)}")
+    // each witness reports its own true duplicate at full extent
+    assert(spans(10L) == Seq((31L, 28L)), s"docL: ${spans(10L)}")
+    assert(spans(11L) == Seq((31L, 26L)), s"docR: ${spans(11L)}")
+  }
 }

@@ -1349,4 +1349,109 @@ class StreamingSpec extends SparkSpec {
         s"level-1 node $node rank ${i + 1}: sim fell $oldSim -> ${newL1(node)(i)}")
     }
   }
+
+  test("serving ACROSS the compaction swap window: pre- or post-compaction answers, never an error") {
+    import spark.implicits._
+    import graft.queries.Round11Queries
+    graft.GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val bOld = e.filter(col("vec_id") < 400)
+    val drop = e.filter(col("vec_id") >= 400)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_knng_swap").toString + "/knng"
+    Round11Queries.knnGraphBuild(bOld, 15, 30, 1)
+      .select(col("src"), col("nb"), col("sim"))
+      .repartition(8).write.parquet(s"$root/graph")
+    Round11Queries.cappedBuckets(Round11Queries.bucketMembership(bOld))
+      .select(col("t"), col("bk"), col("nb"))
+      .repartition(4).write.parquet(s"$root/buckets")
+    Round11Queries.appendToKnnGraphIndex(spark, root, e, drop)
+    Round11Queries.deleteFromKnnGraphIndex(spark, root, Seq(450L).toDF("vec_id"))
+    val qv = e.filter(col("vec_id") === 470L)
+      .select("v").collect().head.getSeq[Double](0)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val served = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val sq = Streaming.graphSearchStream(
+      mem.toDF().toDF("q_id", "qv"), root, e, k = 5,
+      df => served.synchronized {
+        served += df.orderBy("rn").select("vec_id").collect().map(_.getLong(0)).toSeq
+      })
+    def search(): Seq[Long] = {
+      mem.addData((9470L, qv)); sq.processAllAvailable()
+      served.synchronized(served.last)
+    }
+    val pre = search()
+    assert(pre.head == 470L && !pre.contains(450L))
+    // 1) DETERMINISTIC mid-swap replay. The swap lands compacted files
+    //    into the live directory under fresh names BEFORE retiring the
+    //    originals, with the tombstone sidecar still in place — a serve
+    //    that plans in that window reads old ∪ new minus tombstones.
+    //    Snapshot the pre-compaction file set, compact, then restore the
+    //    originals + sidecar alongside the compacted files and probe.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def partFiles(dir: String) = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val side = Files.createTempDirectory("graft_knng_side")
+    val saved = (partFiles(s"$root/graph").map(("graph", _)) ++
+        partFiles(s"$root/buckets").map(("buckets", _))).map { case (d, p) =>
+      val dst = side.resolve(s"$d-${p.getFileName}")
+      Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES); (d, p, dst)
+    }
+    val tombSrc = Paths.get(s"$root/tombstones")
+    val tombSaved = Files.list(tombSrc).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.map { p =>
+        val dst = side.resolve(s"tomb-${p.getFileName}")
+        Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES); (p, dst)
+      }
+    assert(Round11Queries.compactKnnGraphIndex(spark, root) > 0)
+    val post = search()
+    assert(post.head == 470L && !post.contains(450L))
+    // restore originals + sidecar → the exact mid-swap superset state
+    saved.foreach { case (_, orig, dst) =>
+      Files.copy(dst, orig, StandardCopyOption.COPY_ATTRIBUTES) }
+    tombSaved.foreach { case (orig, dst) =>
+      Files.createDirectories(tombSrc)
+      Files.copy(dst, orig, StandardCopyOption.COPY_ATTRIBUTES) }
+    val mid = search()
+    assert(mid.head == 470L,
+      s"mid-swap serve must keep the top answer, got $mid")
+    assert(!mid.contains(450L),
+      "mid-swap serve must still hide the tombstoned id (sidecar is live)")
+    assert(mid == pre || mid == post ||
+        mid.toSet.subsetOf(pre.toSet ++ post.toSet),
+      s"mid-swap beam must come from pre/post answers: $pre / $post / $mid")
+    // back to the post state (retire originals, clear the sidecar's
+    // FILES but deliberately leave the EMPTY tombstones dir — the state
+    // a compaction crash between the last file delete and the dir
+    // delete leaves behind; the read must treat it as "no sidecar")
+    saved.foreach { case (_, orig, _) => Files.delete(orig) }
+    tombSaved.foreach { case (orig, _) => Files.delete(orig) }
+    assert(search() == post,
+      "post-window serve (with a crash-left empty sidecar dir) must equal the compacted answer")
+    Files.delete(tombSrc)
+    // 2) LIVE RACE: micro-batches stream while a background thread runs
+    //    append → compact cycles (each append reopens compaction work).
+    //    No schedule is assumed — only the swap-window guarantee: every
+    //    probe answers, never errors, never surfaces the tombstoned id.
+    @volatile var maintErr: Option[Throwable] = None
+    val maint = new Thread(() => try {
+      for (_ <- 1 to 3) {
+        Round11Queries.appendToKnnGraphIndex(spark, root, e,
+          e.filter(col("vec_id") >= 400 && col("vec_id") =!= 450L))
+        Round11Queries.compactKnnGraphIndex(spark, root)
+      }
+    } catch { case t: Throwable => maintErr = Some(t) })
+    maint.start()
+    val raced = (1 to 6).map(_ => search())
+    maint.join()
+    assert(maintErr.isEmpty, s"maintenance thread failed: $maintErr")
+    raced.foreach { r =>
+      assert(r.nonEmpty && r.head == 470L && !r.contains(450L),
+        s"serve during live compaction must answer pre/post, got $r")
+    }
+    sq.stop()
+  }
 }
