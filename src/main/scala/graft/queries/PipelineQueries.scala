@@ -159,14 +159,18 @@ object PipelineQueries extends QueryPack {
 
   /** 5% deterministic row sample: Knuth multiplicative hash over the
     * (orderkey, linenumber) row key — pure 64-bit int math, identical
-    * in Spark and DuckDB (no overflow: orderkeys stay below ~2.9e9
-    * even in the offset-scaled sf3 data, and 2.9e9 * 2654435761 ≈
-    * 7.7e18 < 2^63-1). */
+    * in Spark and DuckDB. The key folds through mod 1e9+7 BEFORE the
+    * multiply so the product is bounded at ~2.65e18 < 2^63-1 for ANY
+    * key domain: the round-15 sf10 sweep caught the unfolded form
+    * overflowing (offset-scaled orderkeys reach ~9.9e9 there, and
+    * 9.9e9 * 2654435761 > 2^63 — an ANSI ARITHMETIC_OVERFLOW in Spark,
+    * silent wraparound elsewhere). Both engines fold identically, so
+    * the sampled row set still hash-matches. */
   private def rowSample(ok: org.apache.spark.sql.Column, ln: org.apache.spark.sql.Column) =
-    (ok * lit(2654435761L) + ln * lit(40503L)) % 10000 < lit(SampleBp)
+    ((ok % lit(1000000007L)) * lit(2654435761L) + ln * lit(40503L)) % 10000 < lit(SampleBp)
 
   private def rowSampleSql = // the oracle twin
-    s"(l_orderkey * 2654435761 + l_linenumber * 40503) % 10000 < $SampleBp"
+    s"((l_orderkey % 1000000007) * 2654435761 + l_linenumber * 40503) % 10000 < $SampleBp"
 
   def q75(s: SparkSession, d: String): DataFrame = {
     val pcts = (1 to 9).map(_ / 10.0).mkString("array(", ", ", ")")
