@@ -262,7 +262,7 @@ object Round14Queries extends QueryPack {
     * (emits the encoded corpus' statistics): returns the 8-round merge
     * list and the FINAL weighted vocabulary segmentation — the trained
     * tokenizer model and the corpus encoded with it, in one pass. */
-  private def bpeTrain(s: SparkSession, d: String)
+  private[queries] def bpeTrain(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = Tables.documents(s, d)
       .select(explode(TextOps.words(col("text"))).as("w"))
@@ -362,7 +362,7 @@ object Round14Queries extends QueryPack {
                  FROM $prev LEFT JOIN m$r m ON TRUE)"""
     }.mkString(",\n      ")
 
-  private def bpeBaseSql: String =
+  private[queries] def bpeBaseSql: String =
     s"""WITH words AS (SELECT w, COUNT(*) AS cnt FROM (
              SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            GROUP BY w),

@@ -7,7 +7,10 @@ import graft.Tables
 
 /** Round-15 additions: typed PII redaction with per-class audit counts
   * (q181 — the q96 digit-run redactor extended to the classes a
-  * takedown/compliance pass actually ships: email, URL, phone).
+  * takedown/compliance pass actually ships: email, URL, phone) and
+  * corpus-wide tokenizer application (q182 — the trained q179 merges
+  * applied per document via the broadcast word→tokens join, the
+  * 100 TB apply shape q180's scale note promises).
   */
 object Round15Queries extends QueryPack {
 
@@ -78,8 +81,42 @@ object Round15Queries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // q182: tokenizer application at corpus scale ---------------------------
+
+  /** q182: the trained tokenizer APPLIED per document — the broadcast
+    * shape q180's scale note promises, demonstrated rather than
+    * described: the Heaps'-small (word → token-count) table from the
+    * q179 training loop's final segmentation broadcasts onto the
+    * exploded token stream, and each document folds to its token
+    * count plus an integer chars-per-token compression ratio (the
+    * statistic a data pipeline uses to budget context windows and
+    * detect tokenizer-hostile documents). One corpus pass, one
+    * broadcast join, one doc-keyed aggregation — at 100 TB the vocab
+    * side stays dimension-sized by Heaps' law, so the stream side
+    * never shuffles anything wider than (doc_id, small ints).
+    * Deterministic integers throughout; the oracle replays the same
+    * 8-round CTE chain and joins v8. */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = Round14Queries.bpeTrain(s, d)
+    val wordToks = vocab.select(col("w"),
+      size(split(trim(col("s"), "|"), "\\|\\|")).cast("long").as("toks"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextOps.words(col("text"))).as("w"))
+      .join(broadcast(wordToks), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("toks")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        expr("CAST((n_chars * 10000L) DIV n_tokens AS BIGINT)")
+          .as("chars_per_token_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q181_pii_redact" -> q181 _
+    "q181_pii_redact" -> q181 _,
+    "q182_tokenize_corpus" -> q182 _
   )
 
   def oracle: Map[String, String] = {
@@ -104,6 +141,22 @@ object Round15Queries extends QueryPack {
       WITH s0 AS (SELECT doc_id, text || $contact AS t FROM documents),
       $chain
       SELECT doc_id, t AS red, ${PiiClasses.map(_._1).mkString(", ")}
-      FROM s${PiiClasses.size} ORDER BY doc_id""")
+      FROM s${PiiClasses.size} ORDER BY doc_id""",
+      // the q179/q180 training chain replayed, its final segmentation
+      // (v8) collapsed to the word -> token-count table, joined back
+      // onto the exploded corpus
+      "q182_tokenize_corpus" -> s"""
+      ${Round14Queries.bpeBaseSql},
+      wt AS (SELECT w,
+                    CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS toks
+             FROM v${Round14Queries.BpeRounds})
+      SELECT u.doc_id, COUNT(*) AS n_words,
+             CAST(SUM(wt.toks) AS BIGINT) AS n_tokens,
+             CAST((SUM(len(u.w)) * 10000) // SUM(wt.toks) AS BIGINT)
+               AS chars_per_token_bp
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) u
+      JOIN wt USING (w)
+      GROUP BY u.doc_id ORDER BY u.doc_id""")
   }
 }

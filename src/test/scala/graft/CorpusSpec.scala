@@ -260,6 +260,39 @@ class CorpusSpec extends SparkSpec {
     assert(gotTop == expTop, s"symbol tables diverged:\n got    $gotTop\n expect $expTop")
     assert(gotTop.exists(_._1.length > 1),
       "the applied tokenizer's top symbols must include a merged token")
+    // q182 (corpus apply): per-document token counts from the same fold
+    // — merges are count-independent at APPLY time, so folding the
+    // trained merge list over each word reproduces the engine's
+    // broadcast word→tokens join
+    def applyMerges(word: String): Vector[String] =
+      expect.foldLeft(word.split("").toVector) { case (syms, (_, x, y, _)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == x && syms(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+    val tokCache = scala.collection.mutable.Map[String, Long]()
+    def toks(w: String): Long =
+      tokCache.getOrElseUpdate(w, applyMerges(w).length.toLong)
+    val expDoc = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        val nt = ws.map(toks).sum
+        val nc = ws.map(_.length.toLong).sum
+        (r.getLong(0), ws.length.toLong, nt, nc * 10000L / nt)
+      }.sortBy(_._1).toSeq
+    val gotDoc = SparkEntry.queries("q182_tokenize_corpus")(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotDoc == expDoc,
+      s"per-doc tokenization diverged (first 3): got ${gotDoc.take(3)} expect ${expDoc.take(3)}")
+    assert(expDoc.exists(t => t._2 < t._3),
+      "some document must tokenize to more tokens than words")
   }
 
   test("q126 exact-substring fidelity vs Lee et al.: a 50-token duplicate is never missed or fragmented; chimeric merges only over-remove") {
