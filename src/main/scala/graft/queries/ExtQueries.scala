@@ -93,7 +93,24 @@ object ExtQueries extends QueryPack {
     * the event-time distribution for equi-depth ranges and sweeps each
     * partition with an open-interval heap (see RangeJoin.scala for the
     * 100 TB contract). Adds a distinct-user count over the joined pairs
-    * to exercise the exec's output feeding a normal aggregation. */
+    * to exercise the exec's output feeding a normal aggregation — since
+    * round 16 the exec is a codegen leaf, so the sweep and the partial
+    * aggregate run in ONE generated loop with no per-pair row
+    * materialization (RangeJoinSpec pins the collapsed stage).
+    *
+    * The distinct count is `size(collect_set(user))`, not
+    * `countDistinct`: the pair stream is ~unique by construction, so
+    * countDistinct's pair-keyed partial aggregation hashes the whole
+    * ~n·overlap pair set into maps that collapse nothing, spill, and
+    * then shuffle every pair as its own row (measured sf10: 67.6 s vs
+    * 25.8 s, a 2.6x tax). The set form keys the exchange by the
+    * dimension-sized window id — each shuffled row carries a PACKED
+    * user set, so the same pairs cross the wire at array density and
+    * the map side never builds a pair-keyed table. Trade at 100 TB:
+    * per-window set size is bounded by window width x event density
+    * (the same bound as the window's output row), and a genuinely hot
+    * window would call for the q60-style two-level split; the exact
+    * answer is identical either way (hash-gated vs the same oracle). */
   def q117(s: SparkSession, d: String): DataFrame = {
     val HourUs = 3600000000L
     val ev = Tables.events(s, d)
@@ -111,7 +128,7 @@ object ExtQueries extends QueryPack {
         win, "tus", "ws", "we")
       .groupBy(col("win_id"))
       .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"))
+        size(collect_set(col("user_id"))).cast("long").as("n_users"))
       .orderBy(col("win_id"))
   }
 

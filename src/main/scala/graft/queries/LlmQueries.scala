@@ -373,8 +373,8 @@ object LlmQueries extends QueryPack {
     // JVM loops over the literal centroid matrix; the HOF nearestCells
     // form is the equality-tested reference). It returns centroid
     // INDICES nearest-first; cidLit maps an index back to its cell id.
-    val centsLit = array(cents.map(c => litArr(c._2)): _*)
-    val cidLit = array(cents.map(c => lit(c._1)): _*)
+    val centsLit = VectorOps.litArr2(cents.map(_._2))
+    val cidLit = typedLit(cents.map(_._1).toSeq)
     def cellId(rank: Int): Column =
       element_at(cidLit, element_at(col("cells"), rank).cast("int") + 1)
     val asg = e.withColumn("cells", call_function("nearest_cells", col("v"), centsLit))
@@ -460,7 +460,7 @@ object LlmQueries extends QueryPack {
 
   /** The 16-entry sub-codebook of subspace j as a foldable literal. */
   private def pqSubCents(cb: IndexedSeq[IndexedSeq[Double]], j: Int): Column =
-    array(cb.map(c => litArr(c.slice(j * PqDs, (j + 1) * PqDs))): _*)
+    VectorOps.litArr2(cb.map(c => c.slice(j * PqDs, (j + 1) * PqDs)))
 
   /** The PQ code array of vector column `v`: codes(j) = argmin over the
     * sub-codebook of subspace-j L2, ties to the lower code — exactly
@@ -522,7 +522,7 @@ object LlmQueries extends QueryPack {
     // zip_with+aggregate pair per dot — 3·PqM folds per candidate row
     // of the fanout; ExpressionSpec pins bit-equality of the two forms
     graft.GraftFunctions.ensure(e.sparkSession)
-    val cbLit = array(cb.map(c => VectorOps.litArr(c)): _*)
+    val cbLit = VectorOps.litArr2(cb)
     val adist = call_function("pq_adc_dist",
       col("qv"), col("codes"), cbLit, lit(PqDs))
     // rank with the bounded-heap collector, not Window+row_number: the
@@ -585,7 +585,7 @@ object LlmQueries extends QueryPack {
       .sortBy(_._1).toIndexedSeq
 
   private def ivfCentsLit(cents: Seq[(Long, Seq[Double])]): (Column, Column) =
-    (array(cents.map(c => litArr(c._2)): _*), array(cents.map(c => lit(c._1)): _*))
+    (VectorOps.litArr2(cents.map(_._2)), typedLit(cents.map(_._1).toSeq))
 
   /** IVFPQ ingest-time encode: appends coarse cell id (`cell`) and PQ
     * codes of the residual (vector − cell centroid, `codes`) to the
@@ -630,7 +630,7 @@ object LlmQueries extends QueryPack {
           element_at(col("cells"), r).cast("int").as("qci"))): _*)).as("pc"))
       .select(col("q_id"), col("pc.qcell").as("qcell"),
         residual(col("qv"), col("pc.qci")).as("qrv"))
-    val cbLit = array(cb.map(c => litArr(c)): _*)
+    val cbLit = VectorOps.litArr2(cb)
     val adist = call_function("pq_adc_dist",
       col("qrv"), col("codes"), cbLit, lit(PqDs))
     // bounded-heap top-k (the q09/q119 shape): only queries×k rows

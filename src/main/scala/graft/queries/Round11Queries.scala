@@ -24,11 +24,11 @@ object Round11Queries extends QueryPack {
 
   // q168: kNN graph (multi-table LSH seed + one NN-descent round) --------
 
-  private val KgK = 5       // neighbors per node in the final graph
+  private[queries] val KgK = 5  // neighbors per node in the final graph
   private val KgCap = 64    // per-(table, bucket) candidate cap
   private val KgTables = 4  // independent LSH tables
   private val KgBits = 4    // bits per table (planes [t·4, t·4+4))
-  private val KgUnd = 10    // undirected-degree cap before composition (2k)
+  private[queries] val KgUnd = 10 // undirected-degree cap before composition (2k)
 
   // q169: the same recipe run to convergence — a wider internal
   // neighbor list (Dong et al.'s K), more descent rounds, output top-5.
@@ -459,66 +459,75 @@ object Round11Queries extends QueryPack {
     * maintenance invariant flips a verdict at every sf.
     *
     * The STANDING state (80% graph, frozen threshold, initial cluster
-    * map) is written once per fixture (marker-gated [[Round8Queries
-    * .ensureScratch]], the knngraph/annidx3 pattern): it is the
+    * map) is written once per fixture by the SHARED maintenance-gate
+    * build ([[Round14Queries.maintScratch]], round-15 verdict ask #1 —
+    * q177 and q178 derive their artifacts from the same base slice, so
+    * a cold board pays ONE corpus join for both gates): it is the
     * pre-existing serving artifact the maintenance path operates ON,
     * not the path under test — in production it was laid down by the
     * original build, and re-deriving it per bench pass timed the build
     * recipe a second time (r14 verdict: q177+q178 = 14% of the board).
     * The MAINTAINED path — append, cluster fold, every assertion —
-    * still executes per run. */
+    * still executes per run. Like q178, the gate's size is FIXED (the
+    * [[Round14Queries.MaintSlice]]-vector slice, 80/20 split by
+    * `vec_id % 5`): it grades maintenance SEMANTICS — a regression in
+    * any invariant flips a verdict at every sf — while the maintained
+    * operators' scale curves live with the operators themselves
+    * (q168–q176, BENCH_SCALING). */
   def q177(s: SparkSession, d: String): DataFrame = {
-    // the gate chains ~20 micro-shuffles over a dimension-small vector
-    // table (2k rows at the bench sf) — 8 shuffle partitions cut the
-    // 32-task fixed floor per exchange; still ≤250k rows/partition at
-    // sf100, and AQE stays on to coalesce further. Identical verdicts.
-    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try q177Body(s, d)
-    finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    graft.GraftFunctions.ensure(s)
+    val standing = Round14Queries.maintScratch(s, d) // build: own knobs
+    // the gate chains ~20 micro-jobs over ≤slice-sized frames: the
+    // same micro-plan knobs as q178 (1 shuffle partition, whole-stage
+    // codegen and AQE off — each unique tiny plan would pay a Janino
+    // compile / runtime re-plan to process ≤240 rows). Identical
+    // verdicts; scoped to the gate only.
+    val saved = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.codegen.wholeStage", "spark.sql.adaptive.enabled")
+      .map(k => k -> s.conf.get(k))
+    s.conf.set("spark.sql.shuffle.partitions", "1")
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try q177Body(s, d, standing)
+    finally saved.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
-  private def q177Body(s: SparkSession, d: String): DataFrame = {
-    graft.GraftFunctions.ensure(s)
-    val b = Tables.embeddings(s, d)
-      .select(col("vec_id"), toD(col("embedding")).as("v"))
+  private def q177Body(s: SparkSession, d: String, standing: String): DataFrame = {
+    val b = s.read.parquet(s"$standing/base")
+      .select(col("doc_id").as("vec_id"), col("v"))
     val bOld = b.filter(col("vec_id") % 5 =!= 4)
     val drop = b.filter(col("vec_id") % 5 === 4)
-    val standing = Round8Queries.ensureScratch(s, "maint177", d) { base =>
-      val g = knnGraphBuild(bOld, KgK, KgUnd, rounds = 1)
-        .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
-      g.repartition(4).write.parquet(s"$base/gold")
-      val t = clusterThreshold(g)
-      s.range(1).select(lit(t).as("thr")).write.parquet(s"$base/thr")
-      clusterMap(bOld.select(col("vec_id")), g, t)
-        .repartition(4).write.parquet(s"$base/c0")
-    }
     val gOld = s.read.parquet(s"$standing/gold")
       .select(col("src"), col("nb"), col("sim"))
     val thr = s.read.parquet(s"$standing/thr").head().getLong(0)
     val c0 = s.read.parquet(s"$standing/c0")
+    Round14Queries.tlog("q177 standing read")
     val gNew = appendToKnnGraph(gOld, bOld, drop, KgK, KgUnd)
       .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
+    Round14Queries.tlog("q177 graph append done")
     val c1 = appendToClusters(c0, gNew, drop.select(col("vec_id")), thr)
       .localCheckpoint(false)
-    // one full-outer aggregation instead of three counting jobs, and
-    // strictly STRONGER: every grown id mapped exactly once AND no
-    // phantom ids (the old pair of counts admitted a doubled id
-    // masking a missing one)
-    val coverage = b.select(col("vec_id"), lit(1).as("e"))
+    Round14Queries.tlog("q177 cluster fold done")
+    // all three invariants ride ONE union job (per-action Catalyst
+    // planning is the gate's dominant cost — measured, round 16): each
+    // branch reduces to a single `bad` counter whose zero means the
+    // invariant holds, and the branches share the c1/gNew checkpoints.
+    // coverage: one full-outer aggregation, strictly STRONGER than the
+    // old pair of counts — every grown id mapped exactly once AND no
+    // phantom ids (a doubled id can't mask a missing one)
+    val covBad = b.select(col("vec_id"), lit(1).as("e"))
       .join(c1.groupBy(col("vec_id")).agg(count(lit(1)).as("k")),
         Seq("vec_id"), "full")
-      .agg(sum(when(col("e").isNull || col("k").isNull || col("k") =!= 1, 1)
-        .otherwise(0)).as("bad"))
-      .head().getLong(0) == 0L
-    def neverStraddles(base: DataFrame): Boolean =
-      base.select(col("vec_id"), col("cluster_id").as("base_cl"))
-        .join(c1.select(col("vec_id"), col("cluster_id").as("inc_cl")), Seq("vec_id"))
-        .groupBy(col("base_cl"))
-        .agg(countDistinct(col("inc_cl")).as("k"))
-        .agg(max(col("k")).as("m"))
-        .collect()(0).getLong(0) <= 1L
-    val monotone = neverStraddles(c0)
+      .agg(coalesce(sum(when(col("e").isNull || col("k").isNull || col("k") =!= 1, 1)
+        .otherwise(0)), lit(1L)).as("bad"))
+      .select(lit("coverage").as("inv"), col("bad"))
+    // monotone merges: no pre-append cluster maps into two c1 clusters
+    val monBad = c0.select(col("vec_id"), col("cluster_id").as("base_cl"))
+      .join(c1.select(col("vec_id"), col("cluster_id").as("inc_cl")), Seq("vec_id"))
+      .groupBy(col("base_cl"))
+      .agg(countDistinct(col("inc_cl")).as("k"))
+      .agg(coalesce(sum(when(col("k") > 1, 1).otherwise(0)), lit(1L)).as("bad"))
+      .select(lit("monotone").as("inv"), col("bad"))
     // rebuild-refinement WITHOUT a third CC: components are generated
     // by edges, so "every frozen-thr rebuild cluster sits inside one
     // incremental cluster" ⟺ "no single rebuild edge crosses a c1
@@ -527,10 +536,18 @@ object Round11Queries extends QueryPack {
     val eR = mutualEdges(topK(gNew, KgK).select(col("src"), col("nb"), col("sim")))
       .filter(col("sim") >= lit(thr))
       .select(col("src"), col("nb"))
-    val refined = eR
+    val refBad = eR
       .join(c1.select(col("vec_id").as("src"), col("cluster_id").as("ca")), Seq("src"))
       .join(c1.select(col("vec_id").as("nb"), col("cluster_id").as("cb")), Seq("nb"))
-      .filter(col("ca") =!= col("cb")).count() == 0
+      .filter(col("ca") =!= col("cb"))
+      .agg(count(lit(1)).as("bad"))
+      .select(lit("refine").as("inv"), col("bad"))
+    val bads = covBad.unionByName(monBad).unionByName(refBad).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Round14Queries.tlog("q177 assertions done")
+    val coverage = bads.get("coverage").contains(0L)
+    val monotone = bads.get("monotone").contains(0L)
+    val refined = bads.get("refine").contains(0L)
     s.range(1).select(
       lit(if (coverage) 1 else 0).cast("int").as("coverage_ok"),
       lit(if (monotone) 1 else 0).cast("int").as("monotone_ok"),
@@ -768,9 +785,14 @@ object Round11Queries extends QueryPack {
     // one: recursive dir deletion is not atomic, so a compaction that
     // crashes (or is observed) between retiring the last tombstone
     // file and removing the dir itself must not leave the artifact
-    // unreadable (schema inference over zero files throws)
-    def hasFiles = fs.listStatus(tomb)
-      .exists(_.getPath.getName.endsWith(".parquet"))
+    // unreadable (schema inference over zero files throws). The
+    // exists→listStatus pair is itself a TOCTOU window (round-15
+    // ADVICE): a concurrent compaction can delete the dir between the
+    // two calls, so a vanished-dir listStatus also reads as "no
+    // sidecar" — race-free for ALL callers, not just retrying streams.
+    def hasFiles =
+      try fs.listStatus(tomb).exists(_.getPath.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => false }
     if (!fs.exists(tomb) || !hasFiles) (g, lists)
     else {
       val del = broadcast(s.read.parquet(tomb.toString)
@@ -901,7 +923,7 @@ object Round11Queries extends QueryPack {
     val q = b.filter(col("vec_id") < GdQ)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val cb = LlmQueries.pqCodebook(b)
-    val cbLit = array(cb.map(c => VectorOps.litArr(c)): _*)
+    val cbLit = VectorOps.litArr2(cb)
     def scoreAdc(cand: DataFrame): DataFrame =
       enc.join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))

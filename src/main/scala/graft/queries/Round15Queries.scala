@@ -53,13 +53,13 @@ object Round15Queries extends QueryPack {
       istr(pmod(k * 7, lit(900L)) + 100), lit("-"),
       lpad(istr(pmod(k * 13, lit(1000L))), 3, "0"), lit("-"),
       lpad(istr(pmod(k * 29, lit(10000L))), 4, "0"),
-      // the URL scheme is split across two literals so no SOURCE line
-      // contains a contiguous URL (the leak linter flags any literal
-      // scheme-plus-slashes outside its allowlist; example.org is
-      // RFC-2606 reserved, but the rendered data is where the URL
-      // belongs)
-      lit(" see https:"), lit("//ex-"), istr(pmod(k, lit(5L))),
-      lit(".example.org/u/"), istr(k),
+      // one contiguous literal: example.org is RFC-2606 reserved and on
+      // the leak linter's allowlist (round-16 ADVICE — never structure
+      // source so the scanner can't see a URL it constructs); the
+      // per-doc variation lives in the PATH so the host stays the bare
+      // reserved domain
+      lit(" see https://example.org/ex-"), istr(pmod(k, lit(5L))),
+      lit("/u/"), istr(k),
       lit(" ref "), istr(k * 3))
     val rendered = Tables.documents(s, d)
       .select(col("doc_id"), concat(col("text"), contact).as("t0"))
@@ -125,7 +125,7 @@ object Round15Queries extends QueryPack {
         '.example.com or +1-' || ((doc_id * 7) % 900 + 100) || '-' ||
         lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0') || '-' ||
         lpad(CAST((doc_id * 29) % 10000 AS VARCHAR), 4, '0') ||
-        ' see https:' || '//ex-' || (doc_id % 5) || '.example.org/u/' || doc_id ||
+        ' see https://example.org/ex-' || (doc_id % 5) || '/u/' || doc_id ||
         ' ref ' || (doc_id * 3)"""
     // one CTE per cascade stage: select doc_id, every prior class's
     // count, this stage's count on the incoming text, the rewrite

@@ -113,8 +113,8 @@ object Round4Queries extends QueryPack {
       val cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < cells)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
         .toIndexedSeq.sortBy(_._1)
-      val centsLit = array(cents.map(c => VectorOps.litArr(c._2)): _*)
-      val cidLit = array(cents.map(c => lit(c._1)): _*)
+      val centsLit = VectorOps.litArr2(cents.map(_._2))
+      val cidLit = typedLit(cents.map(_._1).toSeq)
       e.withColumn("cells",
           call_function("nearest_cells", col("v"), centsLit, lit(1)))
         .select(col("vec_id"), col("v"),
@@ -228,8 +228,8 @@ object Round4Queries extends QueryPack {
       .persist() // three passes (init collect + 2 assignment rounds)
     def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
       val sorted = cents.sortBy(_._1) // index order ≡ cid order (tie contract)
-      val centsLit = array(sorted.map(c => VectorOps.litArr(c._2)): _*)
-      val cidLit = array(sorted.map(c => lit(c._1)): _*)
+      val centsLit = VectorOps.litArr2(sorted.map(_._2))
+      val cidLit = typedLit(sorted.map(_._1).toSeq)
       e.withColumn("cells", call_function("nearest_cells", col("q"), centsLit))
         .select(col("vec_id"), col("q"),
           element_at(cidLit, element_at(col("cells"), 1).cast("int") + 1).as("cell"))

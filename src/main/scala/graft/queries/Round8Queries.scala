@@ -33,17 +33,41 @@ object Round8Queries extends QueryPack {
     * bucketed / sharded layout IS the table, written once by ingest;
     * BENCH must time the read path, not a per-call rewrite the oracle
     * never performs (r8 verdict #1). IoSpec covers the
-    * reuse-vs-rebuild-vs-halfwritten branches. */
-  private[graft] def ensureScratch(s: SparkSession, tag: String, d: String)
+    * reuse-vs-rebuild-vs-halfwritten branches.
+    *
+    * `version` (round-15 ADVICE) is a build-recipe fingerprint written
+    * INTO the marker: call sites fold the algorithm parameters (and a
+    * bump-on-change token) into it, so a later change to the build
+    * code rebuilds standing state automatically instead of silently
+    * serving scratch laid down by an older algorithm. A marker whose
+    * content doesn't match the requested version is stale state, wiped
+    * and rebuilt exactly like a half-written dir. The default ""
+    * matches a bare legacy marker (created empty). */
+  private[graft] def ensureScratch(s: SparkSession, tag: String, d: String,
+                                   version: String = "")
       (build: String => Unit): String = {
     val base = scratch(tag, d)
     val root = new org.apache.hadoop.fs.Path(base)
     val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_DONE")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    val fresh =
+      try {
+        val in = fs.open(marker)
+        val got = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+            .foreach(n => buf.write(chunk, 0, n))
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        got == version
+      } catch { case _: java.io.IOException => false } // missing/vanished
+    if (!fresh) {
       fs.delete(root, true)
       build(base)
-      fs.create(marker, true).close()
+      val out = fs.create(marker, true)
+      try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     base
   }

@@ -34,7 +34,12 @@ PATTERNS = {
     "internal-url": re.compile(
         r"https?://(?!localhost|127\.0\.0\.1|www\.w3\.org|json-schema\.org|"
         r"maven\.apache\.org|spark\.apache\.org|github\.com|arxiv\.org|"
-        r"duckdb\.org|docs\.)"),
+        r"duckdb\.org|docs\.|"
+        # RFC-2606 reserved documentation domains (round-16 ADVICE): let
+        # fixture-rendered URLs be written as ONE contiguous literal so
+        # the scanner sees every URL the source constructs, instead of
+        # sources splitting literals to dodge this pattern.
+        r"[a-z0-9.-]*example\.(?:com|org|net)\b)"),
     "internal-pkg2": re.compile(r"\b(?:com|net|io)\.(?!fasterxml|github)[a-z]+\.internal\b"),
     "internal-bucket": re.compile(r"\b(?:s3|gs|s3a|abfss?)://[a-z0-9._-]+"),
     "slack-link": re.compile(r"slack\.com|app\.slack|#[a-z0-9-]*-(?:eng|team|infra)\b"),
