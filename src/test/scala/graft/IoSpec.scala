@@ -437,6 +437,36 @@ class IoSpec extends SparkSpec {
       java.nio.file.Paths.get(base, "data.txt"))) == "build 2")
   }
 
+  test("derived layouts rebuild when the build-recipe version changes") {
+    import graft.queries.Round8Queries.ensureScratch
+    // round-15 ADVICE: standing state is marker-gated per (tag, fixture)
+    // — without a recipe fingerprint, an algorithm change would silently
+    // keep serving scratch laid down by the OLD code. The version token
+    // lives in the marker: same version reuses, changed version wipes
+    // and rebuilds, and a legacy empty marker matches only the default.
+    val key = tmp() + "/fixture-ver"
+    var builds = 0
+    def run(ver: String): Unit = {
+      ensureScratch(spark, "iospecver", key, ver) { b =>
+        builds += 1
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(b))
+      }
+      ()
+    }
+    run("K=5x1"); run("K=5x1")
+    assert(builds == 1, "same version must reuse the standing layout")
+    run("K=15x3")
+    assert(builds == 2, "a changed recipe version must wipe and rebuild")
+    run("K=15x3")
+    assert(builds == 2)
+    // legacy migration: a bare (empty) marker — the pre-round-16 form —
+    // must NOT satisfy a versioned call
+    run("")
+    assert(builds == 3, "default version rebuilds over a versioned marker")
+    run("K=15x3")
+    assert(builds == 4, "versioned call rebuilds over a legacy empty marker")
+  }
+
   test("binary payload survives a parquet round-trip") {
     val dir = tmp() + "/b"
     val df = Tables.documents(spark, sf("sf0.001"))

@@ -152,6 +152,45 @@ class Round11Spec extends SparkSpec {
     assert(recall >= 0.85, s"q169 recall@5 at sf0.1 fell to $recall (floor 0.85)")
   }
 
+  test("q171 knob frontier at sf0.1: one beam notch down stays in its measured band") {
+    // round-16 verdict ask #7: the fixed-param floors (beam=30 → ≥0.9)
+    // can mask a silent geometry regression that the wide beam absorbs.
+    // Sweep the beam ONE notch down on the same artifact and pin the
+    // measured frontier: beam=20 has its own floor, the knob stays
+    // monotone, and the gap between the notches stays the narrow band
+    // measured when the recipe was frozen (r13: 0.825 @ 20, 0.925 @ 30)
+    // — a recipe regression shows up first as a collapsing low notch.
+    import graft.queries.Round11Queries
+    graft.GraftFunctions.ensure(spark)
+    val dir = sf("sf0.1")
+    val (vecs, exact, _) = exactTop5(dir)
+    val idx = Round11Queries.knnGraphIndex(spark, dir)
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = b.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def recallAt(beam: Int): Double = {
+      val (frontier, _) = Round11Queries.graphSearch(
+        spark.read.parquet(s"$idx/graph").select(col("src"), col("nb")),
+        spark.read.parquet(s"$idx/buckets"), b, q, beam)
+      // frontier columns are (q_id, vec_id, sim): rank by (sim desc, id)
+      val byQ = frontier.collect().groupBy(_.getLong(0))
+      (0L until 8L).map { qi =>
+        val top5 = byQ(qi).map(r => (r.getLong(2), r.getLong(1)))
+          .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2).toSet
+        (top5 & exact(qi)).size
+      }.sum / 40.0
+    }
+    val r30 = recallAt(30)
+    val r20 = recallAt(20)
+    assert(r30 >= 0.9, s"beam=30 recall@5 fell to $r30 (floor 0.9)")
+    assert(r20 >= 0.75, s"beam=20 recall@5 fell to $r20 (measured 0.825; floor 0.75)")
+    assert(r20 <= r30, s"beam knob must be monotone: $r20 @ 20 vs $r30 @ 30")
+    assert(r30 - r20 <= 0.2,
+      s"knob frontier widened: $r30 @ 30 vs $r20 @ 20 — the wide beam is " +
+        "absorbing a geometry regression the floors can't see")
+  }
+
   test("q171 graph-descent ANN: recall@5 >= 0.9, structure dense, beats the Hamming path") {
     val (vecs, exact, _) = gtState
     val out = SparkEntry.queries("q171_graph_ann")(spark, sf("sf0.001"))

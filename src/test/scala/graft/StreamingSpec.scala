@@ -1454,4 +1454,78 @@ class StreamingSpec extends SparkSpec {
     }
     sq.stop()
   }
+
+  test("annidx compaction swap is exactly-once under a kill at EVERY boundary") {
+    // round-16 verdict ask #8: compactAnnIndex's staged swap was the one
+    // commit not yet crash-raced. The swap is a roll-forward protocol —
+    // staging dir, then a _plan commit file, then renames + deletes — so
+    // a kill at ANY boundary must leave the artifact recoverable to
+    // EXACTLY the pre-compaction row multiset: pre-plan kills abort (the
+    // originals are untouched), post-plan kills complete forward on the
+    // next compaction entry. The spec kills at every failpoint the swap
+    // exposes and asserts multiset equality + convergence after repair.
+    import graft.queries.{LlmQueries, Round10Queries}
+    graft.GraftFunctions.ensure(spark)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .filter(col("vec_id") < 300).localCheckpoint(true)
+    val vecs = e.select(col("vec_id"), col("v"))
+    val cents = LlmQueries.ivfCentroids(vecs)
+    val cb = LlmQueries.pqCodebook(vecs)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_crashrace")
+    val golden = baseDir.toString + "/golden"
+    // 1 base part + 5 appended drops = 6 small files, all under target
+    Round10Queries.annIndexRows(e.filter(col("vec_id") < 100), cents, cb)
+      .coalesce(1).write.parquet(golden)
+    (0 until 5).foreach { i =>
+      Round10Queries.appendToAnnIndex(
+        e.filter(col("vec_id") >= 100 + i * 40 && col("vec_id") < 140 + i * 40),
+        golden, cents, cb)
+    }
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).collect()
+        .map(_.toString).toSeq.sorted
+    val before = rows(golden)
+    def copyTo(dst: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Paths.get(golden)
+      val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+        java.nio.file.Files.copy(p, d.resolve(src.relativize(p).toString))
+      }
+    }
+    // discover the failpoint labels with a recording (non-killing) run
+    val labels = scala.collection.mutable.ArrayBuffer[String]()
+    locally {
+      val probe = baseDir.toString + "/probe"
+      copyTo(probe)
+      val n = Round10Queries.compactAnnIndex(spark, probe, 1L << 20,
+        fp => labels += fp)
+      assert(n > 0 && rows(probe) == before,
+        "the uncrashed compaction must preserve the row multiset")
+    }
+    assert(labels.contains("staged") && labels.contains("planned") &&
+      labels.exists(_.startsWith("renamed-")) &&
+      labels.exists(_.startsWith("deleted-")), s"unexpected failpoints: $labels")
+    final class Kill extends RuntimeException("kill")
+    labels.zipWithIndex.foreach { case (kill, i) =>
+      val dir = baseDir.toString + s"/crash$i"
+      copyTo(dir)
+      intercept[Kill] {
+        Round10Queries.compactAnnIndex(spark, dir, 1L << 20,
+          fp => if (fp == kill) throw new Kill)
+      }
+      // the artifact is never served mid-swap here (the loop runs the
+      // compaction between batches); what matters is convergence: the
+      // NEXT compaction entry repairs and completes
+      Round10Queries.compactAnnIndex(spark, dir, 1L << 20)
+      assert(rows(dir) == before,
+        s"rows diverged after kill at '$kill' + repair")
+      // and the staging dir is gone — repair left no debris
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir + "_compact_tmp")),
+        s"staging dir left behind after kill at '$kill'")
+    }
+  }
 }
