@@ -25,7 +25,8 @@ object SparkEntry {
     Round10Queries,
     Round11Queries,
     Round14Queries,
-    Round15Queries
+    Round15Queries,
+    Round16Queries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -92,7 +92,7 @@ object Round10Queries extends QueryPack {
   // Shared retrieval fragments --------------------------------------------
 
   /** Corpus with the float embedding cast to double once. */
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private[queries] def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), toD(col("embedding")).as("v"))
 
   /** The derived ANN index layout, written ONCE per fixture (the
@@ -374,7 +374,7 @@ object Round10Queries extends QueryPack {
     * q119 shape: only |queries|×k rows cross the shuffle, no window
     * sort of the candidate fanout. `key` must already be "smaller is
     * better" (negate sims). Returns (q_id, rn, vec_id, key). */
-  private def heapTopK(cand: DataFrame, key: Column, k: Int): DataFrame =
+  private[queries] def heapTopK(cand: DataFrame, key: Column, k: Int): DataFrame =
     cand.select(col("q_id"), col("vec_id"), key.as("hk"))
       .groupBy(col("q_id"))
       .agg(call_function("collect_topk",
@@ -439,7 +439,7 @@ object Round10Queries extends QueryPack {
     VectorOps.signWord(v, off)
 
   /** DuckDB twin of [[signWord]]: Σ [v[off+i]>0]·2^(32−i). */
-  private def signWordSql(v: String, off: Int): String =
+  private[queries] def signWordSql(v: String, off: Int): String =
     s"CAST(list_sum([CASE WHEN CAST($v[$off+i] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << (32-i)) ELSE 0 END for i in generate_series(1, 32)]) AS BIGINT)"
 
   /** Candidate ranking is bit_count(xor) over the two packed words of
