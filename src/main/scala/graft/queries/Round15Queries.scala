@@ -96,7 +96,10 @@ object Round15Queries extends QueryPack {
     * never shuffles anything wider than (doc_id, small ints).
     * Deterministic integers throughout; the oracle replays the same
     * 8-round CTE chain and joins v8. */
-  def q182(s: SparkSession, d: String): DataFrame = {
+  /** Per-document token statistics under the trained q179 tokenizer —
+    * the (doc_id, n_words, n_tokens, n_chars) core shared by q182 (the
+    * per-doc emit) and q184 (the per-language fertility rollup). */
+  private[queries] def docTokenStats(s: SparkSession, d: String): DataFrame = {
     val (_, vocab) = Round14Queries.bpeTrain(s, d)
     val wordToks = vocab.select(col("w"),
       size(split(trim(col("s"), "|"), "\\|\\|")).cast("long").as("toks"))
@@ -108,11 +111,14 @@ object Round15Queries extends QueryPack {
       .agg(count(lit(1)).as("n_words"),
         sum(col("toks")).as("n_tokens"),
         sum(length(col("w")).cast("long")).as("n_chars"))
+  }
+
+  def q182(s: SparkSession, d: String): DataFrame =
+    docTokenStats(s, d)
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         expr("CAST((n_chars * 10000L) DIV n_tokens AS BIGINT)")
           .as("chars_per_token_bp"))
       .orderBy(col("doc_id"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_pii_redact" -> q181 _,

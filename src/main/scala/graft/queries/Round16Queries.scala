@@ -95,8 +95,35 @@ object Round16Queries extends QueryPack {
       .orderBy(col("q_id"))
   }
 
+  /** q184: tokenizer FERTILITY per language — the statistic a
+    * multilingual pipeline reads before fixing its mixing weights: a
+    * language whose tokens/word (fertility) or chars/token runs hot is
+    * under-served by the tokenizer, so its token budget buys fewer
+    * documents (Rust et al. 2021's fertility framing). Composes two
+    * standing derivations: q182's per-document token statistics under
+    * the trained q179 tokenizer, rolled up over the corpus `lang`
+    * column. Scale shape inherits q182's: one corpus pass, a
+    * Heaps'-small broadcast, then a languages-sized aggregate —
+    * nothing wider than small ints ever shuffles. */
+  def q184(s: SparkSession, d: String): DataFrame =
+    Round15Queries.docTokenStats(s, d)
+      .join(graft.Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("CAST((n_chars * 10000L) DIV n_tokens AS BIGINT)")
+          .as("chars_per_token_bp"),
+        expr("CAST((n_tokens * 10000L) DIV n_words AS BIGINT)")
+          .as("tokens_per_word_bp"))
+      .orderBy(col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q183_ndcg_eval" -> q183 _
+    "q183_ndcg_eval" -> q183 _,
+    "q184_tokenizer_fertility" -> q184 _
   )
 
   def oracle: Map[String, String] = {
@@ -137,6 +164,24 @@ object Round16Queries extends QueryPack {
       SELECT q_id,
              CAST(SUM(rel * ($w)[rn]) AS BIGINT) AS dcg,
              CAST(SUM(rel * ($w)[rn]) * 10000 // $NdIdcg AS BIGINT) AS ndcg_bp
-      FROM g GROUP BY q_id ORDER BY q_id""")
+      FROM g GROUP BY q_id ORDER BY q_id""",
+      // the q182 chain's word→tokens table joined back onto the word
+      // stream WITH its document's language, rolled up per language
+      "q184_tokenizer_fertility" -> s"""
+      ${Round14Queries.bpeBaseSql},
+      wt AS (SELECT w,
+                    CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS toks
+             FROM v${Round14Queries.BpeRounds}),
+      u AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+      j AS (SELECT u.doc_id, u.lang, wt.toks, len(u.w) AS wl
+            FROM u JOIN wt USING (w))
+      SELECT lang,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_words,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             CAST((SUM(wl) * 10000) // SUM(toks) AS BIGINT) AS chars_per_token_bp,
+             CAST((SUM(toks) * 10000) // COUNT(*) AS BIGINT) AS tokens_per_word_bp
+      FROM j GROUP BY lang ORDER BY lang""")
   }
 }
