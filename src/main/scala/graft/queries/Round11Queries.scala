@@ -666,9 +666,15 @@ object Round11Queries extends QueryPack {
       b.join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("sim"))
-    val s0 = score(entry)
+    // Per-hop lazy localCheckpoint (the q175/q173 loop pattern): frontier
+    // feeds BOTH the next expansion and the next union, and sc feeds BOTH
+    // the next frontier and the scored union, so the unrolled plan doubles
+    // per hop — ~2^hops copies of the entry probe and its base-table scans
+    // (measured: 122-Exchange / 106-parquet-scan plans). Truncating lineage
+    // at each hop keeps the plan constant-size and each hop computed once.
+    val s0 = score(entry).localCheckpoint(false)
     var frontier = topQ(s0, beam)
-      .select(col("q_id"), col("vec_id"), col("sim"))
+      .select(col("q_id"), col("vec_id"), col("sim")).localCheckpoint(false)
     var scored = s0
     for (_ <- 1 to GdHops) {
       val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
@@ -677,9 +683,9 @@ object Round11Queries extends QueryPack {
         .select(col("q_id"), col("nb").as("vec_id"))
       // rescoring a frontier node yields the identical row, so the
       // dedup heap absorbs it — no visited-set state needed
-      val sc = score(expand)
+      val sc = score(expand).localCheckpoint(false)
       frontier = topQ(frontier.unionByName(sc), beam)
-        .select(col("q_id"), col("vec_id"), col("sim"))
+        .select(col("q_id"), col("vec_id"), col("sim")).localCheckpoint(false)
       scored = scored.unionByName(sc)
     }
     (frontier, scored)
@@ -916,6 +922,29 @@ object Round11Queries extends QueryPack {
     * documents how much). Deterministic: integer-quantized distances,
     * id tiebreaks, fixed hops — DuckDB replays the whole search. */
   def q176(s: SparkSession, d: String): DataFrame = {
+    val (frontier, _) = pqSearch(s, d)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    val q = b.filter(col("vec_id") < GdQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // full precision only here: |Q|·PfRerank by-id fetches
+    val pool = topQA(frontier, PfRerank).select(col("q_id"), col("vec_id"))
+    val rer = b.join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("sim"))
+    topQ(rer, GdK)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q176's ADC traversal: (final frontier, the ADC-scored entry probe).
+    * The second return is the PlanGuard hook — the hops score through
+    * the SAME `scoreAdc` over the same `enc` read, but per-hop lazy
+    * localCheckpoints truncate them out of the final plan, so the spec
+    * pins the column-pruned rcodes scan (8 code bytes, never the float
+    * payload) on the entry plan, which is the one scan shape every hop
+    * reuses by construction. */
+  private[graft] def pqSearch(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.GraftFunctions.ensure(s)
     val idx = knnGraphIndex(s, d)
     val g = s.read.parquet(s"$idx/graph").select(col("src"), col("nb"))
@@ -940,22 +969,20 @@ object Round11Queries extends QueryPack {
     val entry = qMemb.join(buckets, Seq("t", "bk"))
       .filter(col("nb") =!= col("q_id"))
       .select(col("q_id"), col("nb").as("vec_id"))
-    var frontier = topQA(scoreAdc(entry), PfBeam)
+    // Per-hop lazy localCheckpoint (q175's loop pattern): frontier feeds
+    // both the expansion and the union, so the unrolled plan doubles per
+    // hop (measured: a 128-Exchange / 110-parquet-scan plan before).
+    val s0 = scoreAdc(entry)
+    var frontier = topQA(s0, PfBeam).localCheckpoint(false)
     for (_ <- 1 to GdHops) {
       val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
         .join(g, Seq("src"))
         .filter(col("nb") =!= col("q_id"))
         .select(col("q_id"), col("nb").as("vec_id"))
       frontier = topQA(frontier.unionByName(scoreAdc(expand)), PfBeam)
+        .localCheckpoint(false)
     }
-    // full precision only here: |Q|·PfRerank by-id fetches
-    val pool = topQA(frontier, PfRerank).select(col("q_id"), col("vec_id"))
-    val rer = b.join(broadcast(pool), Seq("vec_id"))
-      .join(broadcast(q), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"), cosBp(col("qv"), col("v")).as("sim"))
-    topQ(rer, GdK)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("sim").as("sim_q"))
-      .orderBy(col("q_id"), col("rn"))
+    (frontier, s0)
   }
 
   // q175: MMR-diversified retrieval over the served beam ----------------

@@ -321,8 +321,13 @@ class Round11Spec extends SparkSpec {
     // budget exactly as DiskANN's L does; shipped knobs are (90, 60)
     assert(r176 >= 0.8, s"q176 recall@5 fell to $r176 (floor 0.8; measured 0.875)")
     // the DiskANN split in the plan: every scan that reads the PQ codes
-    // is pruned away from the float payload (8 code bytes, not 256)
-    val plan = out.queryExecution.executedPlan.toString
+    // is pruned away from the float payload (8 code bytes, not 256).
+    // The per-hop localCheckpoints truncate the hop sub-plans out of
+    // q176's final plan, so pin the guard on the traversal's own
+    // ADC-scored entry plan (pqSearch._2) — the hops score through the
+    // same scoreAdc over the same index read by construction.
+    val plan = graft.queries.Round11Queries.pqSearch(spark, sf("sf0.001"))._2
+      .queryExecution.executedPlan.toString
     val codeScans = plan.linesIterator.filter(l =>
       l.contains("FileScan parquet") && l.contains("rcodes")).toSeq
     assert(codeScans.nonEmpty, s"traversal must score from the rcodes index scan:\n$plan")
