@@ -302,6 +302,81 @@ object MinHashSigs {
     Array(0L, 0x243F6A8885A308DL, 0x13198A2E0370734L, 0x082EFA98EC4E6C8L)
 }
 
+/** Top-60-bit md5 digest of a string as a BIGINT — the native form of
+  * the house digest chain `conv(substring(md5(x), 1, 15), 16, 10)
+  * .cast("long")` (first 15 hex chars parsed base-16). Value-identical
+  * to the chained builtins and to DuckDB's
+  * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`, so every oracle
+  * contract is untouched; what it removes is the per-value hex
+  * encode → substring → radix-parse → string allocations of the
+  * four-expression tree — the digest itself is the irreducible cost.
+  */
+case class Digest60(child: Expression)
+    extends UnaryExpression with CodegenFallback with Md5Helper {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"digest60 expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = md5Raw(input.asInstanceOf[UTF8String].getBytes)
+    // first 15 hex nibbles = top 60 digest bits, unsigned
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Digest60 =
+    copy(child = newChild)
+}
+
+/** [[Digest60]] mapped over a string array — the native form of
+  * `transform(arr, x -> conv(substring(md5(x), 1, 15), 16, 10)
+  * .cast("long"))`, element order preserved, null elements passed
+  * through as null (exactly the HOF tree's semantics). One digest loop
+  * replaces an interpreted four-expression tree per element — the
+  * set-similarity/containment joins (q108/q114/q140) and the span-dedup
+  * family digest every shingle of the corpus through this chain.
+  */
+case class Digests60(child: Expression)
+    extends UnaryExpression with CodegenFallback with Md5Helper {
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"digests60 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = md5Raw(arr.getUTF8String(i).getBytes)
+        out(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Digests60 =
+    copy(child = newChild)
+}
+
 /** Content-defined chunk starts over a binary payload — the native form
   * of q135's boundary scan: start positions (1-based) are [1] plus every
   * i ≥ window+1 whose trailing `window`-byte md5 (top 60 bits, the

@@ -63,8 +63,8 @@ object SimilarityQueries extends QueryPack {
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"),
         array_distinct(call_function("shingles3", col("ws"))).as("shs"))
-      .select(col("doc_id"), transform(col("shs"),
-        sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"),
+        call_function("digests60", col("shs")).as("hs"))
     // group key = the SORTED token set (engine-internal, never output,
     // so the digest needs no cross-engine parity)
     val sets = base
@@ -160,8 +160,8 @@ object SimilarityQueries extends QueryPack {
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"),
         array_distinct(call_function("shingles3", col("ws"))).as("shs"))
-      .select(col("doc_id"), transform(col("shs"),
-        sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"),
+        call_function("digests60", col("shs")).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("key", setKey(col("hs")))
     val mem = keyed.select(col("key"), col("doc_id")).persist()
@@ -383,7 +383,7 @@ object SimilarityQueries extends QueryPack {
     graft.GraftFunctions.ensure(s)
     val (size40, stride) = (40, 30)
     def dig(shs: org.apache.spark.sql.Column) =
-      transform(array_distinct(shs), sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long"))
+      call_function("digests60", array_distinct(shs))
     def setKey(a: org.apache.spark.sql.Column) =
       md5(concat_ws(",", transform(array_sort(a), _.cast("string"))))
     val docs = Tables.documents(s, d)

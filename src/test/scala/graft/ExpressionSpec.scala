@@ -120,6 +120,35 @@ class ExpressionSpec extends SparkSpec {
     assert(sizes == Seq(0, 0, 1))
   }
 
+  test("digest60/digests60 equal the conv(substring(md5)) chain on real documents") {
+    GraftFunctions.ensure(spark)
+    import graft.functions.TextOps
+    val shs = array_distinct(call_function("shingles3", TextOps.words(col("text"))))
+    // array form: element order and values must match the HOF tree exactly
+    val diffArr = Tables.documents(spark, sf("sf0.001"))
+      .select(transform(shs,
+          sp => conv(substring(md5(sp), 1, 15), 16, 10).cast("long")).as("hof"),
+        call_function("digests60", shs).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diffArr == 0)
+    // scalar form on raw text (covers multi-byte/empty inputs)
+    val diffSc = Tables.documents(spark, sf("sf0.001"))
+      .select(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("hof"),
+        call_function("digest60", col("text")).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diffSc == 0)
+    // null pass-through: null element -> null element, null array -> null
+    import spark.implicits._
+    val r = Seq(1).toDF("x")
+      .select(call_function("digests60",
+          array(lit("a"), lit(null).cast("string"))).as("a"),
+        call_function("digests60", lit(null).cast("array<string>")).as("n"),
+        call_function("digest60", lit(null).cast("string")).as("s"))
+      .head()
+    assert(!r.getSeq[Any](0).head.asInstanceOf[AnyRef].eq(null)
+      && r.getSeq[Any](0)(1) == null && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("nearest_cells equals the HOF nearestCells ranking on real embeddings") {
     GraftFunctions.ensure(spark)
     val e = Tables.embeddings(spark, sf("sf0.001"))
