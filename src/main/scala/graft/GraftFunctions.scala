@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
-import graft.expressions.{BloomFilterAgg, BloomMightContain, CdcStarts, CdcWordChunks, CosineSimilarity, CountMinSketchAgg, Digest60, Digests60, MinHashSigs, NearestCells, Shingles2, Shingles3, Simhash16, WordFingerprint, ZorderKey}
+import graft.expressions.{BloomFilterAgg, BloomMightContain, CdcStarts, CdcWordChunks, CosineSimilarity, CountMinSketchAgg, Digest60, Digests60, MinHashSigs, NearestCells, SetKeyMd5, Shingles2, Shingles3, Simhash16, WordFingerprint, ZorderKey}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -42,6 +42,9 @@ object GraftFunctions {
     (new FunctionIdentifier("digests60"),
       new ExpressionInfo(classOf[Digests60].getName, "digests60"),
       (children: Seq[Expression]) => Digests60(children.head): Expression),
+    (new FunctionIdentifier("setkey_md5"),
+      new ExpressionInfo(classOf[SetKeyMd5].getName, "setkey_md5"),
+      (children: Seq[Expression]) => SetKeyMd5(children.head): Expression),
     (new FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
       (children: Seq[Expression]) => (children match {

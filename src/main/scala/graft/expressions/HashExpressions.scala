@@ -377,6 +377,56 @@ case class Digests60(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact-set group key over a BIGINT digest array — the native form of
+  * `md5(concat_ws(",", transform(array_sort(a), x -> cast(x as string))))`
+  * (the q108/q114/q140 exact-set-collapse key): md5 hex of the
+  * comma-joined decimal representations of the ascending-sorted
+  * elements, nulls skipped exactly as concat_ws does. The digest is
+  * streamed element by element (one small stack buffer per element)
+  * instead of materializing the multi-KB decimal string the HOF tree
+  * allocates per document.
+  */
+case class SetKeyMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback with Md5Helper {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"setkey_md5 expects array<bigint>, got ${t.simpleString}")
+  }
+
+  private val comma = ",".getBytes
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // collect non-null elements (concat_ws drops nulls), sort ascending
+    // like array_sort/sort_array on bigint
+    val vs = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { vs(m) = arr.getLong(i); m += 1 }
+      i += 1
+    }
+    val kept = if (m == n) vs else java.util.Arrays.copyOf(vs, m)
+    java.util.Arrays.sort(kept)
+    val md = mdInstance()
+    i = 0
+    while (i < m) {
+      if (i > 0) md.update(comma)
+      md.update(java.lang.Long.toString(kept(i)).getBytes)
+      i += 1
+    }
+    UTF8String.fromString(toHex(md.digest()))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SetKeyMd5 =
+    copy(child = newChild)
+}
+
 /** Content-defined chunk starts over a binary payload — the native form
   * of q135's boundary scan: start positions (1-based) are [1] plus every
   * i ≥ window+1 whose trailing `window`-byte md5 (top 60 bits, the

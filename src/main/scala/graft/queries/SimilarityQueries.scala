@@ -69,8 +69,7 @@ object SimilarityQueries extends QueryPack {
     // so the digest needs no cross-engine parity)
     val sets = base
       .select(col("doc_id"), col("hs"),
-        md5(concat_ws(",", transform(sort_array(col("hs")),
-          x => x.cast("string")))).as("gk"))
+        call_function("setkey_md5", col("hs")).as("gk"))
       .select(col("doc_id"), col("hs"), col("gk"))
       .persist() // feeds reps, members, and both expansion sides
     val members = sets.select(col("gk"), col("doc_id"))
@@ -155,7 +154,7 @@ object SimilarityQueries extends QueryPack {
     // so same-key candidate pairs stay in and the a ≠ b filter lives
     // at fan-out, where doc identities exist.
     def setKey(a: org.apache.spark.sql.Column) =
-      md5(concat_ws(",", transform(array_sort(a), _.cast("string"))))
+      call_function("setkey_md5", a)
     val keyed = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"),
@@ -385,7 +384,7 @@ object SimilarityQueries extends QueryPack {
     def dig(shs: org.apache.spark.sql.Column) =
       call_function("digests60", array_distinct(shs))
     def setKey(a: org.apache.spark.sql.Column) =
-      md5(concat_ws(",", transform(array_sort(a), _.cast("string"))))
+      call_function("setkey_md5", a)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .withColumn("n_words", size(col("ws")))

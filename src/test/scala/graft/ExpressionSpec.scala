@@ -149,6 +149,31 @@ class ExpressionSpec extends SparkSpec {
       && r.getSeq[Any](0)(1) == null && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("setkey_md5 equals the md5(concat_ws(sort)) chain on real digest arrays") {
+    GraftFunctions.ensure(spark)
+    import graft.functions.TextOps
+    val hs = call_function("digests60",
+      array_distinct(call_function("shingles3", TextOps.words(col("text")))))
+    val diff = Tables.documents(spark, sf("sf0.001"))
+      .select(md5(concat_ws(",", transform(array_sort(hs),
+          _.cast("string")))).as("hof"),
+        call_function("setkey_md5", hs).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+    // null-element skip matches concat_ws; empty array = md5 of ""
+    import spark.implicits._
+    val r = Seq(1).toDF("x")
+      .select(call_function("setkey_md5",
+          array(lit(5L), lit(null).cast("long"), lit(-3L))).as("a"),
+        md5(concat_ws(",", transform(array_sort(
+          array(lit(5L), lit(null).cast("long"), lit(-3L))),
+          _.cast("string")))).as("hof"),
+        call_function("setkey_md5", array().cast("array<long>")).as("e"),
+        md5(lit("")).as("em"))
+      .head()
+    assert(r.getString(0) == r.getString(1) && r.getString(2) == r.getString(3))
+  }
+
   test("nearest_cells equals the HOF nearestCells ranking on real embeddings") {
     GraftFunctions.ensure(spark)
     val e = Tables.embeddings(spark, sf("sf0.001"))
