@@ -267,11 +267,23 @@ object Round11Queries extends QueryPack {
   }
 
   /** Mutual top-k edges (src < nb) of a (src, nb, sim) top-list graph —
-    * the SemDeDup-style pair candidates q170 cuts at p90. */
+    * the SemDeDup-style pair candidates q170 cuts at p90.
+    *
+    * One hash-agg exchange instead of the earlier self semi-join on
+    * swapped keys (round 16): canonicalize each directed edge to
+    * (lo, hi) and a pair is mutual iff BOTH directions arrive — count=2
+    * (top-k lists are distinct per src, so no double-counting). The
+    * sim is direction-symmetric (one deterministic cosBp per vector
+    * pair), so min(sim) ≡ either row's sim and the emitted (src, nb,
+    * sim) rows are identical to the semi-join's src<nb half. Replaces
+    * two sorted exchanges of the n·k edge list with one partial-agg
+    * exchange. */
   private[graft] def mutualEdges(gTop: DataFrame): DataFrame =
-    gTop.as("x").join(gTop.as("y"),
-        col("x.src") === col("y.nb") && col("x.nb") === col("y.src"), "left_semi")
-      .filter(col("src") < col("nb"))
+    gTop.groupBy(least(col("src"), col("nb")).as("src"),
+        greatest(col("src"), col("nb")).as("nb"))
+      .agg(min(col("sim")).as("sim"), count(lit(1)).as("ndir"))
+      .filter(col("ndir") === 2)
+      .select(col("src"), col("nb"), col("sim"))
 
   /** The q170 emit: ids + component labels → (vec_id, cluster_id, kept,
     * split). Everything is a pure function of the component map —
