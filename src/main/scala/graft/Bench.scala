@@ -109,8 +109,52 @@ object Bench {
     // sf100 record), where a second pass doubles an hour-long run for
     // little extra signal; the default stays min-of-two
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // GRAFT_STORAGE_PROBE: after each query's timed passes, dump the
+    // block-manager storage footprint (outside the timed region) — the
+    // round-17 anti-scaling investigation tool. Purely additive stderr.
+    val storageProbe = sys.env.contains("GRAFT_STORAGE_PROBE")
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // /proc/stat cpu line: user nice system idle iowait irq softirq steal
+    def cpuTicks(): (Long, Long) = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      (l.take(8).sum, l(7)) // (total, steal)
+    } catch { case _: Throwable => (0L, 0L) }
+    // INTERLEAVED passes (round 17): full sweep 1 over every query, then
+    // full sweep 2 — NOT both passes back-to-back per query. Measured
+    // motivation (OPTIMIZATION_r17.md "Inherited state"): this sandbox
+    // shows episodic host-level slowdowns (tens of seconds, 2-10x,
+    // floating across queries; thread dumps show executor threads idle
+    // and 1-3-task stages, gc/steal/iowait/storage all ruled out by a
+    // per-query probe). Back-to-back passes let ONE such storm poison
+    // both samples of a query (r16 driver board: q93 10.28 s in both
+    // passes vs 1.6-3.2 s in every targeted rerun). With the sweeps
+    // minutes apart the same min-of-two estimator rejects the storm.
+    // Methodology is otherwise unchanged: same queries, same sf, same
+    // noop sink, same warmup, same min-of-`passes` statistic.
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    (1 to passes).foreach { pass =>
+      names.foreach { name =>
+        val (gc0, (tot0, st0)) = (gcMs(), cpuTicks())
+        val t = timeOnce(name)
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ t
+        if (storageProbe) {
+          val rdds = spark.sparkContext.getPersistentRDDs
+          val info = spark.sparkContext.getRDDStorageInfo
+          val mem = info.map(_.memSize).sum / 1e6
+          val (gc1, (tot1, st1)) = (gcMs(), cpuTicks())
+          val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+            .getHeapMemoryUsage
+          Console.err.println(f"[storage] $name pass=$pass epoch=${System.currentTimeMillis / 1000} t=$t%.2f persistentRDDs=${rdds.size} mem=${mem}%.0fMB gcMs=${gc1 - gc0} stealTk=${st1 - st0} cpuTk=${tot1 - tot0} heapUsed=${heap.getUsed / 1e9}%.1fGB")
+        }
+      }
+    }
     val results = names.map { name =>
-      val ts = (1 to passes).map(_ => timeOnce(name))
+      val ts = samples(name)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -346,8 +346,13 @@ case class Digest60(child: Expression)
 case class Digests60(child: Expression)
     extends UnaryExpression with CodegenFallback with Md5Helper {
 
-  override def dataType: DataType = ArrayType(LongType,
-    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  // defensive against a non-array child (round-16 ADVICE): dataType can
+  // be probed by error formatting / tree transforms BEFORE
+  // checkInputDataTypes surfaces, and must not throw ClassCastException
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+    case _ => ArrayType(LongType, containsNull = true)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -390,6 +395,18 @@ case class SetKeyMd5(child: Expression)
     extends UnaryExpression with CodegenFallback with Md5Helper {
 
   override def dataType: DataType = StringType
+
+  // concat_ws NEVER returns null, so the builtin chain maps a null array
+  // to md5("") — match it exactly (round-16 ADVICE: a null-text doc must
+  // stay in the md5("") group, not move to a null key that inner joins
+  // on the group key would silently drop)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.fromString(toHex(mdInstance().digest()))
+    else nullSafeEval(v)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

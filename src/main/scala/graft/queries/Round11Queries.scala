@@ -157,8 +157,20 @@ object Round11Queries extends QueryPack {
       val next = descentRound(g, b, kInt, undCap)
         .select(col("src"), col("nb"), col("sim")).localCheckpoint(false)
       if (minUpdateFrac > 0) {
-        val total = next.count()
-        val changed = next.join(g, Seq("src", "nb"), "left_anti").count()
+        // ONE job for both convergence statistics (round 17): the old
+        // form ran next.count() and then a separate left_anti count —
+        // two full actions over the checkpointed n·k lists per round.
+        // A left join against g's (distinct per src) keys gives
+        // total = count(*) and changed = rows with no match, same
+        // numbers, one pass. δ and the stop rule are unchanged.
+        val row = next.join(
+            g.select(col("src"), col("nb"), lit(1).as("_old")),
+            Seq("src", "nb"), "left_outer")
+          .agg(count(lit(1)).as("total"),
+            coalesce(sum(when(col("_old").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("changed"))
+          .collect()(0)
+        val (total, changed) = (row.getLong(0), row.getLong(1))
         converged = changed.toDouble < minUpdateFrac * total.toDouble
       }
       g = next
@@ -244,10 +256,21 @@ object Round11Queries extends QueryPack {
     * it must shuffle-join, not ship to every executor. */
   def q170(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.ensure(s)
-    val b = Tables.embeddings(s, d)
-      .select(col("vec_id"), toD(col("embedding")).as("v"))
-    val g = knnGraphBuild(b, KiK, KiUnd, rounds = KiRounds)
-      .filter(col("rn") <= KgK).select(col("src"), col("nb"), col("sim"))
+    // Round 17 (guide §6, build once / read many): the converged descent
+    // graph this query clusters IS the write-once [[knnGraphIndex]]
+    // artifact — same builder, same recipe constants (KiK/KiUnd/KiRounds,
+    // marker-versioned), built by ingest exactly as q171/q173 serve it.
+    // Re-deriving the top-[[KgK]] cut from the persisted KiK-wide lists
+    // is exact: the artifact rows are knnGraphBuild's topK output, and
+    // a bounded topK over a per-src superset list with the same
+    // (sim desc, nb asc) order returns the identical top-KgK rows the
+    // old `filter(rn <= KgK)` kept. Output is bit-identical (descent is
+    // deterministic end-to-end; oracle replays the build), but q170 no
+    // longer re-runs the O(n·K²) build the suite already owns on disk.
+    val idx = knnGraphIndex(s, d)
+    val g = topK(s.read.parquet(s"$idx/graph")
+        .select(col("src"), col("nb"), col("sim")), KgK)
+      .select(col("src"), col("nb"), col("sim"))
     val mutual = mutualEdges(g)
     // exact percentile is safe ONLY because sims are integer bp in
     // [-10000, 10000]: Spark's percentile agg keeps one counter per
@@ -262,7 +285,9 @@ object Round11Queries extends QueryPack {
       .select(col("src"), col("nb"))
     val cc = graft.functions.Graph.connectedComponents(edges)
       .select(col("id").as("vec_id"), col("label"))
-    clusterDecision(b.select(col("vec_id")), cc)
+    // the annotate pass needs only ids — a vec_id-pruned base scan, not
+    // the embedding payload (guide §6 column pruning)
+    clusterDecision(Tables.embeddings(s, d).select(col("vec_id")), cc)
       .orderBy(col("vec_id"))
   }
 
@@ -279,10 +304,18 @@ object Round11Queries extends QueryPack {
     * two sorted exchanges of the n·k edge list with one partial-agg
     * exchange. */
   private[graft] def mutualEdges(gTop: DataFrame): DataFrame =
+    // direction FLAGS, not count==2 (round-16 ADVICE): max(fwd)/max(rev)
+    // ask "did each direction arrive at least once", which is the
+    // semi-join's exact semantics even if a future caller feeds
+    // duplicate directed edges (count==2 would mistake two copies of
+    // a->b for mutuality). Same single partial-agg exchange — the two
+    // int flags combine map-side like the count did.
     gTop.groupBy(least(col("src"), col("nb")).as("src"),
         greatest(col("src"), col("nb")).as("nb"))
-      .agg(min(col("sim")).as("sim"), count(lit(1)).as("ndir"))
-      .filter(col("ndir") === 2)
+      .agg(min(col("sim")).as("sim"),
+        max(when(col("src") < col("nb"), 1).otherwise(0)).as("fwd"),
+        max(when(col("src") > col("nb"), 1).otherwise(0)).as("rev"))
+      .filter(col("fwd") === 1 && col("rev") === 1)
       .select(col("src"), col("nb"), col("sim"))
 
   /** The q170 emit: ids + component labels → (vec_id, cluster_id, kept,

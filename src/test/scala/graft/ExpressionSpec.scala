@@ -169,9 +169,17 @@ class ExpressionSpec extends SparkSpec {
           array(lit(5L), lit(null).cast("long"), lit(-3L))),
           _.cast("string")))).as("hof"),
         call_function("setkey_md5", array().cast("array<long>")).as("e"),
-        md5(lit("")).as("em"))
+        md5(lit("")).as("em"),
+        // whole-array NULL parity (round-16 ADVICE): concat_ws never
+        // returns null, so the chain gives md5("") — the native
+        // expression must land null-text docs in the SAME group
+        call_function("setkey_md5", lit(null).cast("array<long>")).as("n"),
+        md5(concat_ws(",", transform(array_sort(
+          lit(null).cast("array<long>")), _.cast("string")))).as("nh"))
       .head()
     assert(r.getString(0) == r.getString(1) && r.getString(2) == r.getString(3))
+    assert(r.getString(4) == r.getString(5) && r.getString(4) == r.getString(3),
+      s"null array must key as md5(''): got ${r.getString(4)} vs ${r.getString(5)}")
   }
 
   test("nearest_cells equals the HOF nearestCells ranking on real embeddings") {

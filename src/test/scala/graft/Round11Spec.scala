@@ -371,6 +371,20 @@ class Round11Spec extends SparkSpec {
       s"MMR must reduce avg pairwise sim by >100 bp/query: plain ${sumPlain / 8} vs mmr ${sumMmr / 8}")
   }
 
+  test("mutualEdges: duplicate directed edges never fake mutuality") {
+    import spark.implicits._
+    // (1,2) genuinely mutual (appears duplicated in one direction);
+    // (3,4) one-directional but fed TWICE — under the old count==2 rule
+    // two copies of the same direction counted as mutual (round-16
+    // ADVICE); the direction-flag form must reject it
+    val g = Seq((1L, 2L, 100L), (1L, 2L, 100L), (2L, 1L, 100L),
+      (3L, 4L, 50L), (3L, 4L, 50L), (5L, 5L, 99L)).toDF("src", "nb", "sim")
+    val m = graft.queries.Round11Queries.mutualEdges(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m == Set((1L, 2L, 100L)),
+      s"expected only the genuinely mutual (1,2); got $m")
+  }
+
   test("q170 semantic clusters: survivors are the representatives, splits never straddle a cluster") {
     val out = SparkEntry.queries("q170_semantic_clusters")(spark, sf("sf0.001"))
       .select("vec_id", "cluster_id", "kept", "split").collect()
