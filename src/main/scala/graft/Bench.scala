@@ -28,11 +28,25 @@ object Bench {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          private val desc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             t0.put(j.jobId, System.nanoTime())
+            desc.put(j.jobId, Option(
+              j.properties.getProperty("spark.job.description"))
+              .filter(_.nonEmpty)
+              .orElse(j.stageInfos.lastOption.map(_.name))
+              .getOrElse("?"))
+          }
           override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val dt = (System.nanoTime() - t0.getOrDefault(j.jobId, System.nanoTime())) / 1e6
-            Console.err.println(f"[jobprof] job=${j.jobId} ${dt}%.0f ms")
+            Console.err.println(f"[jobprof] job=${j.jobId} ${dt}%.0f ms :: ${desc.getOrDefault(j.jobId, "?")}")
+          }
+          override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val wall = (for (s <- si.submissionTime; c <- si.completionTime)
+              yield c - s).getOrElse(-1L)
+            if (wall >= 100) // only stages worth reading
+              Console.err.println(s"[stageprof] stage=${si.stageId} ${wall} ms tasks=${si.numTasks} :: ${si.name.take(60)}")
           }
         })
 

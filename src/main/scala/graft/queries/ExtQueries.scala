@@ -110,7 +110,11 @@ object ExtQueries extends QueryPack {
     * per-window set size is bounded by window width x event density
     * (the same bound as the window's output row), and a genuinely hot
     * window would call for the q60-style two-level split; the exact
-    * answer is identical either way (hash-gated vs the same oracle). */
+    * answer is identical either way (hash-gated vs the same oracle).
+    * The bound is spec-pinned (RangeJoinSpec "hot window"): a single
+    * window owning 200k events / 150k distinct users — ~1.2 MB of
+    * aggregation buffer, orders beyond any fixture window — aggregates
+    * exactly through this plan shape. */
   def q117(s: SparkSession, d: String): DataFrame = {
     val HourUs = 3600000000L
     val ev = Tables.events(s, d)

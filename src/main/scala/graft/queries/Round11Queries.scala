@@ -967,7 +967,7 @@ object Round11Queries extends QueryPack {
     * documents how much). Deterministic: integer-quantized distances,
     * id tiebreaks, fixed hops — DuckDB replays the whole search. */
   def q176(s: SparkSession, d: String): DataFrame = {
-    val (frontier, _) = pqSearch(s, d)
+    val (frontier, _, _) = pqSearch(s, d)
     val b = Tables.embeddings(s, d)
       .select(col("vec_id"), toD(col("embedding")).as("v"))
     val q = b.filter(col("vec_id") < GdQ)
@@ -982,14 +982,16 @@ object Round11Queries extends QueryPack {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** q176's ADC traversal: (final frontier, the ADC-scored entry probe).
-    * The second return is the PlanGuard hook — the hops score through
-    * the SAME `scoreAdc` over the same `enc` read, but per-hop lazy
-    * localCheckpoints truncate them out of the final plan, so the spec
-    * pins the column-pruned rcodes scan (8 code bytes, never the float
-    * payload) on the entry plan, which is the one scan shape every hop
-    * reuses by construction. */
-  private[graft] def pqSearch(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** q176's ADC traversal: (final frontier, the ADC-scored entry probe,
+    * hop 1's scored expansion). The second and third returns are the
+    * PlanGuard hooks — per-hop lazy localCheckpoints truncate the hop
+    * sub-plans out of the final plan, so the spec pins the column-pruned
+    * rcodes scan (8 code bytes, never the float payload) on BOTH the
+    * entry plan and a real in-loop hop plan (round-16 ADVICE: entry
+    * alone relied on the hops sharing scoreAdc by construction; the hop
+    * hook catches a future edit that widens the in-loop read). */
+  private[graft] def pqSearch(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.GraftFunctions.ensure(s)
     val idx = knnGraphIndex(s, d)
     val g = s.read.parquet(s"$idx/graph").select(col("src"), col("nb"))
@@ -1019,15 +1021,18 @@ object Round11Queries extends QueryPack {
     // hop (measured: a 128-Exchange / 110-parquet-scan plan before).
     val s0 = scoreAdc(entry)
     var frontier = topQA(s0, PfBeam).localCheckpoint(false)
-    for (_ <- 1 to GdHops) {
+    var hop1: DataFrame = null
+    for (h <- 1 to GdHops) {
       val expand = frontier.select(col("q_id"), col("vec_id").as("src"))
         .join(g, Seq("src"))
         .filter(col("nb") =!= col("q_id"))
         .select(col("q_id"), col("nb").as("vec_id"))
-      frontier = topQA(frontier.unionByName(scoreAdc(expand)), PfBeam)
+      val sc = scoreAdc(expand)
+      if (h == 1) hop1 = sc // uncheckpointed handle: the guard's hop plan
+      frontier = topQA(frontier.unionByName(sc), PfBeam)
         .localCheckpoint(false)
     }
-    (frontier, s0)
+    (frontier, s0, hop1)
   }
 
   // q175: MMR-diversified retrieval over the served beam ----------------

@@ -890,7 +890,23 @@ object Streaming {
     * ALL of them — the invariant StreamingSpec pins end to end. The
     * batch is eagerly checkpointed first: every artifact the loop
     * mutates outlives the micro-batch, so none of them may hold lineage
-    * into the batch source. */
+    * into the batch source.
+    *
+    * CHECKPOINT LIFECYCLE (round-16 ADVICE, deliberately documented
+    * rather than changed): the per-batch state checkpoints (graph,
+    * corpus, layers, clusters) are LAZY, so batch N's superseded blocks
+    * are released by the ContextCleaner once batch N+1's state
+    * materializes and the old plans are GC'd — measured on the full
+    * 184x2-query board, lingering checkpoint storage stays under ~25 MB
+    * (OPTIMIZATION_r17.md probe), so nothing pins. An explicit
+    * unpersist of the superseded frames would require EAGER state
+    * materialization first (unpersisting a truncated-but-unmaterialized
+    * lazy checkpoint loses the only copy), i.e. ~4 extra jobs per
+    * micro-batch — the wrong trade at this batch cadence. On a real
+    * cluster the states are also unrecoverable on executor loss
+    * (localCheckpoint's contract); a production deployment with
+    * fault-tolerance needs would swap these for reliable checkpoints or
+    * per-batch artifact writes (the annidx path already IS one). */
   def ingestLoop(drops: DataFrame, st: IngestState, bandCap: Int,
                  kInt: Int, undCap: Int,
                  compactEvery: Int, compactTarget: Long,

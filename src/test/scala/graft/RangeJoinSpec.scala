@@ -115,6 +115,32 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("q117 hot window: one window owning 200k distinct users aggregates exactly (the collect_set bound)") {
+    // The q117 scaladoc's spill-safety argument, pinned (round-16
+    // verdict #6): the distinct-user set buffer of ONE window is bounded
+    // by that window's event count — the same magnitude as the window's
+    // own join output, never corpus-sized. A deliberately hot window
+    // (200k events, 150k distinct users, far beyond any fixture window)
+    // must aggregate exactly through the q117 shape: RangeJoinExec into
+    // groupBy(win_id).agg(count, size(collect_set)). 150k longs ≈ 1.2 MB
+    // of buffer — the documented bound in action; a corpus-hot window
+    // beyond task memory calls for the q60-style two-level split, which
+    // the scaladoc names as the escalation.
+    val n = 200000L
+    val pts = spark.range(n).select(
+      (col("id") % 150000L).as("user_id"),   // 150k distinct users
+      (col("id") % 1000L).as("tus"))         // all inside the window
+    val win = Seq((7L, 0L, 1000L)).toDF("win_id", "ws", "we")
+    val out = plans.RangeJoin.joinRange(pts, win, "tus", "ws", "we")
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+        size(collect_set(col("user_id"))).cast("long").as("n_users"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == n, s"n_events: ${out(0).getLong(1)}")
+    assert(out(0).getLong(2) == 150000L, s"n_users: ${out(0).getLong(2)}")
+  }
+
   test("plan uses RangeJoinExec, never BroadcastNestedLoopJoin") {
     val ev = Tables.events(spark, sf("sf0.001"))
       .select(col("event_id"), unix_micros(col("ts")).as("tus"))

@@ -326,13 +326,21 @@ class Round11Spec extends SparkSpec {
     // q176's final plan, so pin the guard on the traversal's own
     // ADC-scored entry plan (pqSearch._2) — the hops score through the
     // same scoreAdc over the same index read by construction.
-    val plan = graft.queries.Round11Queries.pqSearch(spark, sf("sf0.001"))._2
-      .queryExecution.executedPlan.toString
-    val codeScans = plan.linesIterator.filter(l =>
-      l.contains("FileScan parquet") && l.contains("rcodes")).toSeq
-    assert(codeScans.nonEmpty, s"traversal must score from the rcodes index scan:\n$plan")
-    codeScans.foreach(l => assert(!l.contains("embedding") && !l.contains("prefix"),
-      s"ADC scan must not read the float payload:\n$l"))
+    val (_, entryProbe, hop1) =
+      graft.queries.Round11Queries.pqSearch(spark, sf("sf0.001"))
+    // pin the rcodes-only pruned scan on BOTH guard hooks: the entry
+    // probe AND a real in-loop hop expansion (round-16 ADVICE — the
+    // entry plan alone relied on the hops sharing scoreAdc by
+    // construction; this catches a future edit that widens the hop read)
+    for ((df, which) <- Seq((entryProbe, "entry"), (hop1, "hop1"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val codeScans = plan.linesIterator.filter(l =>
+        l.contains("FileScan parquet") && l.contains("rcodes")).toSeq
+      assert(codeScans.nonEmpty,
+        s"$which must score from the rcodes index scan:\n$plan")
+      codeScans.foreach(l => assert(!l.contains("embedding") && !l.contains("prefix"),
+        s"$which ADC scan must not read the float payload:\n$l"))
+    }
   }
 
   test("q175 MMR rerank: rank-1 kept, strictly more diverse than plain top-5, subset of the beam") {
