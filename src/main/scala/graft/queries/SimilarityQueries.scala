@@ -163,7 +163,11 @@ object SimilarityQueries extends QueryPack {
         call_function("digests60", col("shs")).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("key", setKey(col("hs")))
-    val mem = keyed.select(col("key"), col("doc_id")).persist()
+      // persist the digest pass itself (round 17, the q114 fix): mem and
+      // grp both derive from it, and persisting only the derivatives ran
+      // the shingle→digest→setkey pipeline twice
+      .persist()
+    val mem = keyed.select(col("key"), col("doc_id"))
     val grp = keyed.groupBy(col("key"))
       .agg(first(array_sort(col("hs"))).as("toks"))
       .withColumn("sz", size(col("toks")))
@@ -198,7 +202,7 @@ object SimilarityQueries extends QueryPack {
       .select(col("a"), col("b"), col("cont_bp"))
       .orderBy(col("a"), col("b"))
       .localCheckpoint(true)
-    grp.unpersist(); mem.unpersist()
+    grp.unpersist(); keyed.unpersist()
     out
   }
 
@@ -390,10 +394,17 @@ object SimilarityQueries extends QueryPack {
       .withColumn("n_words", size(col("ws")))
     // container side: per-doc distinct shingle digests, collapsed to
     // one representative per unique set (dgrp) + membership (dmem)
+    // persist the DIGEST PASS itself (round 17): dmem and dgrp both
+    // derive from dsh, and persisting only the two derivatives ran the
+    // whole shingle→digests60→setkey_md5 pipeline TWICE per side (once
+    // into each persist). Caching dsh runs each side's digest pass once;
+    // dmem is a plain projection of the cache (no persist of its own),
+    // dgrp keeps one (it is read by two joins).
     val dsh = docs.select(col("doc_id"),
         dig(call_function("shingles3", col("ws"))).as("ds"))
       .withColumn("dkey", setKey(col("ds")))
-    val dmem = dsh.select(col("dkey"), col("doc_id")).persist()
+      .persist()
+    val dmem = dsh.select(col("dkey"), col("doc_id"))
     val dgrp = dsh.groupBy(col("dkey"))
       .agg(first(array_sort(col("ds"))).as("ds")) // set-equal members: any rep
       .persist()
@@ -410,8 +421,9 @@ object SimilarityQueries extends QueryPack {
       .withColumn("sz", size(col("cs")))
       .filter(col("sz") > 0)
       .withColumn("ckey", setKey(col("cs")))
-    val cmem = csh.select(col("ckey"), col("cdoc"), col("chunk_idx")).persist()
-    val cgrp = csh.groupBy(col("ckey"))
+    val cshP = csh.persist() // same digest-pass sharing as dsh above
+    val cmem = cshP.select(col("ckey"), col("cdoc"), col("chunk_idx"))
+    val cgrp = cshP.groupBy(col("ckey"))
       .agg(first(array_sort(col("cs"))).as("cs"), first(col("sz")).as("sz"))
       .persist()
     // rarest-prefix candidate generation over UNIQUE sets only
@@ -439,7 +451,7 @@ object SimilarityQueries extends QueryPack {
       .select(col("cdoc"), col("chunk_idx"), col("container"), col("cont_bp"))
       .orderBy(col("cdoc"), col("chunk_idx"), col("container"))
       .localCheckpoint(true)
-    dmem.unpersist(); dgrp.unpersist(); cmem.unpersist(); cgrp.unpersist()
+    dsh.unpersist(); dgrp.unpersist(); cshP.unpersist(); cgrp.unpersist()
     out
   }
 
