@@ -1310,10 +1310,23 @@ object Round11Queries extends QueryPack {
     val b = Tables.embeddings(s, d)
       .select(col("vec_id"), toD(col("embedding")).as("v"))
     val (g, executed) = knnGraphBuildCounted(b, KiK, KiUnd, AdRounds, AdDelta)
-    val n = b.count()
+    // one verdict job instead of three (round 17): corpus size, node
+    // coverage and per-node completeness come from a single outer join +
+    // aggregate over the id-narrow frames (same literals emitted)
     val deg = g.filter(col("rn") <= KgK)
       .groupBy(col("src")).agg(count(lit(1)).as("c"))
-    val complete = deg.filter(col("c") === KgK).count() == n && deg.count() == n
+    val stats = b.select(col("vec_id"), lit(1L).as("_b")).join(
+        deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "full_outer")
+      .agg(coalesce(sum(col("_b")), lit(0L)).as("n"),
+        coalesce(sum(when(col("c").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("deg_rows"),
+        coalesce(sum(when(col("c") === KgK, 1L).otherwise(0L)), lit(0L))
+          .as("full_k"))
+      .collect()(0)
+    // identical to the old three counts: n = |b|, deg_rows = |deg|,
+    // full_k = |deg where c == KgK|; complete ⟺ full_k == n && deg_rows == n
+    val complete = stats.getLong(2) == stats.getLong(0) &&
+      stats.getLong(1) == stats.getLong(0)
     s.range(1).select(
       lit(AdRounds).cast("int").as("rounds_budget"),
       lit(if (executed > 1 && executed < AdRounds) 1 else 0).cast("int")
